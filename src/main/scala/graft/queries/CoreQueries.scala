@@ -1,0 +1,587 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator inventory (SURVEY.md §2.2-§2.6) expressed over
+  * the driver corpus: projection/filter, equi/theta/cross/semi/anti/outer
+  * joins, aggregation, rollup/cube, window dedup/running/lead-lag, set ops,
+  * JSON extraction, time bucketing, as-of join, and the flagship gold-alert
+  * chain (window-dedup → broadcast theta join → case-when classify →
+  * project, mirroring /root/reference/src/processing/gold_batch_job.py:22-90).
+  *
+  * Scale notes (100 TB design intent, verified via .explain on local[32]):
+  *   - every scan prunes columns + pushes filters (parquet PushedFilters);
+  *   - dimension sides of joins are broadcast() explicitly;
+  *   - fact-fact joins are equi-keyed (sort-merge/shuffled-hash) with range
+  *     residuals, never cross joins;
+  *   - aggregates are partial (map-side combine) by construction;
+  *   - final orderBy happens on already-reduced outputs (group counts,
+  *     top-k via TakeOrderedAndProject), never on raw fact rows.
+  */
+object CoreQueries {
+
+  /** All double aggregates are rounded identically on both sides so the
+    * driver's value hash is immune to float summation-order noise. */
+  private def r2(c: Column): Column = round(c, 2)
+
+  // ---------------------------------------------------------------- q1
+  // TPC-H Q1 shape: full-scan partial aggregation (SURVEY A1-A4).
+  private val q1 = NamedQuery(
+    "q1_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity),2) AS sum_qty,
+            round(sum(l_extendedprice),2) AS sum_base_price,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            round(avg(l_quantity),2) AS avg_qty,
+            round(avg(l_discount),4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q2
+  // Selective filter + narrow projection: PushedFilters + pruned ReadSchema.
+  private val q2 = NamedQuery(
+    "q2_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-04-01").cast("timestamp") &&
+                col("l_quantity") < 5.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+              AND l_quantity < 5.0
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q3
+  // TPC-H Q3 shape: broadcast dim filter + equi join + agg + top-k.
+  private val q3 = NamedQuery(
+    "q3_shipping_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+                 col("o_orderpriority"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND l_shipdate > TIMESTAMP '1999-01-01'
+            GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q4
+  // Global top-k: Catalyst plans TakeOrderedAndProject (no full sort).
+  private val q4 = NamedQuery(
+    "q4_order_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"""))
+
+  // ---------------------------------------------------------------- q5
+  // TPC-H Q5 shape: 6-table star join, dims broadcast, facts equi-joined.
+  private val q5 = NamedQuery(
+    "q5_local_supplier_volume",
+    (s, d) => {
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q6
+  // THE reference idiom (SURVEY W1, gold_batch_job.py:32-35): latest row
+  // per key via row_number over desc-ordered window. Timestamps are
+  // compared at ms precision on both engines (parquet ns → Spark µs; both
+  // floor to the same ms), with event_id as a total-order tiebreak.
+  private val q6 = NamedQuery(
+    "q6_latest_per_key",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                r2(col("value")).as("value"), col("ts_ms"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type, round(value,2) AS value, ts_ms
+            FROM (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q7
+  // Running total per key (explicit ROWS frame on both engines).
+  private val q7 = NamedQuery(
+    "q7_running_total",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q8
+  // lead/lag analytics.
+  private val q8 = NamedQuery(
+    "q8_lead_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+                lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            lag(o_totalprice, 1) OVER w AS prev_price,
+            lead(o_totalprice, 1) OVER w AS next_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q9
+  // Theta band join (SURVEY J2) done scalably: equi key (nationkey) carries
+  // the shuffle, the band predicate is a join residual — NOT a cross join.
+  private val q9 = NamedQuery(
+    "q9_theta_band_join",
+    (s, d) => {
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      cust.join(broadcast(sup),
+          col("c_nationkey") === col("s_nationkey") &&
+          abs(col("c_acctbal") - col("s_acctbal")) < 100.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_close_customers"),
+             r2(avg(col("c_acctbal"))).as("avg_cust_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_close_customers,
+            round(avg(c_acctbal),2) AS avg_cust_bal
+            FROM customer JOIN supplier
+              ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 100.0
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q10
+  // Intentional cross join of two tiny dims (SURVEY J1) →
+  // BroadcastNestedLoopJoin, same plan family as the reference's
+  // fires×stations crossJoin (gold_batch_job.py:52).
+  private val q10 = NamedQuery(
+    "q10_cross_join_small",
+    (s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(broadcast(Tables.nation(s, d).select(col("n_name"))))
+        .orderBy(col("r_name"), col("n_name")),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""))
+
+  // ---------------------------------------------------------------- q11/q12
+  // Semi / anti joins (EXISTS / NOT EXISTS).
+  private val q11 = NamedQuery(
+    "q11_semi_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  private val q12 = NamedQuery(
+    "q12_anti_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q13
+  // TPC-H Q13 shape: left outer join preserving zero-order customers.
+  private val q13 = NamedQuery(
+    "q13_outer_join_count",
+    (s, d) => {
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY 1)
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+
+  // ---------------------------------------------------------------- q14-q17
+  // Distinct + set operations (SURVEY §2.6).
+  private val q14 = NamedQuery(
+    "q14_distinct",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1, 2"""))
+
+  private val q15 = NamedQuery(
+    "q15_union",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            UNION SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  private val q16 = NamedQuery(
+    "q16_intersect",
+    (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+        .intersect(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey"""))
+
+  private val q17 = NamedQuery(
+    "q17_except",
+    (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+        .except(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q18/q19
+  // Rollup / cube (multi-level aggregates in one pass).
+  private val q18 = NamedQuery(
+    "q18_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus")),
+    Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+                   coalesce(l_linestatus,'ALL') AS linestatus,
+                   sum_qty, n
+            FROM (SELECT l_returnflag, l_linestatus,
+                         round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+                  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus))
+            ORDER BY returnflag, linestatus"""))
+
+  private val q19 = NamedQuery(
+    "q19_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+                   coalesce(o_orderpriority,'ALL') AS priority, n, total
+            FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                         round(sum(o_totalprice),2) AS total
+                  FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority))
+            ORDER BY status, priority"""))
+
+  // ---------------------------------------------------------------- q20
+  // Chained CASE WHEN classifier — the exact shape of the reference's
+  // 30-30-30 risk rule (gold_batch_job.py:63-74, SURVEY P6), including the
+  // >=/<= boundary semantics.
+  private val q20 = NamedQuery(
+    "q20_case_classify",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("risk_level",
+          when(col("l_returnflag") === "R" && col("l_quantity") >= 30.0 &&
+               col("l_discount") >= 0.05 && col("l_tax") <= 0.03, "EXTREME")
+          .when(col("l_returnflag") === "R" && col("l_quantity") >= 30.0, "VERY_HIGH")
+          .when(col("l_returnflag") === "R" && col("l_quantity") >= 20.0, "HIGH")
+          .when(col("l_returnflag") === "R", "MODERATE")
+          .otherwise("LOW"))
+        .groupBy(col("risk_level"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("exposure"))
+        .orderBy(col("risk_level")),
+    Some("""SELECT CASE
+              WHEN l_returnflag='R' AND l_quantity>=30.0 AND l_discount>=0.05 AND l_tax<=0.03 THEN 'EXTREME'
+              WHEN l_returnflag='R' AND l_quantity>=30.0 THEN 'VERY_HIGH'
+              WHEN l_returnflag='R' AND l_quantity>=20.0 THEN 'HIGH'
+              WHEN l_returnflag='R' THEN 'MODERATE'
+              ELSE 'LOW' END AS risk_level,
+            count(*) AS n, round(sum(l_extendedprice),2) AS exposure
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q21
+  // JSON extraction from a string column (events.props, SURVEY §1.2).
+  private val q21 = NamedQuery(
+    "q21_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q22
+  // Tumbling time-bucket aggregation — the batch twin of the streaming
+  // windowed agg (SURVEY ST5). Bucket emitted as epoch ms for parity.
+  private val q22 = NamedQuery(
+    "q22_time_bucket",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("bucket_ms"), col("event_type")),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                   count(*) AS n, round(sum(value),2) AS sum_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- q23
+  // Membership filter (SURVEY P9: dashboard isin).
+  private val q23 = NamedQuery(
+    "q23_isin_filter",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("error", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("value"))).as("avg_value"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n, round(avg(value),2) AS avg_value
+            FROM events WHERE event_type IN ('error','purchase')
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q24
+  // Synthetic concat key (SURVEY P10: fire_id = lat_lon).
+  private val q24 = NamedQuery(
+    "q24_concat_key",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ukey", concat_ws("_", col("user_id"), col("event_type")))
+        .groupBy(col("ukey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("ukey")),
+    Some("""SELECT concat_ws('_', user_id, event_type) AS ukey, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q25
+  // One-pass conditional KPIs (SURVEY A2/A3: dashboard filtered counts).
+  private val q25 = NamedQuery(
+    "q25_conditional_kpi",
+    (s, d) =>
+      Tables.events(s, d)
+        .agg(count(when(col("event_type") === "error", 1)).as("n_errors"),
+             count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+             r2(avg(col("value"))).as("avg_value"),
+             r2(sum(when(col("event_type") === "error", col("value"))
+               .otherwise(0.0))).as("error_value")),
+    Some("""SELECT sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_errors,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchases,
+                   round(avg(value),2) AS avg_value,
+                   round(sum(CASE WHEN event_type='error' THEN value ELSE 0.0 END),2) AS error_value
+            FROM events"""))
+
+  // ---------------------------------------------------------------- q26
+  // As-of join (SURVEY J3): for each purchase, the user's most recent prior
+  // click. Implemented shuffle-once: union both sides, one window pass per
+  // user ordered by a composite ms+id key — no self-join, no cross product.
+  // At 100 TB this is the canonical "sorted-merge over a single shuffle"
+  // as-of pattern.
+  private val q26 = NamedQuery(
+    "q26_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+                (unix_millis(col("ts")) * lit(1000000L) + col("event_id")).as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_k",
+          max(when(col("event_type") === "click", col("k"))).over(w))
+        .filter(col("event_type") === "purchase" && col("last_click_k").isNotNull)
+        .select(col("event_id"), col("user_id"), r2(col("value")).as("purchase_value"),
+                col("last_click_k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id, event_id, event_type, value,
+                     epoch_ms(ts)*1000000 + event_id AS k
+              FROM events WHERE event_type IN ('click','purchase')),
+            w AS (
+              SELECT *, max(CASE WHEN event_type='click' THEN k END)
+                OVER (PARTITION BY user_id ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_k
+              FROM u)
+            SELECT event_id, user_id, round(value,2) AS purchase_value, last_click_k
+            FROM w WHERE event_type='purchase' AND last_click_k IS NOT NULL
+            ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- gold
+  // Flagship: the reference's entire Gold pipeline re-expressed over the
+  // events table (gold_batch_job.py:22-90 / SURVEY §3.2): latest reading
+  // per station (W1 window dedup) → broadcast theta band join against
+  // incidents (J1+J2) → chained CASE risk classify (P6) → projection (P1).
+  // The dedup side is small by construction (one row per key) → broadcast;
+  // the band predicate prunes pairs at the join, so no unfiltered cross
+  // product ever materializes.
+  private val gold = NamedQuery(
+    "gold_alerts",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      val stations = ev
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("station_id"), col("value").as("level"),
+                col("ts_ms").as("level_ts_ms"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+                col("value").as("intensity"), col("ts_ms"))
+      incidents
+        .join(broadcast(stations),
+          abs(col("intensity") - col("level")) < 5.0)
+        .withColumn("risk_level",
+          when(col("intensity") >= 400.0 && col("level") >= 400.0, "EXTREME")
+          .when(col("intensity") >= 400.0, "VERY_HIGH")
+          .when(col("intensity") >= 250.0, "HIGH")
+          .when(col("intensity") >= 100.0, "MODERATE")
+          .otherwise("LOW"))
+        .select(col("incident_id"), col("station_id"),
+                r2(col("intensity")).as("intensity"), r2(col("level")).as("level"),
+                round(abs(col("intensity") - col("level")), 4).as("distance"),
+                col("risk_level"))
+        .orderBy(col("incident_id"), col("station_id"))
+    },
+    Some("""WITH ev AS (SELECT *, epoch_ms(ts) AS ts_ms FROM events),
+            stations AS (
+              SELECT user_id AS station_id, value AS level
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_ms DESC, event_id DESC) AS rn FROM ev)
+              WHERE rn = 1),
+            incidents AS (
+              SELECT event_id AS incident_id, user_id, value AS intensity
+              FROM ev WHERE event_type = 'error')
+            SELECT incident_id, station_id,
+                   round(intensity,2) AS intensity, round(level,2) AS level,
+                   round(abs(intensity - level),4) AS distance,
+                   CASE WHEN intensity >= 400.0 AND level >= 400.0 THEN 'EXTREME'
+                        WHEN intensity >= 400.0 THEN 'VERY_HIGH'
+                        WHEN intensity >= 250.0 THEN 'HIGH'
+                        WHEN intensity >= 100.0 THEN 'MODERATE'
+                        ELSE 'LOW' END AS risk_level
+            FROM incidents JOIN stations ON abs(intensity - level) < 5.0
+            ORDER BY incident_id, station_id"""))
+
+  val all: Seq[NamedQuery] = Seq(
+    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, gold)
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the sfDir tables, sorts
+columns by name + rows by all values, and compares cell-by-cell (exact for
+strings/ints, tiny-epsilon report for floats so we can see near-misses).
+"""
+import json, math, os, sys
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) != pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return a == b or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            print(f"FAIL {name}: no spark output at {path}")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.read_parquet(path))
+            want = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} duckdb={list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duckdb={len(want)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in got.columns:
+            ga, wa = got[c].tolist(), want[c].tolist()
+            for i, (a, b) in enumerate(zip(ga, wa)):
+                if not cells_equal(a, b):
+                    bad.append((c, i, a, b))
+                    if len(bad) >= 3:
+                        break
+            if len(bad) >= 3:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(got)} rows, first diffs: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
