@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines:
+  * tokenization, shingling, fingerprinting, language-ID heuristics and
+  * quality scoring. Everything is built from codegen'd built-in expressions
+  * (no UDFs) so whole-stage codegen spans the full pipeline and the same
+  * semantics are mirror-able in the DuckDB oracle SQL.
+  *
+  * Capability extensions beyond the reference surface (SURVEY.md §2.9 /
+  * BASELINE.json north-star ops).
+  */
+object TextFunctions {
+
+  /** Canonical normalization: lowercase, trim, collapse runs of whitespace. */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokenization over normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  def distinctTokenCount(c: Column): Column = size(distinctTokens(c))
+
+  /** BPE-ish sub-word segmentation: alpha runs, digit runs, and single
+    * punctuation marks each become a token (a cheap proxy for byte-pair
+    * tokenizer counting; deterministic and codegen-friendly).
+    */
+  def bpeishTokens(c: Column): Column =
+    filter(
+      split(regexp_replace(lower(c), "([a-z]+|[0-9]+|[^a-z0-9\\s])", " $1 "), "\\s+"),
+      t => length(t) > 0)
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** Word n-gram shingles over the token array (for minhash / near-dup).
+    * Docs shorter than n shingle to their full text.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  def distinctShingles(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
+  /** Exact document fingerprint: md5 of the normalized text. */
+  def md5Fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Rolling polynomial (Karp-Rabin-style) content hash, char-by-char:
+    * acc = (acc * 31 + ascii(char)) mod 1e9+7. The per-step mod keeps the
+    * accumulator < 2^35 so ANSI mode never sees a long overflow.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      // NB: Spark's split(str, "") appends a trailing "" element (Java
+      // split with limit -1); DuckDB's string_split does not — filter it
+      // out so the oracle's char sequence is identical.
+      filter(split(normText(c), ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and explicit so the oracle SQL can carry
+    * the identical lists.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "no", "un", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta"))
+
+  /** Number of DISTINCT profile words present in the document. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Occurrence count (non-distinct) of profile words — for ratio metrics. */
+  def stopwordOccurrences(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Language-ID heuristic: argmax of stopword hits, first-match tie-break
+    * in lexicographic language order (same CASE order as the oracle SQL).
+    */
+  def langGuess(c: Column): Column = {
+    val toks = distinctTokens(c)
+    val scores = stopwordProfiles.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val ordered = scores.map(_._1)
+    scores.zipWithIndex.foldRight(lit(ordered.last)) {
+      case (((lang, score), i), elseCol) =>
+        val others = scores.zipWithIndex.collect { case ((_, s), j) if j > i => s }
+        if (others.isEmpty) elseCol
+        else when(others.map(o => score >= o).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-score feature family (length / punctuation / stopword ratios),
+    * each a pure double expression so the combo stays inside codegen.
+    */
+  def charCount(c: Column): Column = length(normText(c))
+
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(normText(c), "[^a-z]", "")) / charCount(c)
+
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", "")) / length(c)
+
+  def avgTokenLen(c: Column): Column = {
+    val n = tokenCount(c)
+    (charCount(c) - (n - 1)) / n
+  }
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val en = stopwordProfiles.toMap.apply("en")
+    stopwordOccurrences(toks, en) / size(toks)
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs with
+    * real words; penalizes pathological token lengths. Same arithmetic is
+    * mirrored in the oracle.
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      least(lit(1.0), tokenCount(c) / lit(100.0)) * lit(0.4)
+        + least(lit(1.0), stopwordRatio(c) * lit(5.0)) * lit(0.3)
+        + when(avgTokenLen(c).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)),
+      4)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbour search over an embedding column
+  * (`ArrayType(FloatType)`) — north-star extension ops.
+  *
+  * Scale design: brute force is the correctness baseline (a broadcast of
+  * the query vectors against a full scan — linear, embarrassingly
+  * parallel, no shuffle of the corpus). The scale path is LSH bucketing
+  * (random-hyperplane signatures): the corpus is shuffled ONCE on bucket
+  * id, probes hit only matching buckets, and recall is tuned by signature
+  * width / multi-probe. An IVF variant (k-means cells) would slot into the
+  * same bucket-join shape; hyperplane LSH needs no trained model, which
+  * keeps the operator deterministic for the oracle corpus.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query row (queries small → broadcast).
+    * Output: one row per (query_id, neighbour) kept by rank ≤ k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank"))
+  }
+
+  /** Corpus bucketing by `nBits`-bit hyperplane signature. At scale this is
+    * written once (partitioned/bucketed by `bucket`) and probed many times.
+    */
+  def lshBuckets(corpus: DataFrame, nBits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("bucket", hyperplaneSignature(col(vecCol), nBits))
+
+  /** ANN top-k: probe only buckets within `maxHamming` of the query's
+    * signature (multi-probe LSH). Join fans out per probe-bucket instead of
+    * per corpus row — sub-linear reads once the bucket table is partitioned
+    * by `bucket`.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+      maxHamming: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = lshBuckets(corpus, nBits, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+    val q = lshBuckets(queries, nBits, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+              col("bucket").as("qbucket"))
+    // multi-probe: query bucket + all buckets at hamming distance ≤ maxHamming
+    val probes = (0 until nBits).foldLeft(Seq(col("qbucket"))) { (acc, b) =>
+      if (maxHamming >= 1) acc :+ col("qbucket").bitwiseXOR(lit(1L << b)) else acc
+    }
+    val probed = q.withColumn("probe", explode(array(probes.distinct: _*)))
+    val scored = probed.join(bucketed, col("probe") === col("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank"))
+  }
+
+  /** Per-group vector centroid via posexplode + partial-aggregating groupBy
+    * (dimension-parallel, no buffer object churn). Output: one row per
+    * (group, dim) — the layout that feeds IVF cell assignment.
+    */
+  def centroidByGroup(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** North-star extension operators (BASELINE.json / builder brief): the
+  * LLM-training-data-pipeline surface — deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity search
+  * (brute-force + LSH ANN), text analysis (token stats, quality, lang-ID,
+  * fingerprints), and multimodal binary-column plumbing.
+  *
+  * Queries whose algorithm is SQL-expressible carry a DuckDB oracle that
+  * mirrors the exact same computation; LSH/ANN ops are rows-only here and
+  * pinned against their exact counterparts in ScalaTest instead.
+  */
+object ExtQueries {
+
+  /** Shared SQL fragment: normalized text + tokens, mirroring
+    * TextFunctions.normText/tokens.
+    */
+  private val normSql = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  // ------------------------------------------------------------ dedup
+  private val dedupExact = NamedQuery(
+    "dedup_exact",
+    (s, d) =>
+      Dedup.exact(Tables.documents(s, d))
+        .orderBy(col("fingerprint")),
+    Some(s"""SELECT md5($normSql) AS fingerprint,
+                    min(doc_id) AS keep_id, count(*) AS n_copies
+             FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  private val dedupNgram = NamedQuery(
+    "dedup_ngram_jaccard",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+        .orderBy(col("doc1"), col("doc2")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+             pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                              a.ns AS n1, b.ns AS n2, count(*) AS common
+                       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2, 3, 4)
+             SELECT doc1, doc2,
+                    round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+             FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
+             ORDER BY doc1, doc2"""))
+
+  // LSH variants: not SQL-expressible (seeded xxhash64 banding) → rows-only
+  // driver check; ScalaTest pins them against the exact-Jaccard oracle op.
+  private val dedupMinhash = NamedQuery(
+    "dedup_minhash_lsh",
+    (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+        .orderBy(col("doc1"), col("doc2")),
+    None)
+
+  private val dedupSimhash = NamedQuery(
+    "dedup_simhash",
+    (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
+        .orderBy(col("doc1"), col("doc2")),
+    None)
+
+  private val dedupEmbedding = NamedQuery(
+    "dedup_embedding_cosine",
+    (s, d) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy(col("id1"), col("id2")),
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY 1, 2"""))
+
+  // ------------------------------------------------------- similarity
+  private val simTopK = NamedQuery(
+    "sim_topk_bruteforce",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            s AS (SELECT query_id, vec_id AS neighbor_id,
+                         list_cosine_similarity(qv, embedding) AS cos
+                  FROM embeddings, q WHERE vec_id <> query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cos, rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  private val simAnn = NamedQuery(
+    "sim_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10, nBits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  private val centroid = NamedQuery(
+    "vector_centroid",
+    (s, d) =>
+      Similarity.centroidByGroup(Tables.embeddings(s, d), "label")
+        .orderBy(col("label"), col("dim")),
+    Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ------------------------------------------------------------- text
+  private val textStats = NamedQuery(
+    "text_stats",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        charCount(col("text")).as("n_chars_norm"),
+        md5Fingerprint(col("text")).as("fingerprint"),
+        rollingHash(col("text")).as("rolling_hash"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+                    len(string_split($normSql, ' ')) AS n_tokens,
+                    len(list_distinct(string_split($normSql, ' '))) AS n_distinct_tokens,
+                    strlen($normSql) AS n_chars_norm,
+                    md5($normSql) AS fingerprint,
+                    list_reduce(
+                      list_transform(string_split($normSql, ''),
+                                     c -> CAST(ord(c) AS BIGINT)),
+                      (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+             FROM documents ORDER BY doc_id"""))
+
+  private val textQuality = NamedQuery(
+    "text_quality",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(avgTokenLen(col("text")), 4).as("avg_token_len"),
+        round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks,
+                               strlen($normSql) AS nc
+                        FROM documents),
+             m AS (SELECT doc_id, len(toks) AS n_tokens,
+                          (nc - (len(toks) - 1)) / len(toks) AS atl,
+                          len(list_filter(toks, x -> list_contains(
+                            ['the','a','of','and','to','in','is','it'], x)))
+                            / len(toks) AS sr
+                   FROM t)
+             SELECT doc_id, n_tokens, round(atl, 4) AS avg_token_len,
+                    round(sr, 4) AS stopword_ratio,
+                    round(least(1.0, n_tokens / 100.0) * 0.4
+                          + least(1.0, sr * 5.0) * 0.3
+                          + CASE WHEN atl BETWEEN 3.0 AND 10.0
+                                 THEN 0.3 ELSE 0.0 END, 4) AS quality
+             FROM m ORDER BY doc_id"""))
+
+  private val textLang = NamedQuery(
+    "text_langid",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        langGuess(col("text")).as("lang_guess"))
+        .withColumn("agree", (col("lang") === col("lang_guess")).cast("int"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+                               list_distinct(string_split($normSql, ' ')) AS ts
+                        FROM documents),
+             sc AS (SELECT doc_id, lang,
+               len(list_intersect(ts, ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+               len(list_intersect(ts, ['the','a','of','and','to','in','is','it'])) AS s_en,
+               len(list_intersect(ts, ['el','la','de','y','que','no','un','en'])) AS s_es,
+               len(list_intersect(ts, ['le','la','les','et','des','un','une','est'])) AS s_fr,
+               len(list_intersect(ts, ['de','shi','bu','le','zai','you','wo','ta'])) AS s_zh
+               FROM t)
+             SELECT doc_id, lang,
+                    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                         WHEN s_fr >= s_zh THEN 'fr'
+                         ELSE 'zh' END AS lang_guess,
+                    CASE WHEN lang = (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                         WHEN s_fr >= s_zh THEN 'fr'
+                         ELSE 'zh' END) THEN 1 ELSE 0 END AS agree
+             FROM sc ORDER BY doc_id"""))
+
+  // ------------------------------------------------------- multimodal
+  private val mmMeta = NamedQuery(
+    "multimodal_meta",
+    (s, d) => {
+      val media = Multimodal.fromBinaryColumn(
+        Tables.documents(s, d), "doc_id", "text", "image")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("modality"), col("byte_len"),
+                round(col("mean_byte"), 4).as("mean_byte"), col("frame_count"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, 'image' AS modality,
+                   strlen(text) AS byte_len,
+                   round(list_reduce(list_transform(string_split(text, ''),
+                           c -> CAST(ord(c) AS BIGINT)), (a, b) -> a + b)
+                         * 1.0 / strlen(text), 4) AS mean_byte,
+                   strlen(text) // 64 + 1 AS frame_count
+            FROM documents ORDER BY media_id"""))
+
+  private val mmFrames = NamedQuery(
+    "multimodal_framesample",
+    (s, d) => {
+      val media = Multimodal.fromBinaryColumn(
+        Tables.documents(s, d), "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, stride = 4)
+        .select(col("media_id"), col("n_sampled_frames"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    simTopK, simAnn, centroid, textStats, textQuality, textLang,
+    mmMeta, mmFrames)
+}
