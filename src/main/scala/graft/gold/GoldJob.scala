@@ -1,0 +1,97 @@
+package graft.gold
+
+import graft.catalog.TableCatalog
+import graft.functions.GeoFunctions._
+import graft.functions.RiskPolicy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The Gold batch computation (reference: gold_batch_job.py:22-90):
+  * latest weather per station (window dedup) → fires × nearby stations
+  * (distance-band theta join) → 30-30-30 risk classification → 9-column
+  * alert projection, overwritten as a materialized view, skipped when empty.
+  *
+  * Scale design: the deduped weather side is one row per station (small by
+  * construction) → `broadcast`, so the theta join is a broadcast
+  * nested-loop over a tiny side instead of a shuffled cross product. For
+  * station cardinalities too big to broadcast, `goldAlertsGrid` keeps the
+  * same semantics with a grid-bucketed equi join (SURVEY.md §7 risk 5).
+  */
+object GoldJob {
+
+  val radiusDeg = 20.0
+
+  /** Latest reading per station — W1, THE core dedup idiom of the system
+    * (reference: gold_batch_job.py:32-35). Deterministic tie-break on
+    * location_id ordering is unnecessary (ties within a station resolved by
+    * timestamp desc; equal timestamps are producer-impossible but row_number
+    * still picks exactly one).
+    */
+  def latestWeather(weather: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("location_id")).orderBy(col("timestamp").desc)
+    weather.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("location_id").as("weather_station"),
+        col("lat").as("station_lat"), col("lon").as("station_lon"),
+        col("wind_speed"), col("humidity"), col("temperature"))
+  }
+
+  /** fires × latest-weather within radius, classified. Single theta join —
+    * Catalyst plans BroadcastNestedLoopJoin with the explicit broadcast hint
+    * (same physical plan the reference's crossJoin+filter reached, minus the
+    * unfiltered cross product in the logical plan).
+    */
+  def goldAlerts(fires: DataFrame, weather: DataFrame): DataFrame = {
+    val lw = latestWeather(weather)
+    val dist = euclideanDeg(col("lat"), col("lon"),
+      col("station_lat"), col("station_lon"))
+    fires
+      .join(broadcast(lw), dist < radiusDeg)
+      .withColumn("distance_deg", dist)
+      // NB: raw `temperature` (producer °C) goes straight against the
+      // 303.15 K threshold — the reference's quirk, preserved (SURVEY §7.6).
+      .withColumn("risk_level", RiskPolicy.riskLevel(
+        col("confidence"), col("wind_speed"), col("temperature"), col("humidity")))
+      .select(
+        col("timestamp"), col("lat").as("fire_lat"), col("lon").as("fire_lon"),
+        col("weather_station"), col("wind_speed"), col("temperature"),
+        col("humidity"), col("risk_level"), col("distance_deg"))
+  }
+
+  /** Grid-bucketed variant for station sets too large to broadcast: each
+    * fire joins only stations in its 3×3 neighbor cells (cell = radius), an
+    * equi join on the cell key that shuffles both sides once — no cross
+    * product, no broadcast requirement, same result set.
+    */
+  def goldAlertsGrid(fires: DataFrame, weather: DataFrame): DataFrame = {
+    val lw = latestWeather(weather)
+      .withColumn("cell", gridCell(col("station_lat"), col("station_lon"), radiusDeg))
+    val fx = fires.withColumn("cell",
+      explode(gridCellNeighbors(col("lat"), col("lon"), radiusDeg)))
+    val dist = euclideanDeg(col("lat"), col("lon"),
+      col("station_lat"), col("station_lon"))
+    fx.join(lw, Seq("cell"))
+      .filter(dist < radiusDeg)
+      .withColumn("distance_deg", dist)
+      .withColumn("risk_level", RiskPolicy.riskLevel(
+        col("confidence"), col("wind_speed"), col("temperature"), col("humidity")))
+      .select(
+        col("timestamp"), col("lat").as("fire_lat"), col("lon").as("fire_lon"),
+        col("weather_station"), col("wind_speed"), col("temperature"),
+        col("humidity"), col("risk_level"), col("distance_deg"))
+  }
+
+  /** One Gold cycle against the catalog: read silver, compute, overwrite
+    * gold atomically unless empty (reference: run_gold_processing,
+    * gold_batch_job.py:22-93).
+    *
+    * @return true when gold was (re)written
+    */
+  def runCycle(catalog: TableCatalog): Boolean = {
+    val fires = catalog.read("silver", "fire_events")
+    val weather = catalog.read("silver", "weather_events")
+    catalog.overwriteIfNonEmpty(
+      goldAlerts(fires, weather), "gold", "fire_risk_alerts")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.ingest.Normalizer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The Silver streaming layer (SURVEY.md §2.7): raw value stream → JSON
+  * parse against explicit schema → flatten → processing-time stamp →
+  * append sink with checkpointing — the reference's
+  * fire_risk_processor.py:49-89 topology, source-abstracted.
+  *
+  * The source is any streaming DataFrame with a `value` column: in
+  * production a Kafka `readStream`; offline/tests a `MemoryStream[String]`
+  * or file source — the capability is "streaming table source", not Kafka
+  * specifically (SURVEY §1.1). Exactly-once comes from the checkpoint +
+  * idempotent file-sink manifest, same mechanism the reference leaned on
+  * (ST2).
+  */
+object SilverJob {
+
+  /** value-stream → canonical fire events + processing-time stamp (ST4). */
+  def fireSilver(raw: DataFrame): DataFrame =
+    Normalizer.parseFireJson(raw).withColumn("processed_at", current_timestamp())
+
+  def weatherSilver(raw: DataFrame): DataFrame =
+    Normalizer.parseWeatherJson(raw).withColumn("processed_at", current_timestamp())
+
+  /** Event-time upgrade (ST5 — the capability the reference claims but its
+    * Double-epoch schema blocks): epoch-seconds Double → TimestampType
+    * `event_ts`, watermarked. Downstream can then window, deduplicate
+    * within the watermark, and drop late data deterministically.
+    */
+  def withEventTime(parsed: DataFrame, delayThreshold: String = "10 minutes"): DataFrame =
+    parsed
+      .withColumn("event_ts", timestamp_seconds(col("timestamp")))
+      .withWatermark("event_ts", delayThreshold)
+
+  /** Streaming dedup bounded by the watermark — the README-claimed
+    * "Deduplication" that never existed in the reference code (SURVEY §2.7
+    * ST5 divergence). Keys: natural identity of a detection.
+    */
+  def dedupWithinWatermark(withEventTs: DataFrame, keys: Seq[String]): DataFrame =
+    withEventTs.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Tumbling/sliding event-time windowed aggregation (ST5): per-window,
+    * per-key stats with partial (map-side) aggregation before the shuffle.
+    */
+  def windowedStats(withEventTs: DataFrame, keyCol: String,
+      window_ : String = "5 minutes", slide: Option[String] = None): DataFrame = {
+    val win = slide.fold(window(col("event_ts"), window_))(
+      s => window(col("event_ts"), window_, s))
+    withEventTs
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+           avg(col("temp_k")).as("avg_temp_k"),
+           max(col("temp_k")).as("max_temp_k"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+              col(keyCol), col("n"), col("avg_temp_k"), col("max_temp_k"))
+  }
+
+  /** Start an append-mode parquet sink with checkpoint (ST1+ST2; reference:
+    * fire_risk_processor.py:73-86).
+    */
+  def startAppendSink(silver: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    silver.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Scheduled Gold refresh as a streaming job (ST6): instead of the
+    * reference's sleep-60 loop, a `foreachBatch` on a trigger recomputes
+    * the Gold materialized view each interval — idiomatic replacement with
+    * the same cadence contract.
+    */
+  def startGoldRefresh(silverFires: DataFrame, checkpoint: String,
+      interval: String, refresh: DataFrame => Unit): StreamingQuery =
+    silverFires.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, _: Long) => refresh(batch) }
+      .start()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.gold.GoldJob
+import graft.model.Fixtures
+import graft.serving.ServingQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden-result test of the full Gold pipeline on the reference's own mock
+  * fixtures (4 fires × 32 stations with fresh+stale readings), plus
+  * equivalence of the broadcast and grid-bucketed join strategies.
+  */
+class GoldJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fires = Fixtures.mockFires.toDS().toDF()
+  private def weather = Fixtures.mockWeather.toDS().toDF()
+
+  test("latestWeather keeps exactly the fresh reading per station") {
+    val lw = GoldJob.latestWeather(weather)
+    assert(lw.count() === 32)
+    // stale rows have wind_speed=1.0; none may survive
+    assert(lw.filter($"wind_speed" === 1.0).count() === 0)
+  }
+
+  test("goldAlerts: distance bound, schema, risk assignment") {
+    val gold = GoldJob.goldAlerts(fires, weather)
+    val rows = gold.collect()
+    assert(rows.nonEmpty)
+    assert(gold.columns.toSeq === Seq("timestamp", "fire_lat", "fire_lon",
+      "weather_station", "wind_speed", "temperature", "humidity",
+      "risk_level", "distance_deg"))
+    assert(rows.forall(_.getAs[Double]("distance_deg") < GoldJob.radiusDeg))
+    // non-h fires are always LOW (SURVEY §7 risk 7)
+    val nonH = Set(28.60, 40.41) // lat of the "l" and "n" mock fires
+    assert(rows.filter(r => nonH(r.getAs[Double]("fire_lat")))
+      .forall(_.getAs[String]("risk_level") == "LOW"))
+    // mock temperatures are °C (15..35) — never ≥303.15, so no EXTREME/VERY_HIGH
+    // unless wind ≥30 with confidence h: those must be VERY_HIGH, not EXTREME
+    assert(rows.forall(_.getAs[String]("risk_level") != "EXTREME"))
+  }
+
+  test("grid-bucketed join ≡ broadcast theta join") {
+    def canon(df: DataFrame) = df
+      .orderBy($"fire_lat", $"fire_lon", $"weather_station")
+      .collect().toSeq
+    assert(canon(GoldJob.goldAlertsGrid(fires, weather)) ===
+      canon(GoldJob.goldAlerts(fires, weather)))
+  }
+
+  test("serving queries over gold") {
+    val gold = GoldJob.goldAlerts(fires, weather).cache()
+    val uf = ServingQueries.uniqueFires(gold)
+    // one best alert per distinct fire coordinate
+    assert(uf.count() ===
+      gold.select($"fire_lat", $"fire_lon").distinct().count())
+    val k = ServingQueries.kpis(uf).head()
+    assert(k.getAs[Long]("n_fires") === uf.count())
+    val dist = ServingQueries.riskDistribution(gold)
+    assert(dist.agg(sum($"count")).head().getLong(0) === gold.count())
+    assert(ServingQueries.topWind(uf, 3).count() <= 3)
+    val lvls = ServingQueries.distinctLevels(gold).as[String].collect().toSet
+    assert(ServingQueries.filterByLevels(gold, lvls.toSeq).count() === gold.count())
+    gold.unpersist()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "abcd" * 40),  // 160 bytes
+    (2L, "x"),
+    (3L, "")).toDF("doc_id", "text")
+
+  test("binary-column schema contract") {
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "image")
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "modality", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName === "binary")
+    assert(media.schema("meta").dataType.typeName === "struct")
+  }
+
+  test("feature extraction via mapPartitions: deterministic stub features") {
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "image")
+    val f = Multimodal.extractFeatures(media).orderBy($"media_id").collect()
+    assert(f(0).getAs[Int]("byte_len") === 160)
+    assert(f(0).getAs[Int]("frame_count") === 160 / 64 + 1)
+    // mean byte of "abcd" = (97+98+99+100)/4 = 98.5
+    assert(math.abs(f(0).getAs[Double]("mean_byte") - 98.5) < 1e-9)
+    assert(f(1).getAs[Int]("byte_len") === 1)
+    assert(f(2).getAs[Int]("byte_len") === 0 && f(2).getAs[Int]("frame_count") === 0)
+    // determinism: same payload → same head_hash
+    val again = Multimodal.extractFeatures(media).orderBy($"media_id").collect()
+    assert(f.map(_.getAs[Long]("head_hash")).toSeq ===
+      again.map(_.getAs[Long]("head_hash")).toSeq)
+  }
+
+  test("frame sampling keeps every stride-th 64-byte frame") {
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
+    val s = Multimodal.sampleFrames(media, stride = 2).orderBy($"media_id").collect()
+    // 160 bytes → frames at offsets 0,64,128 (+ boundary) ; stride 2 keeps idx 0,2
+    assert(s(0).getAs[Int]("n_sampled_frames") === 2)
+  }
+}

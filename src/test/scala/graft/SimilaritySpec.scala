@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-D corpus with hand-computable cosines
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),   // query
+    (1L, Array(1.0f, 0.1f)),   // cos ≈ .995
+    (2L, Array(1.0f, 1.0f)),   // cos ≈ .707
+    (3L, Array(0.0f, 1.0f)),   // cos = 0
+    (4L, Array(-1.0f, 0.0f)))  // cos = -1
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k exact order") {
+    val got = Similarity.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 0L), k = 3)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN: recall vs brute force on clustered corpus (seeded)") {
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated clusters in 16-D, 40 points each
+    val centers = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 40L, 80L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, queries, k = 5, nBits = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // tight clusters ⇒ multi-probe LSH should recover ≥80% of true neighbors
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("centroid by group: dimension-wise mean") {
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidByGroup(emb, "label")
+      .orderBy($"label", $"dim")
+      .select($"centroid").as[Double].collect().toSeq
+    assert(got === Seq(2.0, 4.0, 10.0, 20.0))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Sessionize, SilverJob}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics (SURVEY §2.7): silver append topology with
+  * checkpointed exactly-once restart, watermarked dedup, event-time
+  * windows, and custom sessionization state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fireJson(lat: Double, ts: Double, conf: String = "h"): String =
+    s"""{"source":"NASA_VIIRS","region":"canarias","lat":$lat,"lon":-16.5,""" +
+      s""""temp_k":350.0,"confidence":"$conf","timestamp":$ts}"""
+
+  test("ST1/ST2: silver append with checkpoint; restart does not duplicate") {
+    implicit val sq = spark.sqlContext
+    val out = tmpDir("silver-out")
+    val chk = tmpDir("silver-chk")
+    val mem = MemoryStream[String]
+    mem.addData(fireJson(28.29, 1.7e9), fireJson(28.60, 1.7e9 + 60))
+
+    val q1 = SilverJob.startAppendSink(
+      SilverJob.fireSilver(mem.toDF().select($"value")),
+      s"$out/fire_events", chk, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$out/fire_events").count() === 2)
+
+    // restart from the same checkpoint: already-committed batch not re-written
+    mem.addData(fireJson(40.41, 1.7e9 + 120))
+    val q2 = SilverJob.startAppendSink(
+      SilverJob.fireSilver(mem.toDF().select($"value")),
+      s"$out/fire_events", chk, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val rows = spark.read.parquet(s"$out/fire_events")
+    assert(rows.count() === 3) // exactly-once: 2 + 1, no dupes
+    assert(rows.columns.contains("processed_at")) // ST4 stamp
+  }
+
+  test("ST5: watermarked dedup drops in-watermark duplicates") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dupe = fireJson(28.29, 1.7e9)
+    mem.addData(dupe, dupe, fireJson(28.60, 1.7e9 + 30))
+
+    val deduped = SilverJob.dedupWithinWatermark(
+      SilverJob.withEventTime(SilverJob.fireSilver(mem.toDF().select($"value"))),
+      keys = Seq("lat", "lon", "timestamp"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_sink").count() === 2)
+  }
+
+  test("ST5: tumbling event-time window aggregation (append emits once watermark passes)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    // two detections in minute 0, one in minute 7 → two 5-min windows; the
+    // far-future sentinel advances the watermark past both window ends so
+    // append mode emits them (its own window legitimately stays open).
+    mem.addData(fireJson(1.0, 1.7e9), fireJson(2.0, 1.7e9 + 10),
+      fireJson(3.0, 1.7e9 + 420), fireJson(9.0, 1.7e9 + 3600))
+    val stats = SilverJob.windowedStats(
+      SilverJob.withEventTime(SilverJob.fireSilver(mem.toDF().select($"value"))),
+      keyCol = "region")
+    val q = stats.writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val wins = spark.table("win_sink").orderBy($"window_start").collect()
+    assert(wins.length === 2)
+    assert(wins(0).getAs[Long]("n") === 2 && wins(1).getAs[Long]("n") === 1)
+  }
+
+  test("ST7: gap sessionization via flatMapGroupsWithState") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    def ev(key: String, sec: Long, v: Double) =
+      Sessionize.Event(key, new Timestamp(sec * 1000), v)
+    // key a: events at 1000,1010 (one session), then 1100 (second session);
+    // key b's much-later event drives the watermark far enough that the
+    // AvailableNow timeout pass closes both. NB: timestamps must sit well
+    // above epoch 0 — the initial watermark IS 0 and drops rows at it.
+    mem.addData(ev("a", 1000, 1.0), ev("a", 1010, 2.0), ev("a", 1100, 5.0),
+      ev("b", 1500, 9.0))
+    val sessions = Sessionize.sessions(mem.toDS(), gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_sink").orderBy($"start").as[Sessionize.Session].collect()
+    // first session of "a" closed by gap AND past watermark (500s - 30s)
+    assert(got.exists(s => s.key == "a" && s.n_events == 2 && s.total_value == 3.0))
+    assert(got.exists(s => s.key == "a" && s.n_events == 1 && s.total_value == 5.0))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.catalog.TableCatalog
+import org.apache.spark.sql.functions._
+
+class TableCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append accumulates; overwrite replaces atomically") {
+    val cat = new TableCatalog(spark, tmpDir("cat"))
+    cat.append(Seq(1, 2).toDF("x"), "silver", "t")
+    cat.append(Seq(3).toDF("x"), "silver", "t")
+    assert(cat.read("silver", "t").count() === 3)
+    cat.overwrite(Seq(9).toDF("x"), "silver", "t")
+    assert(cat.read("silver", "t").as[Int].collect().toSeq === Seq(9))
+  }
+
+  test("overwriteIfNonEmpty: empty compute leaves previous snapshot (gold_batch_job.py:81-90)") {
+    val cat = new TableCatalog(spark, tmpDir("cat"))
+    val first = Seq((1, "a")).toDF("x", "s")
+    assert(cat.overwriteIfNonEmpty(first, "gold", "g"))
+    assert(!cat.overwriteIfNonEmpty(first.filter($"x" > 100), "gold", "g"))
+    assert(cat.read("gold", "g").count() === 1) // old snapshot intact
+  }
+
+  test("partitionBy produces hive layout and partition pruning prunes") {
+    val cat = new TableCatalog(spark, tmpDir("cat"))
+    val df = Seq(("canarias", 1), ("peninsula", 2), ("peninsula", 3))
+      .toDF("region", "v")
+    cat.overwrite(df, "silver", "p", partitionBy = Seq("region"))
+    val dirs = new java.io.File(cat.path("silver", "p")).list().toSeq
+    assert(dirs.exists(_.startsWith("region=canarias")))
+    val q = cat.read("silver", "p").filter($"region" === "peninsula")
+    assert(q.count() === 2)
+    // pruning visible in the physical plan's partition filters
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("region"))
+  }
+}
