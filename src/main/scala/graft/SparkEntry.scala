@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, ExtQueries}
   * checked rows-only by the driver.
   */
 object SparkEntry {
-  private def inventory: Seq[NamedQuery] = CoreQueries.all ++ ExtQueries.all
+  private def inventory: Seq[NamedQuery] =
+    CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full Gold pipeline shape of the reference (window dedup → broadcast

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.functions.GeoFunctions._
+import graft.functions.RiskPolicy
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Domain-surface queries over the driver corpus: the geo/risk/ingest
+  * capabilities (SURVEY §2.2 P7/P12, §2.3 J2, §2.8) exercised through
+  * deterministic coordinate synthesis from `events`, each with an exact
+  * DuckDB oracle. The synthesized lat/lon keep every expression bit-equal
+  * across engines (fmod/trig on the same doubles).
+  */
+object DomainQueries {
+
+  /** Haversine distance (P7 upgrade; reference README.MD:281 claims it,
+    * code never implements it): per-event synthetic point vs Madrid,
+    * top-level agg per event_type so the result is small and stable.
+    */
+  private val geoHaversine = NamedQuery(
+    "geo_haversine",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("lat", col("value") % 170.0 - 85.0)
+        .withColumn("lon", (col("value") * 2.0) % 350.0 - 175.0)
+      ev.withColumn("km",
+          haversineKm(col("lat"), col("lon"), lit(40.42), lit(-3.70)))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("km")), 4).as("avg_km"),
+             round(min(col("km")), 4).as("min_km"),
+             round(max(col("km")), 4).as("max_km"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH p AS (
+              SELECT event_type,
+                     fmod(value, 170.0) - 85.0 AS lat,
+                     fmod(value * 2.0, 350.0) - 175.0 AS lon
+              FROM events),
+            h AS (
+              SELECT event_type,
+                     2 * 6371.0088 * asin(least(1.0, sqrt(
+                       pow(sin(radians(40.42 - lat) / 2), 2) +
+                       cos(radians(lat)) * cos(radians(40.42)) *
+                       pow(sin(radians(-3.70 - lon) / 2), 2)))) AS km
+              FROM p)
+            SELECT event_type, round(avg(km), 4) AS avg_km,
+                   round(min(km), 4) AS min_km, round(max(km), 4) AS max_km
+            FROM h GROUP BY 1 ORDER BY 1"""))
+
+  /** Spatial band join via grid bucketing (J2 at scale; SURVEY §7 risk 5):
+    * 60k synthetic points × 25 synthetic centers, joined only through 3×3
+    * neighbor cells — the oracle does the naive cross join + filter, and
+    * the results must be identical.
+    */
+  private val geoGridJoin = NamedQuery(
+    "geo_grid_join",
+    (s, d) => {
+      val radius = 5.0
+      val pts = Tables.events(s, d).select(
+        col("event_id"),
+        (col("value") % 170.0 - 85.0).as("lat"),
+        ((col("value") * 2.0) % 350.0 - 175.0).as("lon"))
+      val centers = Tables.nation(s, d).select(
+        col("n_nationkey"),
+        ((col("n_nationkey") * 37.0) % 170.0 - 85.0).as("clat"),
+        ((col("n_nationkey") * 73.0) % 350.0 - 175.0).as("clon"))
+        .withColumn("cell", gridCell(col("clat"), col("clon"), radius))
+      val dist = euclideanDeg(col("lat"), col("lon"), col("clat"), col("clon"))
+      pts
+        .withColumn("cell", explode(gridCellNeighbors(col("lat"), col("lon"), radius)))
+        .join(centers, Seq("cell"))
+        .filter(dist < radius)
+        .select(col("event_id"), col("n_nationkey"), round(dist, 4).as("dist"))
+        .orderBy(col("event_id"), col("n_nationkey"))
+    },
+    Some("""WITH p AS (
+              SELECT event_id, fmod(value, 170.0) - 85.0 AS lat,
+                     fmod(value * 2.0, 350.0) - 175.0 AS lon
+              FROM events),
+            c AS (
+              SELECT n_nationkey, fmod(n_nationkey * 37.0, 170.0) - 85.0 AS clat,
+                     fmod(n_nationkey * 73.0, 350.0) - 175.0 AS clon
+              FROM nation)
+            SELECT event_id, n_nationkey,
+                   round(sqrt(pow(lat - clat, 2) + pow(lon - clon, 2)), 4) AS dist
+            FROM p, c
+            WHERE sqrt(pow(lat - clat, 2) + pow(lon - clon, 2)) < 5.0
+            ORDER BY event_id, n_nationkey"""))
+
+  /** Threshold alert flags (§2.8; reference weather_producer.py:154-160)
+    * over synthesized readings; flags joined to a string so the oracle
+    * compare stays scalar.
+    */
+  private val alertFlags = NamedQuery(
+    "alert_flags",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        (col("value") % 60.0).as("wind"),
+        (col("value") % 100.0).as("humidity"),
+        (col("value") % 45.0).as("temp_c"))
+        .withColumn("flags", concat_ws(",",
+          RiskPolicy.alertFlags(col("wind"), col("humidity"), col("temp_c"))))
+        .filter(col("flags") =!= "")
+        .select(col("event_id"), round(col("wind"), 4).as("wind"), col("flags"))
+        .orderBy(col("event_id")),
+    Some("""WITH r AS (
+              SELECT event_id, fmod(value, 60.0) AS wind,
+                     fmod(value, 100.0) AS humidity, fmod(value, 45.0) AS temp_c
+              FROM events)
+            SELECT event_id, round(wind, 4) AS wind,
+                   concat_ws(',',
+                     CASE WHEN wind > 40.0 THEN 'HIGH_WIND' END,
+                     CASE WHEN humidity < 30.0 THEN 'LOW_HUMIDITY' END,
+                     CASE WHEN temp_c > 35.0 THEN 'HIGH_TEMP' END) AS flags
+            FROM r
+            WHERE wind > 40.0 OR humidity < 30.0 OR temp_c > 35.0
+            ORDER BY event_id"""))
+
+  /** BPE-ish sub-word token counting (north-star text op) — alpha runs,
+    * digit runs, single punctuation marks.
+    */
+  private val bpeishTokens = NamedQuery(
+    "text_bpeish_tokens",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        bpeishTokenCount(col("text")).as("n_subtokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy(col("doc_id")),
+    Some(raw"""SELECT doc_id,
+                  len(list_filter(
+                    string_split_regex(
+                      regexp_replace(lower(text),
+                        '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g'),
+                      '\s+'),
+                    x -> len(x) > 0)) AS n_subtokens,
+                  len(string_split(
+                    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                    ' ')) AS n_ws_tokens
+           FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[NamedQuery] = Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens)
+}
