@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (doc_id, ss) with ss = distinct 64-bit shingle hashes. Tokens are
+    * projected as a named column before the shingling lambda so element_at
+    * binds a materialized array attribute (see shingleHashesFromTokens).
+    *
+    * The lazy localCheckpoint is load-bearing twice over: (a) every
+    * consumer self-joins or multi-references this frame, and without the
+    * barrier each reference re-runs the whole tokenize+shingle pipeline;
+    * (b) `InferFiltersFromGenerate` + predicate pushdown otherwise inline
+    * the full shingle expression into a `size(ss)>0` filter under the
+    * explode, re-evaluating the (non-codegen) HOF pipeline several times
+    * per row — measured 20× slower than the barrier'd plan.
+    */
+  private[graft] def shingleSets(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        distinctShingleHashesFromTokens(col("toks"), n).as("ss"))
+      .localCheckpoint(eager = false)
+
   /** Exact dedup: group by normalized-content fingerprint, keep the lowest
     * doc id per group. One shuffle on the hash — embarrassingly scalable.
     */
@@ -36,14 +55,23 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      distinctShingles(col(textCol), n).as("ss"))
+    // Shingles live only as 8-byte hashes: no shingle strings are ever
+    // built, and only longs enter the self-join shuffle — at 100 TB the
+    // exchange is the cost, and a 64-bit hash collides with ~2^-64
+    // probability per pair (immaterial to the counts). Tokenization is
+    // projected to its own column first so the shingling lambda binds an
+    // attribute, not the regex expression tree.
+    val sh = shingleSets(docs, n, idCol, textCol)
       .withColumn("ns", size(col("ss")))
     val ex = sh.select(col("doc_id"), col("ns"), explode(col("ss")).as("s"))
     val a = ex.as("a")
     val b = ex.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // size-ratio prune inside the join: J >= t  ⇒  min(n1,n2)/max(n1,n2) >= t
+    // (common <= min, union >= max), so wildly different-sized docs never
+    // reach the aggregation.
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.ns"), col("b.ns")).cast("double") >=
+          lit(threshold) * greatest(col("a.ns"), col("b.ns")))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
                col("a.ns").as("n1"), col("b.ns").as("n2"))
       .agg(count(lit(1)).as("common"))
@@ -53,16 +81,23 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature column: `numHashes` permutations simulated with
-    * seeded xxhash64 over the distinct shingles; each signature slot is the
-    * min hash under that seed. Computed entirely inside codegen (aggregate
-    * HOF per slot) — no UDF, no driver state.
+  /** MinHash signature column: `numHashes` permutations via
+    * Kirsch-Mitzenmacher double hashing — slot_i = min over shingles of
+    * (h1 + i·h2) with h1,h2 = seeded xxhash64 reduced mod 1e9+7 (keeps
+    * i·h2 far from Long overflow under ANSI mode). ONE pass over the
+    * shingles, two hashes per shingle, accumulated into a numHashes-wide
+    * array with zip_with — not numHashes separate aggregate scans.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val P = 1000000007L
+    val idx = sequence(lit(0L), lit(numHashes - 1L))
+    val hashed = transform(shingleArr, s => struct(
+      pmod(xxhash64(lit(1), s), lit(P)).as("h1"),
+      pmod(xxhash64(lit(2), s), lit(P)).as("h2")))
+    aggregate(hashed, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, p) => zip_with(acc, idx,
+        (m, i) => least(m, p.getField("h1") + i * p.getField("h2"))))
+  }
 
   /** MinHash + LSH banding near-dup pairs, verified against exact Jaccard.
     *
@@ -79,35 +114,35 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      distinctShingles(col(textCol), n).as("ss"))
+    val sh = shingleSets(docs, n, idCol, textCol)
     val sig = sh.withColumn("sig", minhashSignature(col("ss"), numHashes))
 
-    // band → bucket hash (hash of that band's signature slice)
+    // band → bucket hash (hash of that band's signature slice). Only
+    // (doc_id, band, bucket) enters the shuffle — never the shingle arrays,
+    // which at scale are the bulk of the bytes and would be copied ×bands.
     val banded = sig.select(
-      col("doc_id"), col("ss"),
+      col("doc_id"),
       explode(array((0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-               xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))
-                 .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("ss"), col("bb.band"), col("bb.bucket"))
+        xxhash64(lit(bnd),
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bucket")
+      }: _*)).as("bucket"))
 
-    val candidates = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("ss"))).as("members"))
+    val candidates = banded.groupBy(col("bucket"))
+      .agg(collect_set(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
       .select(explode(expr(
         """filter(
              flatten(transform(members, a ->
-               transform(members, b -> struct(a.doc_id AS doc1, a.ss AS ss1,
-                                              b.doc_id AS doc2, b.ss AS ss2)))),
+               transform(members, b -> struct(a AS doc1, b AS doc2)))),
              p -> p.doc1 < p.doc2)""")).as("p"))
-      .select(col("p.doc1"), col("p.ss1"), col("p.doc2"), col("p.ss2"))
+      .select(col("p.doc1"), col("p.doc2"))
       .dropDuplicates("doc1", "doc2")
 
-    // exact verification of candidates only
+    // exact verification of candidates only: join the shingle sets back in
+    // (two shuffles proportional to the CANDIDATE count, not the corpus)
     candidates
+      .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
       .withColumn("common", size(array_intersect(col("ss1"), col("ss2"))))
       .withColumn("jaccard",
         col("common").cast("double") /
@@ -126,25 +161,24 @@ object Dedup {
     require(blocks > maxHamming, "need blocks > maxHamming for exact block-trick recall")
     val bitsPerBlock = 64 / blocks
     // Signature: sign of per-bit weighted sum over distinct shingle hashes.
-    // ONE pass over the shingles (one xxhash64 each), accumulating a 64-wide
-    // counter array via zip_with — not 64 separate aggregates, which would
-    // re-scan the array per bit and blow up codegen (measured 35× slower).
-    val toks = distinctShingles(col(textCol), 3)
+    // ONE pass over the shingles, accumulating a 64-wide counter array via
+    // zip_with — not 64 separate aggregates, which would re-scan the array
+    // per bit and blow up codegen (measured 35× slower). The shingle hash
+    // itself (uniform xxhash64 output) is the per-shingle bit source.
     val bitIdx = sequence(lit(0), lit(63))
     val counters = aggregate(
-      toks,
+      col("ss"),
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(acc, bitIdx, (a, b) =>
           a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
-                   lit(1L)).otherwise(lit(-1L)))
-      })
+                   lit(1L)).otherwise(lit(-1L))))
     val sig = aggregate(
       zip_with(counters, bitIdx, (cnt, b) =>
         when(cnt >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
-    val s = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+    val s = shingleSets(docs, 3, idCol, textCol)
+      .select(col("doc_id"), sig.as("sig"))
 
     val blocked = s.select(col("doc_id"), col("sig"),
       explode(array((0 until blocks).map { blk =>
@@ -172,12 +206,16 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: Option[String] = Some("label")): DataFrame = {
+    // norms are computed ONCE per vector here (O(n)), not per pair (O(n²));
+    // the pair-side arithmetic is bit-identical to cosineSimilarity.
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm2(col(vecCol)).as("nrm1"),
       blockCol.map(col).getOrElse(lit(0)).as("blk1"))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm2(col(vecCol)).as("nrm2"),
       blockCol.map(col).getOrElse(lit(0)).as("blk2"))
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
-      .withColumn("cos", cosineSimilarity(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }

@@ -23,11 +23,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms hoisted out of the pair loop: once per query + once per corpus
+    // row, with pair-side arithmetic bit-identical to cosineSimilarity
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -54,10 +58,11 @@ object Similarity {
       maxHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = lshBuckets(corpus, nBits, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+              norm2(col(vecCol)).as("cn"), col("bucket"))
     val q = lshBuckets(queries, nBits, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-              col("bucket").as("qbucket"))
+              norm2(col(vecCol)).as("qn"), col("bucket").as("qbucket"))
     // multi-probe: query bucket + all buckets at hamming distance ≤ maxHamming
     val probes = (0 until nBits).foldLeft(Seq(col("qbucket"))) { (acc, b) =>
       if (maxHamming >= 1) acc :+ col("qbucket").bitwiseXOR(lit(1L << b)) else acc
@@ -65,7 +70,7 @@ object Similarity {
     val probed = q.withColumn("probe", explode(array(probes.distinct: _*)))
     val scored = probed.join(bucketed, col("probe") === col("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

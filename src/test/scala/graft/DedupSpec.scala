@@ -14,8 +14,12 @@ class DedupSpec extends SparkSpec {
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river"),
     (2L, "the quick brown fox jumps over the lazy cat near the river"),
-    (3L, "large scale data processing with spark requires careful partitioning design"),
-    (4L, "large scale data processing with spark requires careful partitioning design today friend"),
+    (3L, "large scale data processing with spark requires careful partitioning design " +
+      "because shuffle volume dominates the cost of every join and aggregation " +
+      "when the cluster reads terabytes from object storage every single hour"),
+    (4L, "large scale data processing with spark requires careful partitioning design " +
+      "because shuffle volume dominates the cost of every join and aggregation " +
+      "when the cluster reads terabytes from object storage every single hour indeed"),
     (5L, "completely unrelated text about cooking pasta with tomato sauce basil"),
     (6L, "der schnelle braune fuchs springt ueber den faulen hund am fluss"),
     (7L, "the quick brown fox jumps over the lazy dog near the river"), // exact dup of 1
