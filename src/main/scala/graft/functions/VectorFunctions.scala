@@ -20,7 +20,15 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Codegen'd dot product (graft.plans.FloatVecDot): bit-identical
+    * arithmetic to `dot`, compiled to a primitive loop. Requires
+    * `GraftFunctions.ensure(spark)` (the operators call it).
+    */
+  def dotFast(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

@@ -32,11 +32,13 @@ object Dedup {
     * per row — measured 20× slower than the barrier'd plan.
     */
   private[graft] def shingleSets(docs: DataFrame, n: Int,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        distinctShingleHashesFromTokens(col("toks"), n).as("ss"))
+        graft.plans.GraftColumns.shingleHashSet(col("toks"), n).as("ss"))
       .localCheckpoint(eager = false)
+  }
 
   /** Exact dedup: group by normalized-content fingerprint, keep the lowest
     * doc id per group. One shuffle on the hash — embarrassingly scalable.
@@ -83,35 +85,29 @@ object Dedup {
 
   /** MinHash signature column: `numHashes` permutations via
     * Kirsch-Mitzenmacher double hashing — slot_i = min over shingles of
-    * (h1 + i·h2) with h1,h2 = seeded xxhash64 reduced mod 1e9+7 (keeps
-    * i·h2 far from Long overflow under ANSI mode). ONE pass over the
-    * shingles, two hashes per shingle, accumulated into a numHashes-wide
-    * array with zip_with — not numHashes separate aggregate scans.
+    * (h1 + i·h2) with h1,h2 = seeded xxhash64 reduced mod 1e9+7. Native
+    * kernel (graft.plans.MinHashSig): one compiled loop per row instead of
+    * per-element interpreted HOF dispatch.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val P = 1000000007L
-    val idx = sequence(lit(0L), lit(numHashes - 1L))
-    val hashed = transform(shingleArr, s => struct(
-      pmod(xxhash64(lit(1), s), lit(P)).as("h1"),
-      pmod(xxhash64(lit(2), s), lit(P)).as("h2")))
-    aggregate(hashed, array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, p) => zip_with(acc, idx,
-        (m, i) => least(m, p.getField("h1") + i * p.getField("h2"))))
-  }
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    graft.plans.GraftColumns.minhashSig(shingleArr, numHashes)
 
   /** MinHash + LSH banding near-dup pairs, verified against exact Jaccard.
     *
     * bands × rowsPerBand = numHashes. Two docs land in the same bucket when
     * one band of their signatures agrees — P(candidate) = 1-(1-J^r)^b, the
-    * standard S-curve. Candidates are then EXACT-verified (shingle-set
-    * Jaccard) so emitted pairs have no false positives; recall is the only
-    * approximation, and the spec test pins it = 1.0 on the planted corpus.
+    * standard S-curve; the b=32/r=2 default puts the curve's knee at
+    * (1/32)^(1/2) ≈ 0.18, so recall at J ≥ 0.5 is ≈ 1. Candidates are then
+    * EXACT-verified (shingle-set Jaccard) so emitted pairs have no false
+    * positives; recall is the only approximation, and the spec test pins
+    * it = 1.0 on the planted corpus. Sub-threshold candidates cost only
+    * verification, bounded by `maxBucket`.
     *
     * Scale: the only shuffles are (band, bucketHash) groupBy and the final
     * verify join; `maxBucket` drops degenerate buckets to bound fan-out.
     */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 64,
+      bands: Int = 32, rowsPerBand: Int = 2, maxBucket: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sh = shingleSets(docs, n, idCol, textCol)
@@ -160,25 +156,14 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(blocks > maxHamming, "need blocks > maxHamming for exact block-trick recall")
     val bitsPerBlock = 64 / blocks
-    // Signature: sign of per-bit weighted sum over distinct shingle hashes.
-    // ONE pass over the shingles, accumulating a 64-wide counter array via
-    // zip_with — not 64 separate aggregates, which would re-scan the array
-    // per bit and blow up codegen (measured 35× slower). The shingle hash
-    // itself (uniform xxhash64 output) is the per-shingle bit source.
-    val bitIdx = sequence(lit(0), lit(63))
-    val counters = aggregate(
-      col("ss"),
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, bitIdx, (a, b) =>
-          a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
-                   lit(1L)).otherwise(lit(-1L))))
-    val sig = aggregate(
-      zip_with(counters, bitIdx, (cnt, b) =>
-        when(cnt >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    // Signature: sign of per-bit weighted sum over distinct shingle hashes,
+    // computed by the native SimHashSig kernel (one compiled loop per row;
+    // the shingle hash itself — uniform xxhash64 output — is the bit
+    // source). The HOF predecessor cost one interpreted dispatch per
+    // (shingle × bit).
     val s = shingleSets(docs, 3, idCol, textCol)
-      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        graft.plans.GraftColumns.simhashSig(col("ss")).as("sig"))
 
     val blocked = s.select(col("doc_id"), col("sig"),
       explode(array((0 until blocks).map { blk =>
@@ -206,16 +191,19 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: Option[String] = Some("label")): DataFrame = {
+    graft.plans.GraftFunctions.ensure(emb.sparkSession)
     // norms are computed ONCE per vector here (O(n)), not per pair (O(n²));
-    // the pair-side arithmetic is bit-identical to cosineSimilarity.
+    // the pair-side arithmetic is bit-identical to cosineSimilarity, via
+    // the codegen'd vec_dot kernel.
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
-      norm2(col(vecCol)).as("nrm1"),
+      norm2Fast(col(vecCol)).as("nrm1"),
       blockCol.map(col).getOrElse(lit(0)).as("blk1"))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
-      norm2(col(vecCol)).as("nrm2"),
+      norm2Fast(col(vecCol)).as("nrm2"),
       blockCol.map(col).getOrElse(lit(0)).as("blk2"))
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
-      .withColumn("cos", dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+      .withColumn("cos",
+        dotFast(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }

@@ -23,15 +23,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
     // norms hoisted out of the pair loop: once per query + once per corpus
     // row, with pair-side arithmetic bit-identical to cosineSimilarity
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm2(col(vecCol)).as("qn"))
+      norm2Fast(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm2(col(vecCol)).as("cn"))
+      norm2Fast(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -57,12 +58,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
       maxHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
     val bucketed = lshBuckets(corpus, nBits, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-              norm2(col(vecCol)).as("cn"), col("bucket"))
+              norm2Fast(col(vecCol)).as("cn"), col("bucket"))
     val q = lshBuckets(queries, nBits, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-              norm2(col(vecCol)).as("qn"), col("bucket").as("qbucket"))
+              norm2Fast(col(vecCol)).as("qn"), col("bucket").as("qbucket"))
     // multi-probe: query bucket + all buckets at hamming distance ≤ maxHamming
     val probes = (0 until nBits).foldLeft(Seq(col("qbucket"))) { (acc, b) =>
       if (maxHamming >= 1) acc :+ col("qbucket").bitwiseXOR(lit(1L << b)) else acc
@@ -70,7 +72,7 @@ object Similarity {
     val probed = q.withColumn("probe", explode(array(probes.distinct: _*)))
     val scored = probed.join(bucketed, col("probe") === col("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

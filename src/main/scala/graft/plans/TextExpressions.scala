@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the text-dedup hot path. The HOF formulations
+  * (`transform`/`aggregate`/`zip_with`) evaluate one interpreted lambda
+  * dispatch PER ARRAY ELEMENT (and per signature slot); these expressions
+  * drop to a single compiled JVM loop per row. They are `CodegenFallback`
+  * deliberately: the cost model is one virtual call per ROW into tight
+  * Scala, which is within noise of full codegen for array-heavy kernels —
+  * unlike the per-element interpreted dispatch they replace.
+  *
+  * Hashing uses xxhash64 (same family Spark's `xxhash64` builtin uses)
+  * via spark-unsafe's XXH64. Only hash EQUALITY matters downstream
+  * (join keys / min-slots / bit sources), so no bit-compat with the old
+  * HOF-built signatures is required — operators' outputs are either
+  * exact-verified (MinHash LSH) or threshold-checked on the planted spec
+  * corpus (SimHash).
+  */
+object TextKernels {
+
+  val P: Long = 1000000007L
+
+  /** xxhash64 of a UTF8String with a given seed. */
+  @inline def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  @inline def hashLong(v: Long, seed: Long): Long = XXH64.hashLong(v, seed)
+}
+
+/** Column-API wrappers for the kernel expressions. The kernels resolve
+  * through the session function registry (GraftFunctions.ensure /
+  * GraftSparkExtensions), so width parameters travel as int literals.
+  */
+object GraftColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  def shingleHashSet(toks: Column, n: Int): Column =
+    call_function("shingle_hash_set", toks, lit(n))
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", hashes, lit(numHashes))
+  def simhashSig(hashes: Column): Column =
+    call_function("simhash_sig", hashes)
+}
+
+/** array<string> tokens → array<long> distinct hashes of the n-token
+  * shingle windows (first-occurrence order). Docs shorter than n hash the
+  * whole token sequence as one shingle.
+  */
+case class ShingleHashSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_set expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    // chain-hash the window tokens: h = xxh64(tok_j, h) starting from the
+    // window width, so ("a","bc") never collides with ("ab","c") except by
+    // genuine 64-bit accident
+    def windowHash(start: Int, width: Int): Long = {
+      var h = width.toLong
+      var j = 0
+      while (j < width) {
+        h = TextKernels.hashStr(toks.getUTF8String(start + j), h)
+        j += 1
+      }
+      h
+    }
+    if (len < n) new GenericArrayData(Array(windowHash(0, len)))
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new Array[Long](len - n + 1)
+      var k = 0
+      var i = 0
+      while (i <= len - n) {
+        val h = windowHash(i, n)
+        if (seen.add(h)) { out(k) = h; k += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, k))
+    }
+  }
+
+  override def prettyName: String = "shingle_hash_set"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> shingle hashes → array<long> MinHash signature of width
+  * `numHashes`, via Kirsch-Mitzenmacher double hashing:
+  * slot_i = min over shingles of (h1 + i·h2), h1/h2 = seeded xxhash64
+  * reduced into [0, P).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<long>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val slots = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val m = hs.numElements()
+    while (i < m) {
+      val s = hs.getLong(i)
+      val h1 = java.lang.Math.floorMod(TextKernels.hashLong(s, 1L), TextKernels.P)
+      val h2 = java.lang.Math.floorMod(TextKernels.hashLong(s, 2L), TextKernels.P)
+      var k = 0
+      var v = h1
+      while (k < numHashes) {
+        if (v < slots(k)) slots(k) = v
+        v += h2
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(slots)
+  }
+
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> shingle hashes → 64-bit SimHash signature: per-bit ±1 vote
+  * from each hash's bit, sign-packed (same ±1 vote and >= 0 sign rule as
+  * the HOF formulation it replaces).
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects array<long>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counters = new Array[Long](64)
+    var i = 0
+    val m = hs.numElements()
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def prettyName: String = "simhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen kernel for the embedding hot loop. The higher-order
+  * function formulation (`aggregate(zip_with(...))`) never enters
+  * whole-stage codegen — every element bounces through interpreted lambda
+  * dispatch and an intermediate array allocation per pair. This expression
+  * compiles to a tight primitive `for` loop over the two float arrays
+  * inside the generated code, with arithmetic bit-identical to the HOF
+  * path (per-element float→double promotion, left-to-right double
+  * accumulation) so oracle-rounded results are unchanged.
+  *
+  * Null semantics: null if either array is null or lengths differ
+  * (mirrors zip_with's null-padding poisoning the sum).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects two float arrays or two double arrays, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private lazy val isFloat = elemType(left).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      } else while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.$get($i) * (double) $b.$get($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: `GraftFunctions.ensure(spark)` for imperative use, or
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions` for config-time
+  * injection (the SparkSessionExtensions path).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int width, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+    (new FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      (args: Seq[Expression]) =>
+        ShingleHashSet(args(0), intLit(args(1), "shingle_hash_set"))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intLit(args(1), "minhash_sig"))),
+    (new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => SimHashSig(args(0))))
+
+  /** Idempotently register into a session's function registry. */
+  def ensure(spark: SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      }
+    }
+}
+
+/** `SparkSessionExtensions` entry point (spark.sql.extensions). */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

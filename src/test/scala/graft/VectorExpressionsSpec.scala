@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The codegen vec_dot kernel must be bit-identical to the HOF dot path —
+  * oracle comparisons round to 4 decimals, so even tiny arithmetic drift
+  * (different accumulation order) would eventually flip a boundary value.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot ≡ HOF dot, bit-exact, incl. codegen path (seeded, 200 vecs)") {
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextGaussian().toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b").select(
+      dot($"a", $"b").as("hof"),
+      dotFast($"a", $"b").as("gen"))
+    assert(df.filter($"hof" =!= $"gen").count() === 0)
+    // interpreted path too (eval via filter on literal-free collect)
+    val vals = df.collect()
+    assert(vals.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("vec_dot null semantics: length mismatch and null input → null") {
+    GraftFunctions.ensure(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("a", "b").select(dotFast($"a", $"b").as("d"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("vec_dot usable from SQL after registration") {
+    GraftFunctions.ensure(spark)
+    val got = spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(got === 11.0)
+  }
+}
