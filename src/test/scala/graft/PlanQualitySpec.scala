@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audits at sf0.001: the properties that decide whether
+  * these operators survive a 100 TB scale-up — filter pushdown into the
+  * parquet scan, column pruning, broadcast (not shuffled/cartesian) joins,
+  * and whole-stage codegen coverage. Failing one of these is a performance
+  * regression even while results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+  private def run(name: String): DataFrame = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // force AQE final plan
+    df
+  }
+
+  test("q2_filter_project: predicate + projection reach the parquet scan") {
+    val plan = run("q2_filter_project").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), plan)
+    // pruned read schema — lineitem has 11 columns, the scan must not read all
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.split(",").length < 11, read)
+  }
+
+  test("gold_alerts: dedup side broadcasts; no shuffled cartesian") {
+    val plan = planString(run("gold_alerts"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q5_local_supplier_volume: small dims broadcast, no cartesian") {
+    val plan = planString(run("q5_local_supplier_volume"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("geo_grid_join: equi join on grid cell, not a cross product") {
+    val plan = planString(run("geo_grid_join"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q1_pricing_summary: partial (map-side) aggregation before the exchange") {
+    val plan = planString(run("q1_pricing_summary"))
+    // two HashAggregate levels around one exchange = partial + final
+    assert(plan.contains("partial_sum"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // whole-stage codegen spans render as "*(n)" in the executed plan
+    assert(plan.contains("*("), plan)
+  }
+
+  test("q4_order_topk: global top-k plans as TakeOrderedAndProject, no full sort") {
+    val plan = planString(run("q4_order_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
