@@ -84,6 +84,62 @@ object Similarity {
               col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells` Voronoi
+    * cells around deterministically-sampled seed vectors, then probe only
+    * the `nProbe` nearest cells per query. The trained-index analogue of
+    * `lshTopK` with the same bucket-join shape:
+    *
+    *  - seeds = the nCells corpus rows with smallest xxhash64(id) — a
+    *    deterministic uniform sample, no model state, reproducible on any
+    *    cluster;
+    *  - assignment = one broadcast pass over the corpus (corpus never
+    *    shuffles until the final per-cell join);
+    *  - at scale the assigned corpus is written partitioned by `cell`, so
+    *    a probe reads nProbe/nCells of the data.
+    *
+    * Recall is governed by nProbe (cluster-boundary misses only).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val seeds = corpus
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("cell_id")))
+      .limit(nCells)
+    // nearest seed per corpus row = argmin over the broadcast seed set
+    def assign(df: DataFrame, id: String, vec: String, out: String): DataFrame =
+      df.crossJoin(broadcast(seeds))
+        .withColumn("d2", dotFast(col(vec), col(vec))
+          - lit(2.0) * dotFast(col(vec), col("cv"))
+          + dotFast(col("cv"), col("cv")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(id)).orderBy(col("d2").asc, col("cell_id"))))
+        .filter(col("rnk") <= (if (out == "cell") 1 else nProbe))
+        .select(df.columns.map(col) :+ col("cell_id").as(out): _*)
+    val assigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        norm2Fast(col(vecCol)).as("cn")),
+      "neighbor_id", "nv", "cell")
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm2Fast(col(vecCol)).as("qn")),
+      "query_id", "qv", "probe_cell")
+    val scored = probes.join(assigned, col("probe_cell") === col("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dotFast(col("qv"), col("nv")) / (col("qn") * col("cn")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank"))
+  }
+
   /** Per-group vector centroid via posexplode + partial-aggregating groupBy
     * (dimension-parallel, no buffer object churn). Output: one row per
     * (group, dim) — the layout that feeds IVF cell assignment.

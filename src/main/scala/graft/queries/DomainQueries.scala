@@ -141,5 +141,38 @@ object DomainQueries {
                     ' ')) AS n_ws_tokens
            FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[NamedQuery] = Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens)
+  /** The SQL front door (the reference delegated 100% of SQL to Spark;
+    * so do we — this query runs through `spark.sql` over registered views
+    * to pin that surface end-to-end, parser to result).
+    */
+  private val sqlSurface = NamedQuery(
+    "sql_revenue_by_nation",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql("""
+        SELECT n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation""")
+    },
+    Some("""SELECT n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(DISTINCT o.o_orderkey) AS n_orders
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, nation"""))
+
+  val all: Seq[NamedQuery] =
+    Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface)
 }

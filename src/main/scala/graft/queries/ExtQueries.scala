@@ -112,6 +112,17 @@ object ExtQueries {
     },
     None)
 
+  private val simIvf = NamedQuery(
+    "sim_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   private val centroid = NamedQuery(
     "vector_centroid",
     (s, d) =>
@@ -235,6 +246,6 @@ object ExtQueries {
 
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
-    simTopK, simAnn, centroid, textStats, textQuality, textLang,
+    simTopK, simAnn, simIvf, centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames)
 }

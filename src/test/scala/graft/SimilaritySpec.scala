@@ -42,6 +42,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF ANN: recall vs brute force on clustered corpus (seeded)") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCells = 8, nProbe = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("centroid by group: dimension-wise mean") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
