@@ -173,6 +173,22 @@ object DomainQueries {
             GROUP BY n.n_name
             ORDER BY revenue DESC, nation"""))
 
+  /** Sketch-based approximate aggregates (HLL++ distinct count, GK
+    * quantiles) — the constant-memory path for 100 TB cardinality/quantile
+    * questions. Approximate by construction → rows-only driver check;
+    * `ApproxAggSpec` pins the error envelope against exact values.
+    */
+  private val approxStats = NamedQuery(
+    "approx_stats",
+    (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy(col("event_type")),
+    None)
+
   val all: Seq[NamedQuery] =
-    Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface)
+    Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
+      approxStats)
 }

@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     assert(wins(0).getAs[Long]("n") === 2 && wins(1).getAs[Long]("n") === 1)
   }
 
+  test("stream-stream interval join with watermarks on both sides") {
+    implicit val sq = spark.sqlContext
+    val fires = MemoryStream[String]
+    val weather = MemoryStream[(String, Double, Double)] // (region, wind, ts)
+    fires.addData(fireJson(28.29, 1.7e9 + 100), fireJson(28.60, 1.7e9 + 5000))
+    weather.addData(("canarias", 42.0, 1.7e9 + 80), ("canarias", 10.0, 1.7e9 + 4000))
+
+    val f = SilverJob.withEventTime(
+      SilverJob.fireSilver(fires.toDF().select($"value")))
+      .select($"lat", $"region", $"event_ts".as("fire_ts"))
+    val w = weather.toDF().toDF("wregion", "wind", "wts")
+      .withColumn("weather_ts", timestamp_seconds($"wts"))
+      .withWatermark("weather_ts", "10 minutes")
+    // each fire joins weather readings from the preceding 5 minutes
+    val joined = f.join(w,
+      $"region" === $"wregion" &&
+        $"weather_ts".between($"fire_ts" - expr("INTERVAL 5 MINUTES"), $"fire_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssj_sink").select($"lat", $"wind")
+      .as[(Double, Double)].collect().toSet
+    // fire@+100 pairs with weather@+80 (within 5 min); fire@+5000 with w@+4000
+    assert(rows === Set((28.29, 42.0)))
+  }
+
   test("ST7: gap sessionization via flatMapGroupsWithState") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
