@@ -125,8 +125,12 @@ object GraftFunctions {
     }
 }
 
-/** `SparkSessionExtensions` entry point (spark.sql.extensions). */
+/** `SparkSessionExtensions` entry point (spark.sql.extensions): kernel
+  * functions + the distance-join grid rewrite rule.
+  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DistanceJoinRewrite)
+  }
 }
