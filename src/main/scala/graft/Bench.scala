@@ -10,10 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT/codegen/parquet-footer costs land here, not on whichever
-    // query happens to run first
+    // Warm-up: run the whole inventory once at the smallest scale factor so
+    // JIT/codegen/parquet-footer/regex-compile costs land here, not on
+    // whichever query happens to be timed first — the timed pass below then
+    // measures steady-state throughput (the 100 TB-relevant number). Falls
+    // back to the target dir if no sf0.001 sibling exists.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    val warmDir = {
+      val w = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (w != sfDir && new java.io.File(w).isDirectory) w else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
