@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
+import graft.queries.{CoreQueries, DomainQueries, ExtQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
   */
 object SparkEntry {
   private def inventory: Seq[NamedQuery] =
-    CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full Gold pipeline shape of the reference (window dedup → broadcast

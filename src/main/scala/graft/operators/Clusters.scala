@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn a near-dup PAIR list (the output of
+  * any `Dedup.*Pairs` operator) into connected components, so a training
+  * pipeline can keep exactly one representative per duplicate cluster
+  * instead of dropping both ends of every pair independently (which
+  * over-deletes on transitive chains a~b~c).
+  *
+  * Scale design (100 TB): min-label propagation — every iteration is one
+  * shuffle join (labels × edges) + one groupBy, i.e. the same cost shape as
+  * a large equi join; no driver-side graph ever materializes. Convergence
+  * is O(cluster diameter) iterations, and near-dup clusters are shallow
+  * (dense blobs around a template, diameter ≲ 4), so 3-5 rounds settle
+  * real corpora. Each round is `localCheckpoint`ed: iterative plans
+  * otherwise grow lineage exponentially and re-execute the whole history
+  * every round. For adversarially deep graphs (long chains), swap the loop
+  * body for the large-star/small-star rewrite [Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"] — same per-round cost, O(log²n)
+  * rounds; not needed for the dedup workload this serves.
+  */
+object Clusters {
+
+  /** (node, cluster_id) for every node appearing in `pairs`, where
+    * cluster_id = min node id reachable over the undirected pair graph.
+    * Deterministic; `maxIter` bounds the worst case and the fixpoint check
+    * stops early (almost always) before it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 15): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+                           col(bCol).cast("long").as("dst"))
+    // symmetrize once; distinct keeps the per-round join input minimal
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = false)
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+
+    // decimal(38,0) so the checksum can't overflow (ANSI throws on long
+    // overflow, and billions of 64-bit ids would)
+    def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var iter = 0
+    var converged = false
+    var prevSum = labelSum(labels)
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(eager = false)
+      // labels only ever decrease, so the fixpoint test is one cheap scalar
+      // aggregate per round (sum unchanged ⇔ no label moved) — no join
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Representatives to KEEP after dedup: one doc per cluster (the min id)
+    * plus every doc not in any pair. `docs` must carry `idCol`.
+    */
+  def keepList(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "doc1", bCol: String = "doc2"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val drop = cc.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

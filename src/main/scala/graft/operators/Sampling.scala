@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. `df.sample()` is
+  * seed-dependent per partition-split and irreproducible across engines and
+  * re-runs with different partitioning; these operators derive the sampling
+  * decision from a content hash (md5 of the key), so the same row set is
+  * selected on any cluster layout, any engine, any day — which is what a
+  * data pipeline needs for auditable held-out splits.
+  *
+  * Scale: hashBernoulli is a pure narrow filter (no shuffle, pushes down
+  * nothing but costs one md5 per row); stratifiedQuota shuffles once on the
+  * stratum key — partial top-n per stratum would need a custom aggregate,
+  * but quotas are small so the window + filter plan (rank prunes early
+  * under WholeStageCodegen) holds fine.
+  */
+object Sampling {
+
+  /** md5-prefix as a uniform value in [0, 16^6): the first 6 hex chars of
+    * md5(key) compared lexicographically against the fraction cut. String
+    * comparison of fixed-width lowercase hex == numeric comparison, and
+    * md5 is bit-identical everywhere.
+    */
+  private def hexCut(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    f"${math.floor(fraction * (1L << 24)).toLong min ((1L << 24) - 1)}%06x"
+  }
+
+  /** Keep ~`fraction` of rows, chosen by md5(key) prefix — deterministic,
+    * partition-layout-independent Bernoulli sampling.
+    */
+  def hashBernoulli(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, 6) < lit(hexCut(fraction)))
+
+  /** Exactly min(n, |stratum|) rows per stratum, chosen and ordered by
+    * md5(key) — a deterministic stratified quota sample (equal-allocation).
+    * Key ties broken by the key itself so the pick is total-ordered.
+    */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

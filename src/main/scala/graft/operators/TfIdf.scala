@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term scoring over a document corpus — the classic quality /
+  * keyword signal for training-data curation.
+  *
+  * Scale: term frequencies shuffle once on (doc_id, term) with map-side
+  * partial aggregation; document frequencies aggregate the same exchange
+  * down to the vocabulary, which is tiny relative to the corpus, so the
+  * df and corpus-size sides are broadcast back — no second full shuffle.
+  * The top-k window repartitions on doc_id only.
+  */
+object TfIdf {
+
+  /** Top-`k` terms per document by tf · ln(N/df), ties broken by term.
+    * Ranking uses the score rounded to 6 decimals so the order is stable
+    * against last-ulp libm differences (the oracle engine computes the
+    * same doubles modulo 1 ulp of `ln`).
+    */
+  def topTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 6).desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("score"), 4).as("tfidf"), col("rank"))
+  }
+}

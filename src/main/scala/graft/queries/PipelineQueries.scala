@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.operators.{Clusters, Dedup, Sampling, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-curation operators layered on the dedup/text family: duplicate
+  * CLUSTER resolution (connected components over near-dup pairs),
+  * deterministic hash-based sampling (Bernoulli + stratified quotas), and
+  * TF-IDF term scoring. All four are deterministic and carry full DuckDB
+  * oracles (the clusters oracle resolves components with a recursive CTE).
+  */
+object PipelineQueries {
+
+  private val normSql = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  /** N-gram Jaccard pairs at 0.8 → connected components → (node, cluster_id).
+    * The transitive closure is what makes pair-dedup usable: keep one doc
+    * per cluster, not "drop both ends of each pair".
+    */
+  private val dedupClusters = NamedQuery(
+    "dedup_clusters",
+    (s, d) =>
+      Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          "doc1", "doc2")
+        .orderBy(col("node")),
+    Some(s"""WITH RECURSIVE
+             tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                          a.ns AS n1, b.ns AS n2, count(*) AS common
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+             pairs AS (SELECT doc1, doc2 FROM p
+                       WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
+             edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+                       UNION SELECT doc2, doc1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS n FROM edges),
+             reach(n, r) AS (
+               SELECT n, n FROM nodes
+               UNION
+               SELECT rc.n, e.b FROM reach rc JOIN edges e ON rc.r = e.a)
+             SELECT n AS node, min(r) AS cluster_id FROM reach
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** Deterministic ~10% Bernoulli sample by md5(doc_id) prefix — same rows
+    * on any engine / partition layout (auditable split).
+    */
+  private val sampleBernoulli = NamedQuery(
+    "sample_bernoulli_hash",
+    (s, d) =>
+      Sampling.hashBernoulli(Tables.documents(s, d), col("doc_id"), 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '199999'
+            ORDER BY doc_id"""))
+
+  /** Deterministic 25-per-language stratified quota, picked by md5 order. */
+  private val sampleStratified = NamedQuery(
+    "sample_stratified",
+    (s, d) =>
+      Sampling.stratifiedQuota(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), n = 25)
+        .orderBy(col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                       FROM documents)
+            SELECT doc_id, lang FROM r WHERE rn <= 25 ORDER BY doc_id"""))
+
+  /** Top-3 TF-IDF terms per document. */
+  private val tfidfTopK = NamedQuery(
+    "text_tfidf_topk",
+    (s, d) =>
+      TfIdf.topTerms(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+                          FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             sc AS (SELECT doc_id, term, tf, tf * ln(n_docs * 1.0 / df) AS score
+                    FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY round(score, 6) DESC, term) AS rank FROM sc)
+             SELECT doc_id, term, tf, round(score, 4) AS tfidf, rank
+             FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  val all: Seq[NamedQuery] =
+    Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK)
+}

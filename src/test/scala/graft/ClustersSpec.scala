@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Clusters
+import org.apache.spark.sql.functions._
+
+/** Connected-components cluster resolution over near-dup pairs. */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, triangle, and singletons-by-absence") {
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc1", "doc2")
+    val got = Clusters.connectedComponents(pairs, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges past one propagation round") {
+    // path graph 0-1-2-...-40: diameter 40, min label must ripple end to end
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = Clusters.connectedComponents(pairs, "doc1", "doc2", maxIter = 50)
+      .as[(Long, Long)].collect()
+    assert(got.length === 41 && got.forall(_._2 === 0L))
+  }
+
+  test("keepList drops all but one representative per cluster") {
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val kept = Clusters.keepList(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L, 7L, 8L))
+  }
+}
