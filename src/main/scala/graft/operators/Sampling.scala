@@ -24,16 +24,20 @@ object Sampling {
     * comparison of fixed-width lowercase hex == numeric comparison, and
     * md5 is bit-identical everywhere.
     */
-  private def hexCut(fraction: Double): String = {
+  private[operators] def hexCut(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
     f"${math.floor(fraction * (1L << 24)).toLong min ((1L << 24) - 1)}%06x"
   }
+
+  /** First 6 hex chars of md5(key) — the shared uniform-value primitive. */
+  private[operators] def md5Prefix6(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 6)
 
   /** Keep ~`fraction` of rows, chosen by md5(key) prefix — deterministic,
     * partition-layout-independent Bernoulli sampling.
     */
   def hashBernoulli(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(substring(md5(key.cast("string")), 1, 6) < lit(hexCut(fraction)))
+    df.filter(md5Prefix6(key) < lit(hexCut(fraction)))
 
   /** Exactly min(n, |stratum|) rows per stratum, chosen and ordered by
     * md5(key) — a deterministic stratified quota sample (equal-allocation).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Clusters, Dedup, Sampling, TfIdf}
+import graft.operators.{Clusters, Dedup, Packing, Sampling, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -95,6 +95,69 @@ object PipelineQueries {
              SELECT doc_id, term, tf, round(score, 4) AS tfidf, rank
              FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Streaming-order sequence packing into 2048-token bins; the global
+    * running total comes from the two-phase distributed scan, not a
+    * single-task window.
+    */
+  private val packSeq = NamedQuery(
+    "pack_sequences",
+    (s, d) =>
+      Packing.packSequences(Tables.documents(s, d), capacity = 2048)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+                          sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM t)
+             SELECT doc_id, n_tokens,
+                    CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+             FROM c ORDER BY doc_id"""))
+
+  /** Cluster-aware 20% holdout: near-dup clusters (ngram Jaccard 0.8)
+    * never straddle the train/holdout boundary.
+    */
+  private val splitSafe = NamedQuery(
+    "split_leakage_safe",
+    (s, d) =>
+      Splits.leakageSafeSplit(
+          Tables.documents(s, d),
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          holdoutFraction = 0.2)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE
+             tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                          a.ns AS n1, b.ns AS n2, count(*) AS common
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+             pairs AS (SELECT doc1, doc2 FROM p
+                       WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
+             edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+                       UNION SELECT doc2, doc1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS n FROM edges),
+             reach(n, r) AS (
+               SELECT n, n FROM nodes
+               UNION
+               SELECT rc.n, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+             cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+             SELECT d.doc_id,
+                    coalesce(cc.cluster_id, d.doc_id) AS group_key,
+                    CASE WHEN substr(md5(CAST(coalesce(cc.cluster_id, d.doc_id)
+                                              AS VARCHAR)), 1, 6) < '333333'
+                         THEN 'holdout' ELSE 'train' END AS split
+             FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+             ORDER BY d.doc_id"""))
+
   val all: Seq[NamedQuery] =
-    Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK)
+    Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
+        packSeq, splitSafe)
 }
