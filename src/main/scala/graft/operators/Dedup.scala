@@ -83,6 +83,53 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** `ngramJaccardPairs` with a document-frequency cap on the inverted
+    * index: a "stop-shingle" shared by k documents contributes k² rows to
+    * the self-join, and at corpus scale boilerplate shingles (license
+    * headers, templates) have k in the millions — quadratic death from one
+    * key. Here candidate pairs are generated ONLY from shingles whose df ≤
+    * `maxShingleDf`, then exact-verified against the FULL shingle sets
+    * (array_intersect), so reported Jaccard values are exact and false
+    * positives are impossible. The only approximation is recall: a pair
+    * sharing nothing but ubiquitous shingles is missed — for near-dup
+    * thresholds those pairs are template echoes, which is usually the
+    * behavior a curation pipeline wants anyway.
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleDf: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleSets(docs, n, idCol, textCol)
+    val ex = sh.select(col("doc_id"), size(col("ss")).as("ns"),
+      explode(col("ss")).as("s"))
+    // rare-shingle inverted index: the df filter bounds per-key fan-out.
+    // Barrier'd because both sides of the candidate self-join reference it —
+    // without it the df-aggregation join runs twice.
+    val rare = ex.join(
+      ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s"),
+      "s").localCheckpoint(eager = false)
+    // size-ratio prune (result-preserving: J >= t ⇒ min/max sizes >= t)
+    // inside the join — without it every moderately-shared shingle floods
+    // the verify stage with hopeless pairs
+    val candidates = rare.as("a")
+      .join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.ns"), col("b.ns")).cast("double") >=
+            lit(threshold) * greatest(col("a.ns"), col("b.ns")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    candidates
+      .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
+      .withColumn("common",
+        graft.plans.GraftColumns.sortedIntersectSize(col("ss1"), col("ss2")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("ss1")) + size(col("ss2")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash signature column: `numHashes` permutations via
     * Kirsch-Mitzenmacher double hashing — slot_i = min over shingles of
     * (h1 + i·h2) with h1,h2 = seeded xxhash64 reduced mod 1e9+7. Native
@@ -135,11 +182,13 @@ object Dedup {
       .dropDuplicates("doc1", "doc2")
 
     // exact verification of candidates only: join the shingle sets back in
-    // (two shuffles proportional to the CANDIDATE count, not the corpus)
+    // (two shuffles proportional to the CANDIDATE count, not the corpus);
+    // intersection via the sorted-merge kernel, not per-row hash sets
     candidates
       .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
-      .withColumn("common", size(array_intersect(col("ss1"), col("ss2"))))
+      .withColumn("common",
+        graft.plans.GraftColumns.sortedIntersectSize(col("ss1"), col("ss2")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("ss1")) + size(col("ss2")) - col("common")))

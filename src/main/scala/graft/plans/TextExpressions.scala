@@ -48,11 +48,14 @@ object GraftColumns {
     call_function("minhash_sig", hashes, lit(numHashes))
   def simhashSig(hashes: Column): Column =
     call_function("simhash_sig", hashes)
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
 }
 
 /** array<string> tokens → array<long> distinct hashes of the n-token
-  * shingle windows (first-occurrence order). Docs shorter than n hash the
-  * whole token sequence as one shingle.
+  * shingle windows, SORTED ascending — downstream set algebra
+  * (sorted_intersect_size) is then a linear merge instead of per-row hash
+  * sets. Docs shorter than n hash the whole token sequence as one shingle.
   */
 case class ShingleHashSet(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -93,7 +96,9 @@ case class ShingleHashSet(child: Expression, n: Int)
         if (seen.add(h)) { out(k) = h; k += 1 }
         i += 1
       }
-      new GenericArrayData(java.util.Arrays.copyOf(out, k))
+      val trimmed = java.util.Arrays.copyOf(out, k)
+      java.util.Arrays.sort(trimmed)
+      new GenericArrayData(trimmed)
     }
   }
 
@@ -144,6 +149,50 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** |A ∩ B| for two SORTED array<long> (as produced by shingle_hash_set):
+  * one linear merge pass, no per-row allocation — replaces
+  * `size(array_intersect(a, b))`, which builds a boxed hash set per row
+  * and dominated the dedup verify stage.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects two array<long>, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { common += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** array<long> shingle hashes → 64-bit SimHash signature: per-bit ±1 vote

@@ -113,7 +113,10 @@ object GraftFunctions {
         MinHashSig(args(0), intLit(args(1), "minhash_sig"))),
     (new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (args: Seq[Expression]) => SimHashSig(args(0))))
+      (args: Seq[Expression]) => SimHashSig(args(0))),
+    (new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

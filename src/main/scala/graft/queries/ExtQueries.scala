@@ -55,6 +55,39 @@ object ExtQueries {
              FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
              ORDER BY doc1, doc2"""))
 
+  /** The scale-robust variant: candidates only from shingles with df ≤ 20
+    * (stop-shingle skew cap), Jaccard exact-verified on full sets.
+    */
+  private val dedupNgramCapped = NamedQuery(
+    "dedup_ngram_capped",
+    (s, d) =>
+      Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+          threshold = 0.8, maxShingleDf = 20)
+        .orderBy(col("doc1"), col("doc2")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id)
+             SELECT doc1, doc2,
+                    round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+             FROM v WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
+             ORDER BY doc1, doc2"""))
+
   // LSH variants: not SQL-expressible (seeded xxhash64 banding) → rows-only
   // driver check; ScalaTest pins them against the exact-Jaccard oracle op.
   private val dedupMinhash = NamedQuery(
@@ -245,7 +278,7 @@ object ExtQueries {
     None)
 
   val all: Seq[NamedQuery] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash, dedupEmbedding,
     simTopK, simAnn, simIvf, centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames)
 }

@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("df-capped ngram candidates match the exact op when dups share rare shingles") {
+    // append one ubiquitous boilerplate sentence to EVERY doc: its shingles
+    // have df = n_docs and would dominate the uncapped self-join fan-out
+    val boiler = docs.withColumn("text",
+      concat(col("text"), lit(" this document is provided under the standard license agreement")))
+    val exact = Dedup.ngramJaccardPairs(boiler, 3, 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairsCapped(boiler, 3, 0.5, maxShingleDf = 3)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(capped === exact)
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    // jaccard values are exact (full-set verification), not candidate-only
+    val j = Dedup.ngramJaccardPairsCapped(boiler, 3, 0.5, maxShingleDf = 3)
+      .filter(col("doc1") === 1L && col("doc2") === 7L)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
   test("minhash LSH recall = 1.0 vs exact Jaccard on the planted corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet

@@ -66,4 +66,30 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planString(run("q4_order_topk"))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("text_tfidf_topk: df + corpus count broadcast back, no cartesian blowup") {
+    val plan = planString(run("text_tfidf_topk"))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sample_bernoulli_hash: pure narrow filter — zero shuffles") {
+    // the orderBy in the query entry is presentation; the sample itself
+    // must not exchange. Audit the operator directly.
+    val df = graft.operators.Sampling.hashBernoulli(
+      graft.Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.col("doc_id"), 0.1)
+    df.collect()
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pack_sequences: the corpus-wide window is partitioned (two-phase scan)") {
+    val df = graft.operators.Packing.packSequences(
+      graft.Tables.documents(spark, sf), capacity = 2048)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__pid"), opt)
+  }
 }
