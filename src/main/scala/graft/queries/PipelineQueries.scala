@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Clusters, Dedup, Packing, Sampling, Splits, TfIdf}
+import graft.operators.{Clusters, Dedup, Packing, Quantize, Sampling, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -157,7 +157,27 @@ object PipelineQueries {
              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
              ORDER BY d.doc_id"""))
 
+  /** int8-range scalar quantization of the embedding column, one row per
+    * (vector, dimension) — floor-based so both engines agree bit-exactly.
+    */
+  private val quantize = NamedQuery(
+    "vector_quantize_int8",
+    (s, d) =>
+      Quantize.scalarQuantize(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+        .orderBy(col("vec_id"), col("dim")),
+    Some("""WITH mm AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                        FROM embeddings),
+            b AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM mm)
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(CASE WHEN hi = lo THEN 0
+                             ELSE least(255, floor((e[i] - lo) * 256 / (hi - lo)))
+                        END AS INT) AS code
+            FROM b, range(1, 65) t(i) ORDER BY vec_id, dim"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
-        packSeq, splitSafe)
+        packSeq, splitSafe, quantize)
 }
