@@ -79,6 +79,40 @@ object TextFunctions {
   /** Exact document fingerprint: md5 of the normalized text. */
   def md5Fingerprint(c: Column): Column = md5(normText(c))
 
+  /** PII scrubbing patterns — deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the same pattern strings run identically in Spark's
+    * Java regex and RE2-based engines. Applied to NORMALIZED (lowercased)
+    * text, in email → url → number order: emails first so their digit
+    * runs aren't half-eaten by the number rule, urls before numbers for
+    * the same reason.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val longNumberPattern = "[0-9]{6,}"
+
+  /** Redact emails, URLs, and long digit runs (IDs, phone-ish numbers)
+    * from normalized text — the standard pre-training privacy scrub.
+    * Narrow per-row transform; no shuffle.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(normText(c), emailPattern, "<email>"),
+        urlPattern, "<url>"),
+      longNumberPattern, "<num>")
+
+  /** How many of each PII class a document carries (audit signal). */
+  def piiCounts(c: Column): (Column, Column, Column) = {
+    val n = normText(c)
+    (size(regexp_extract_all(n, lit(emailPattern), lit(0))),
+     size(regexp_extract_all(regexp_replace(n, emailPattern, "<email>"),
+       lit(urlPattern), lit(0))),
+     size(regexp_extract_all(
+       regexp_replace(regexp_replace(n, emailPattern, "<email>"),
+         urlPattern, "<url>"),
+       lit(longNumberPattern), lit(0))))
+  }
+
   /** Rolling polynomial (Karp-Rabin-style) content hash, char-by-char:
     * acc = (acc * 31 + ascii(char)) mod 1e9+7. The per-step mod keeps the
     * accumulator < 2^35 so ANSI mode never sees a long overflow.

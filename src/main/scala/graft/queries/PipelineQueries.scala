@@ -177,7 +177,41 @@ object PipelineQueries {
                         END AS INT) AS code
             FROM b, range(1, 65) t(i) ORDER BY vec_id, dim"""))
 
+  /** PII scrub + per-class audit counts. Patterns are RE2-compatible so
+    * Spark (java.util.regex) and DuckDB (RE2) agree.
+    */
+  private val scrub = NamedQuery(
+    "text_scrub_pii",
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val (ne, nu, nn) = TextFunctions.piiCounts(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("scrubbed"),
+        ne.as("n_emails"), nu.as("n_urls"), nn.as("n_longnums"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val email = raw"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+      val url = raw"https?://[^ ]+"
+      val num = raw"[0-9]{6,}"
+      s"""SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace($normSql,
+                   '$email', '<email>', 'g'),
+                   '$url', '<url>', 'g'),
+                   '$num', '<num>', 'g') AS scrubbed,
+                 len(regexp_extract_all($normSql, '$email')) AS n_emails,
+                 len(regexp_extract_all(
+                   regexp_replace($normSql, '$email', '<email>', 'g'),
+                   '$url')) AS n_urls,
+                 len(regexp_extract_all(
+                   regexp_replace(regexp_replace($normSql,
+                     '$email', '<email>', 'g'), '$url', '<url>', 'g'),
+                   '$num')) AS n_longnums
+          FROM documents ORDER BY doc_id"""
+    })
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
-        packSeq, splitSafe, quantize)
+        packSeq, splitSafe, quantize, scrub)
 }

@@ -57,4 +57,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.forall(q => q >= 0.0 && q <= 1.0))
     assert(r(0) > r(1))
   }
+
+  test("scrubPii redacts emails, urls, long numbers; counts audit each class") {
+    val t = "Contact Bob.Smith+x@Example.COM or https://foo.bar/baz?id=12345678 " +
+      "call 5551234567 ref 12345 done"
+    val row = Seq(t).toDF("t").select(
+      scrubPii($"t").as("s"),
+      piiCounts($"t")._1.as("ne"), piiCounts($"t")._2.as("nu"),
+      piiCounts($"t")._3.as("nn"))
+      .as[(String, Int, Int, Int)].head()
+    assert(row._1 === "contact <email> or <url> call <num> ref 12345 done")
+    assert((row._2, row._3, row._4) === ((1, 1, 1)))
+  }
+
+  test("scrubPii is clean-text identity") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    val s = Seq(t).toDF("t").select(scrubPii($"t")).as[String].head()
+    assert(s === t)
+  }
 }
