@@ -211,7 +211,61 @@ object PipelineQueries {
           FROM documents ORDER BY doc_id"""
     })
 
+  /** Two-phase salted aggregation — result-identical to the plain
+    * groupBy (the oracle IS the plain groupBy), but a hot key spreads
+    * over 16 reducers in phase one. l_quantity is integer-valued, so the
+    * re-associated double sum is exact.
+    */
+  private val skewSalted = NamedQuery(
+    "skew_salted_agg",
+    (s, d) =>
+      graft.operators.Skew.saltedCountSum(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS total
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * a >30 min silence. Gap comparison in integer microseconds — no
+    * floating-point boundary disagreements between engines.
+    */
+  private val sessionize = NamedQuery(
+    "events_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("unix_millis(min(ts))").as("start_ms"),
+          expr("unix_millis(max(ts))").as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts,
+                         CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM o),
+            s AS (SELECT user_id, ts,
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
-        packSeq, splitSafe, quantize, scrub)
+        packSeq, splitSafe, quantize, scrub, skewSalted, sessionize)
 }
