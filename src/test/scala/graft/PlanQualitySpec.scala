@@ -85,6 +85,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("events_sessionize: one hash exchange serves both windows AND the aggregation") {
+    val plan = planString(run("events_sessionize"))
+    // lag-window, session-sum-window, and the per-session aggregate all
+    // key on user_id; Spark must reuse the single user_id partitioning
+    // (the only other exchange is the presentation orderBy's range one)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("pack_sequences: the corpus-wide window is partitioned (two-phase scan)") {
     val df = graft.operators.Packing.packSequences(
       graft.Tables.documents(spark, sf), capacity = 2048)
