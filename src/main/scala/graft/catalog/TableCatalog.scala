@@ -20,12 +20,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Spark prunes partitions on `region = 'x'` filters, which is the
   * difference between scanning 100 TB and scanning one region's slice.
   */
-final class TableCatalog(spark: SparkSession, root: String) {
+final class TableCatalog(spark: SparkSession, root: String,
+    format: String = "parquet") {
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
   def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
+    spark.read.format(format).load(path(layer, table))
 
   def exists(layer: String, table: String): Boolean = {
     val p = new Path(path(layer, table))
@@ -34,9 +35,27 @@ final class TableCatalog(spark: SparkSession, root: String) {
 
   def append(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+    val w = df.write.mode(SaveMode.Append).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path(layer, table))
+      .save(path(layer, table))
+  }
+
+  /** Export a snapshot as size-bounded shards of any Spark batch format —
+    * `format = "json"` gives JSONL, the lingua franca of training-data
+    * interchange. `maxRecordsPerShard` caps rows per output file
+    * (`maxRecordsPerFile`), so downstream loaders see uniform shards no
+    * matter how lopsided the upstream partitions were; `shards` > 0
+    * additionally repartitions for exactly-n-way parallel layout.
+    */
+  def export(df: DataFrame, layer: String, table: String,
+      exportFormat: String = "json", maxRecordsPerShard: Long = 0L,
+      shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    val w = out.write.mode(SaveMode.Overwrite).format(exportFormat)
+    (if (maxRecordsPerShard > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerShard.toString)
+     else w)
+      .save(path(layer, table))
   }
 
   /** Atomic full overwrite: write to `<table>.__tmp`, then rename over the
@@ -49,9 +68,9 @@ final class TableCatalog(spark: SparkSession, root: String) {
     val tmp = new Path(path(layer, table) + ".__tmp")
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.toString)
+      .save(tmp.toString)
     val old = new Path(path(layer, table) + ".__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)
