@@ -27,14 +27,26 @@ object Clusters {
     * cluster_id = min node id reachable over the undirected pair graph.
     * Deterministic; `maxIter` bounds the worst case and the fixpoint check
     * stops early (almost always) before it.
+    *
+    * Adaptive: near-dup pair lists are usually minuscule relative to the
+    * corpus that produced them (dup rate × corpus, already aggregated to
+    * pairs), so when the deduped edge list is at most
+    * `driverFallbackEdges` the graph is collected and solved with
+    * in-memory union-find — one job instead of 2 per propagation round.
+    * Above the threshold the distributed min-label loop runs; results are
+    * identical (both emit min-reachable-id) and both paths are spec-pinned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 15): DataFrame = {
+      maxIter: Int = 15, driverFallbackEdges: Long = 4000000L): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
                            col(bCol).cast("long").as("dst"))
     // symmetrize once; distinct keeps the per-round join input minimal
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false)
+
+    val edgeCount = edges.count()
+    if (edgeCount <= driverFallbackEdges)
+      return unionFindLocal(edges, pairs.sparkSession)
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -65,6 +77,37 @@ object Clusters {
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** In-memory union-find (path compression + union-by-min) over a
+    * collected edge list; representative = min id, matching the
+    * distributed path exactly.
+    */
+  private def unionFindLocal(edges: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("node", "cluster_id")
   }
 
   /** Representatives to KEEP after dedup: one doc per cluster (the min id)

@@ -21,12 +21,28 @@ class ClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("long chain converges past one propagation round") {
-    // path graph 0-1-2-...-40: diameter 40, min label must ripple end to end
+  test("long chain converges past one propagation round (distributed path)") {
+    // path graph 0-1-2-...-40: diameter 40, min label must ripple end to
+    // end; driverFallbackEdges = 0 forces the distributed loop
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val got = Clusters.connectedComponents(pairs, "doc1", "doc2", maxIter = 50)
+    val got = Clusters.connectedComponents(pairs, "doc1", "doc2",
+        maxIter = 50, driverFallbackEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.length === 41 && got.forall(_._2 === 0L))
+  }
+
+  test("driver union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("doc1", "doc2")
+    val fast = Clusters.connectedComponents(pairs, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    val dist = Clusters.connectedComponents(pairs, "doc1", "doc2",
+        maxIter = 50, driverFallbackEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
   }
 
   test("keepList drops all but one representative per cluster") {
