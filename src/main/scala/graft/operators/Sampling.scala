@@ -51,4 +51,29 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-Res): priority = u^(1/w) with u a reproducible uniform
+    * derived from md5(key) (polynomial-hash of the hex digest over the
+    * 1e9+7 field — mirrorable in any SQL engine), keep the k highest.
+    * Heavier rows win proportionally more often; same k rows on any
+    * partition layout. The top-k runs as TakeOrderedAndProject
+    * (distributed partial top-k per partition), NOT a global sort; the
+    * rank window then orders only the k survivors.
+    */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    val u = graft.functions.TextFunctions.rollingHash(md5(key.cast("string")))
+      .cast("double") / lit(1000000007.0)
+    val pri = pow(u, lit(1.0) / weight.cast("double"))
+    // order on the 8-decimal-rounded priority (stable against last-ulp pow
+    // differences between engines), key as total-order tiebreak
+    val scored = df.withColumn("priority", pri)
+    scored
+      .orderBy(round(col("priority"), 8).desc, key)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(round(col("priority"), 8).desc, key)))
+      .withColumn("priority", round(col("priority"), 4))
+  }
 }

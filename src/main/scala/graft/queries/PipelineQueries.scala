@@ -265,7 +265,63 @@ object PipelineQueries {
                    epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
             FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Exact token-length percentiles per language — the quantile aggregate
+    * family (the approx variants run rows-only in approx_stats).
+    */
+  private val lengthPercentiles = NamedQuery(
+    "text_length_percentiles",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("double").as("n"))
+        .groupBy(col("lang"))
+        .agg(round(expr("percentile(n, 0.25)"), 4).as("p25"),
+             round(expr("percentile(n, 0.5)"), 4).as("p50"),
+             round(expr("percentile(n, 0.9)"), 4).as("p90"),
+             round(expr("percentile(n, 0.99)"), 4).as("p99"))
+        .orderBy(col("lang")),
+    Some(s"""WITH t AS (SELECT lang,
+                               CAST(len(string_split($normSql, ' ')) AS DOUBLE) AS n
+                        FROM documents)
+             SELECT lang,
+                    round(quantile_cont(n, 0.25), 4) AS p25,
+                    round(quantile_cont(n, 0.5), 4) AS p50,
+                    round(quantile_cont(n, 0.9), 4) AS p90,
+                    round(quantile_cont(n, 0.99), 4) AS p99
+             FROM t GROUP BY lang ORDER BY lang"""))
+
+  /** Deterministic weighted sample: 20 docs, weight = token count. */
+  private val sampleWeighted = NamedQuery(
+    "sample_weighted",
+    (s, d) =>
+      Sampling.weightedTopK(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("n_tokens")),
+          col("doc_id"), col("n_tokens"), k = 20)
+        .orderBy(col("rank")),
+    Some(s"""WITH t AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+                               CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+             u AS (SELECT doc_id, lang, n_tokens,
+                          list_reduce(list_transform(string_split(h, ''),
+                              c -> CAST(ord(c) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007)
+                            / 1000000007.0 AS uu
+                   FROM t),
+             p AS (SELECT doc_id, lang, n_tokens,
+                          pow(uu, 1.0 / n_tokens) AS priority
+                   FROM u),
+             r AS (SELECT *, row_number() OVER
+                     (ORDER BY round(priority, 8) DESC, doc_id) AS rank
+                   FROM p)
+             SELECT doc_id, lang, n_tokens, round(priority, 4) AS priority, rank
+             FROM r WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
-        packSeq, splitSafe, quantize, scrub, skewSalted, sessionize)
+        packSeq, splitSafe, quantize, scrub, skewSalted, sessionize,
+        lengthPercentiles, sampleWeighted)
 }

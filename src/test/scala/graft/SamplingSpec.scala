@@ -39,6 +39,20 @@ class SamplingSpec extends SparkSpec {
     assert(s2 === s1.select("doc_id").as[Long].collect().sorted)
   }
 
+  test("weightedTopK: layout-independent, heavier rows overrepresented") {
+    val weighted = docs.withColumn("w",
+      when(col("doc_id") < 100, 50L).otherwise(1L))
+    val a = Sampling.weightedTopK(weighted, col("doc_id"), col("w"), 100)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.weightedTopK(weighted.repartition(9), col("doc_id"),
+      col("w"), 100).select("doc_id").as[Long].collect().sorted
+    assert(a === b)
+    // 5% of rows carry weight 50 (~72% of total mass) — they must take far
+    // more than 5% of the sample
+    val heavy = a.count(_ < 100)
+    assert(heavy > 30, s"heavy=$heavy of 100")
+  }
+
   test("stratifiedQuota caps at stratum size") {
     val tiny = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang")
     val got = Sampling.stratifiedQuota(tiny, col("lang"), col("doc_id"), 10)
