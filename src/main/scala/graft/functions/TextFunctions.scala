@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Canonical normalization: lowercase, trim, collapse runs of whitespace. */
+  /** Canonical normalization: lowercase, collapse runs of whitespace, trim.
+    * Collapse-then-trim (not trim-then-collapse): `trim` strips only
+    * spaces, so an edge tab would survive as a leftover space and the
+    * function would not be idempotent (PropertySpec pins idempotence).
+    */
   def normText(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Whitespace tokenization over normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")

@@ -137,7 +137,7 @@ object DomainQueries {
                       '\s+'),
                     x -> len(x) > 0)) AS n_subtokens,
                   len(string_split(
-                    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
                     ' ')) AS n_ws_tokens
            FROM documents ORDER BY doc_id"""))
 

@@ -21,7 +21,7 @@ object ExtQueries {
   /** Shared SQL fragment: normalized text + tokens, mirroring
     * TextFunctions.normText/tokens.
     */
-  private val normSql = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+  private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
   // ------------------------------------------------------------ dedup
   private val dedupExact = NamedQuery(

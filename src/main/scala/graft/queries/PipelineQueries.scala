@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val normSql = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+  private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
   /** N-gram Jaccard pairs at 0.8 → connected components → (node, cluster_id).
     * The transitive closure is what makes pair-dedup usable: keep one doc

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{GeoFunctions, RiskPolicy, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws (SURVEY.md §5.2): ScalaCheck generates the input
+  * corpus (seeded — reproducible), one Spark pass per law checks every
+  * generated row. Laws: risk classifier totality + monotonicity, distance
+  * symmetry/non-negativity/identity, normalization and scrubbing
+  * idempotence, shingle-set ordering invariants.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val weatherRows = sample(Gen.listOfN(400, for {
+    conf <- Gen.oneOf("h", "n", "l")
+    wind <- Gen.choose(0.0, 80.0)
+    temp <- Gen.choose(260.0, 330.0)
+    hum <- Gen.choose(0.0, 100.0)
+  } yield (conf, wind, temp, hum)))
+
+  test("riskLevel is total (always one of the 5 levels)") {
+    val out = weatherRows.toDF("conf", "wind", "temp", "hum")
+      .select(RiskPolicy.riskLevel($"conf", $"wind", $"temp", $"hum").as("r"))
+      .distinct().as[String].collect().toSet
+    assert(out.subsetOf(RiskPolicy.levels.toSet))
+  }
+
+  test("more wind never lowers risk; less humidity never lowers risk") {
+    val df = weatherRows.toDF("conf", "wind", "temp", "hum")
+    def rank(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+      RiskPolicy.riskRank(RiskPolicy.riskLevel($"conf", w, $"temp", h))
+    val violations = df.filter(
+      rank($"wind" + 5.0, $"hum") > rank($"wind", $"hum") ||
+      rank($"wind", greatest($"hum" - 5.0, lit(0.0))) > rank($"wind", $"hum"))
+    assert(violations.count() === 0)
+  }
+
+  private val pointPairs = sample(Gen.listOfN(300, for {
+    la1 <- Gen.choose(-85.0, 85.0); lo1 <- Gen.choose(-175.0, 175.0)
+    la2 <- Gen.choose(-85.0, 85.0); lo2 <- Gen.choose(-175.0, 175.0)
+  } yield (la1, lo1, la2, lo2)))
+
+  test("distances: symmetric, non-negative, zero on identical points") {
+    val df = pointPairs.toDF("la1", "lo1", "la2", "lo2")
+    import GeoFunctions.{euclideanDeg, haversineKm}
+    val bad = df.filter(
+      abs(euclideanDeg($"la1", $"lo1", $"la2", $"lo2") -
+          euclideanDeg($"la2", $"lo2", $"la1", $"lo1")) > 1e-9 ||
+      abs(haversineKm($"la1", $"lo1", $"la2", $"lo2") -
+          haversineKm($"la2", $"lo2", $"la1", $"lo1")) > 1e-6 ||
+      euclideanDeg($"la1", $"lo1", $"la2", $"lo2") < 0 ||
+      haversineKm($"la1", $"lo1", $"la2", $"lo2") < 0 ||
+      euclideanDeg($"la1", $"lo1", $"la1", $"lo1") =!= 0.0 ||
+      haversineKm($"la1", $"lo1", $"la1", $"lo1") > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  private val texts = sample(Gen.listOfN(300,
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "a", "und", "el", "  ", "\t", "x@y.zz",
+        "https://a.b/c", "1234567890")))
+      .map(_.mkString(" "))))
+
+  test("normText and scrubPii are idempotent on arbitrary text") {
+    val df = texts.toDF("t")
+    import TextFunctions.{normText, scrubPii}
+    val bad = df.filter(
+      normText(normText($"t")) =!= normText($"t") ||
+      scrubPii(scrubPii($"t")) =!= scrubPii($"t"))
+    assert(bad.count() === 0)
+  }
+
+  test("shingle sets are strictly ascending (sorted, distinct)") {
+    graft.plans.GraftFunctions.ensure(spark)
+    val df = texts.filter(_.trim.nonEmpty).toDF("t")
+      .select(TextFunctions.tokens($"t").as("toks"))
+      .select(graft.plans.GraftColumns.shingleHashSet($"toks", 3).as("ss"))
+    val bad = df.filter(exists(
+      zip_with(slice($"ss", lit(1), size($"ss") - 1),
+        slice($"ss", lit(2), size($"ss") - 1),
+        (a, b) => a >= b), x => x))
+    assert(bad.count() === 0)
+  }
+}
