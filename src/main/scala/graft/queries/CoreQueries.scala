@@ -524,6 +524,27 @@ object CoreQueries {
             FROM w WHERE event_type='purchase' AND last_click_k IS NOT NULL
             ORDER BY event_id"""))
 
+  // Pivot: long → wide on a bounded value list. Explicit values keep the
+  // output schema static (no extra distinct-scan job, plan known at
+  // compile time — at scale the values-discovery pass is a full extra
+  // scan), and map 1:1 onto the oracle's CASE aggregation.
+  private val q27 = NamedQuery(
+    "q27_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- gold
   // Flagship: the reference's entire Gold pipeline re-expressed over the
   // events table (gold_batch_job.py:22-90 / SURVEY §3.2): latest reading
@@ -583,5 +604,5 @@ object CoreQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, gold)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, gold)
 }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
   * CLUSTER resolution (connected components over near-dup pairs),
-  * deterministic hash-based sampling (Bernoulli + stratified quotas), and
-  * TF-IDF term scoring. All four are deterministic and carry full DuckDB
-  * oracles (the clusters oracle resolves components with a recursive CTE).
+  * deterministic sampling (md5 Bernoulli, stratified quotas, weighted
+  * A-Res), TF-IDF, sequence packing, leakage-safe splits, int8
+  * quantization, PII scrubbing, salted aggregation, sessionization, and
+  * exact percentiles. Every query here is deterministic and carries a
+  * full DuckDB oracle (the cluster oracles resolve components with a
+  * recursive CTE).
   */
 object PipelineQueries {
 
