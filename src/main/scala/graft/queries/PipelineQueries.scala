@@ -118,6 +118,48 @@ object PipelineQueries {
                     CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
              FROM c ORDER BY doc_id"""))
 
+  /** The dedup END PRODUCT: the survivor list after dropping every doc
+    * that is not its cluster's representative (min id) — what a curation
+    * pipeline actually feeds downstream. Exercises keepList's left-anti
+    * join under the oracle gate.
+    */
+  private val dedupKeep = NamedQuery(
+    "dedup_keeplist",
+    (s, d) =>
+      Clusters.keepList(
+          Tables.documents(s, d),
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE
+             tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                          a.ns AS n1, b.ns AS n2, count(*) AS common
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+             pairs AS (SELECT doc1, doc2 FROM p
+                       WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
+             edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+                       UNION SELECT doc2, doc1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS n FROM edges),
+             reach(n, r) AS (
+               SELECT n, n FROM nodes
+               UNION
+               SELECT rc.n, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+             drop_ids AS (SELECT n AS doc_id FROM reach
+                          GROUP BY 1 HAVING n != min(r))
+             SELECT d.doc_id, d.lang FROM documents d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+             ORDER BY d.doc_id"""))
+
   /** Cluster-aware 20% holdout: near-dup clusters (ngram Jaccard 0.8)
     * never straddle the train/holdout boundary.
     */
@@ -324,7 +366,7 @@ object PipelineQueries {
              FROM r WHERE rank <= 20 ORDER BY rank"""))
 
   val all: Seq[NamedQuery] =
-    Seq(dedupClusters, sampleBernoulli, sampleStratified, tfidfTopK,
-        packSeq, splitSafe, quantize, scrub, skewSalted, sessionize,
-        lengthPercentiles, sampleWeighted)
+    Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
+        tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
+        sessionize, lengthPercentiles, sampleWeighted)
 }
