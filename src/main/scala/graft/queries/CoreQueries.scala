@@ -426,7 +426,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY 1 ORDER BY 1"""))
 
@@ -483,8 +483,8 @@ object CoreQueries {
              r2(avg(col("value"))).as("avg_value"),
              r2(sum(when(col("event_type") === "error", col("value"))
                .otherwise(0.0))).as("error_value")),
-    Some("""SELECT sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_errors,
-                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchases,
+    Some("""SELECT count(CASE WHEN event_type='error' THEN 1 END) AS n_errors,
+                   count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchases,
                    round(avg(value),2) AS avg_value,
                    round(sum(CASE WHEN event_type='error' THEN value ELSE 0.0 END),2) AS error_value
             FROM events"""))

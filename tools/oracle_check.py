@@ -51,7 +51,9 @@ def main():
             continue
         try:
             got = canon(pd.read_parquet(path))
-            want = canon(con.execute(oracles[name]).fetchdf())
+            want_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            want = canon(want_tbl.to_pandas())
+            dd_types = {f.name: str(f.type) for f in want_tbl.schema}
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -62,6 +64,17 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(want)}")
+            n_fail += 1
+            continue
+        tbad = []
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            gkind = 'i' if gk in 'iu' else gk
+            wkind = 'i' if wk in 'iu' else wk
+            if gkind != wkind or dd_types.get(c, '').startswith(('int128', 'decimal')):
+                tbad.append((c, str(got[c].dtype), dd_types.get(c, str(want[c].dtype))))
+        if tbad:
+            print(f"FAIL {name}: dtype mismatch (driver hash is type-sensitive): {tbad}")
             n_fail += 1
             continue
         bad = []
