@@ -80,13 +80,17 @@ object RiskPolicy {
       when(riskLevel === l, i).otherwise(acc)
     }
 
-  /** Map-marker color (reference: app.py:133-142), when-chain not UDF. */
+  /** Map-marker color as hex of the reference's RGBA map (get_color,
+    * app.py:133-138: EXTREME [255,0,0], VERY_HIGH [255,69,0], HIGH
+    * [255,140,0], MODERATE [255,215,0], else [0,255,0]) — when-chain, not
+    * a UDF.
+    */
   def riskColor(riskLevel: Column): Column =
-    when(riskLevel === "EXTREME", "#8B0000")
-      .when(riskLevel === "VERY_HIGH", "#FF0000")
+    when(riskLevel === "EXTREME", "#FF0000")
+      .when(riskLevel === "VERY_HIGH", "#FF4500")
       .when(riskLevel === "HIGH", "#FF8C00")
       .when(riskLevel === "MODERATE", "#FFD700")
-      .otherwise("#90EE90")
+      .otherwise("#00FF00")
 
   /** Producer-side threshold warning flags
     * (reference: weather_producer.py:154-160).

@@ -229,8 +229,11 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
               hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
-      .dropDuplicates("doc1", "doc2")
+      // hamming filter BEFORE the dedup exchange: block collisions are
+      // mostly non-near-dups, so filtering first means the dropDuplicates
+      // shuffle carries only true near-dups instead of every candidate.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc1", "doc2")
   }
 
   /** Embedding-cosine near-dup pairs. Exact all-pairs within label blocks

@@ -65,11 +65,18 @@ object Similarity {
     val q = lshBuckets(queries, nBits, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
               norm2Fast(col(vecCol)).as("qn"), col("bucket").as("qbucket"))
-    // multi-probe: query bucket + all buckets at hamming distance ≤ maxHamming
-    val probes = (0 until nBits).foldLeft(Seq(col("qbucket"))) { (acc, b) =>
-      if (maxHamming >= 1) acc :+ col("qbucket").bitwiseXOR(lit(1L << b)) else acc
+    // multi-probe: query bucket + every bucket at hamming distance ≤
+    // maxHamming — all XOR masks with 1..maxHamming bits set (Σ C(nBits,h)
+    // probes; combinatorial in maxHamming, so callers keep it small).
+    require(maxHamming >= 0 && maxHamming <= nBits,
+      s"maxHamming must be in [0, $nBits], got $maxHamming")
+    val masks: Seq[Long] = (1 to maxHamming).flatMap { h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
     }
-    val probed = q.withColumn("probe", explode(array(probes.distinct: _*)))
+    val probes = col("qbucket") +:
+      masks.map(m => col("qbucket").bitwiseXOR(lit(m)))
+    val probed = q.withColumn("probe", explode(array(probes: _*)))
     val scored = probed.join(bucketed, col("probe") === col("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -107,25 +114,34 @@ object Similarity {
       .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
       .orderBy(xxhash64(col("cell_id")))
       .limit(nCells)
-    // nearest seed per corpus row = argmin over the broadcast seed set
-    def assign(df: DataFrame, id: String, vec: String, out: String): DataFrame =
-      df.crossJoin(broadcast(seeds))
-        .withColumn("d2", dotFast(col(vec), col(vec))
-          - lit(2.0) * dotFast(col(vec), col("cv"))
-          + dotFast(col("cv"), col("cv")))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(id)).orderBy(col("d2").asc, col("cell_id"))))
-        .filter(col("rnk") <= (if (out == "cell") 1 else nProbe))
-        .select(df.columns.map(col) :+ col("cell_id").as(out): _*)
+      .select(col("cell_id"), col("cv"),
+        dotFast(col("cv"), col("cv")).as("cn2"))
+    // ALL seeds as one array-of-structs row, broadcast to every partition:
+    // nearest cells are then a NARROW per-row array expression (sort the
+    // per-seed scores, slice the head) — no window, no exchange; the corpus
+    // genuinely never shuffles until the final per-cell join. The |v|² term
+    // is constant per row, so ranking by (|c|² − 2·v·c) is the same argmin.
+    val seedArr = seeds.agg(
+      collect_list(struct(col("cell_id"), col("cv"), col("cn2"))).as("seedset"))
+    def assign(df: DataFrame, vec: String, out: String, nTake: Int): DataFrame = {
+      val ranked = array_sort(transform(col("seedset"), s =>
+        struct((s("cn2") - lit(2.0) * dotFast(col(vec), s("cv"))).as("d2"),
+               s("cell_id").as("cell_id"))))
+      val cells =
+        if (nTake == 1) element_at(ranked, 1)("cell_id")
+        else explode(transform(slice(ranked, 1, nTake), c => c("cell_id")))
+      df.crossJoin(broadcast(seedArr))
+        .withColumn(out, cells)
+        .select(df.columns.map(col) :+ col(out): _*)
+    }
     val assigned = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         norm2Fast(col(vecCol)).as("cn")),
-      "neighbor_id", "nv", "cell")
+      "nv", "cell", 1)
     val probes = assign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm2Fast(col(vecCol)).as("qn")),
-      "query_id", "qv", "probe_cell")
+      "qv", "probe_cell", nProbe)
     val scored = probes.join(assigned, col("probe_cell") === col("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("nv")) / (col("qn") * col("cn")))

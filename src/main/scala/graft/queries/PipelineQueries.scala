@@ -17,15 +17,20 @@ object PipelineQueries {
 
   private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
-  /** N-gram Jaccard pairs at 0.8 → connected components → (node, cluster_id).
-    * The transitive closure is what makes pair-dedup usable: keep one doc
-    * per cluster, not "drop both ends of each pair".
+  /** Df-capped n-gram Jaccard pairs at 0.8 → connected components →
+    * (node, cluster_id). The transitive closure is what makes pair-dedup
+    * usable: keep one doc per cluster, not "drop both ends of each pair".
+    * Candidate generation is the CAPPED inverted index (df ≤ 20): the
+    * uncapped variant is quadratic on any stop-shingle, which at corpus
+    * scale is the classic dedup scale-killer. The oracle CTE mirrors the
+    * same rare-shingle cap.
     */
   private val dedupClusters = NamedQuery(
     "dedup_clusters",
     (s, d) =>
       Clusters.connectedComponents(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+            threshold = 0.8, maxShingleDf = 20),
           "doc1", "doc2")
         .orderBy(col("node")),
     Some(s"""WITH RECURSIVE
@@ -36,12 +41,19 @@ object PipelineQueries {
                                                     FOR i IN range(1, len(l) - 1)])
                            END AS ss
                     FROM tok),
-             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
-             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-                          a.ns AS n1, b.ns AS n2, count(*) AS common
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2, 3, 4),
-             pairs AS (SELECT doc1, doc2 FROM p
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id),
+             pairs AS (SELECT doc1, doc2 FROM v
                        WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
              edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
                        UNION SELECT doc2, doc1 FROM pairs),
@@ -121,14 +133,16 @@ object PipelineQueries {
   /** The dedup END PRODUCT: the survivor list after dropping every doc
     * that is not its cluster's representative (min id) — what a curation
     * pipeline actually feeds downstream. Exercises keepList's left-anti
-    * join under the oracle gate.
+    * join under the oracle gate. Pairs come from the df-capped generator
+    * (see dedupClusters); the oracle mirrors the cap.
     */
   private val dedupKeep = NamedQuery(
     "dedup_keeplist",
     (s, d) =>
       Clusters.keepList(
           Tables.documents(s, d),
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+            threshold = 0.8, maxShingleDf = 20),
           "doc_id")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id")),
@@ -140,12 +154,19 @@ object PipelineQueries {
                                                     FOR i IN range(1, len(l) - 1)])
                            END AS ss
                     FROM tok),
-             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
-             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-                          a.ns AS n1, b.ns AS n2, count(*) AS common
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2, 3, 4),
-             pairs AS (SELECT doc1, doc2 FROM p
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id),
+             pairs AS (SELECT doc1, doc2 FROM v
                        WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
              edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
                        UNION SELECT doc2, doc1 FROM pairs),
@@ -160,15 +181,16 @@ object PipelineQueries {
              WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
              ORDER BY d.doc_id"""))
 
-  /** Cluster-aware 20% holdout: near-dup clusters (ngram Jaccard 0.8)
-    * never straddle the train/holdout boundary.
+  /** Cluster-aware 20% holdout: near-dup clusters (df-capped ngram
+    * Jaccard 0.8) never straddle the train/holdout boundary.
     */
   private val splitSafe = NamedQuery(
     "split_leakage_safe",
     (s, d) =>
       Splits.leakageSafeSplit(
           Tables.documents(s, d),
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8),
+          Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+            threshold = 0.8, maxShingleDf = 20),
           holdoutFraction = 0.2)
         .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE
@@ -179,12 +201,19 @@ object PipelineQueries {
                                                     FOR i IN range(1, len(l) - 1)])
                            END AS ss
                     FROM tok),
-             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
-             p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-                          a.ns AS n1, b.ns AS n2, count(*) AS common
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2, 3, 4),
-             pairs AS (SELECT doc1, doc2 FROM p
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id),
+             pairs AS (SELECT doc1, doc2 FROM v
                        WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
              edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
                        UNION SELECT doc2, doc1 FROM pairs),

@@ -42,7 +42,10 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                  // watermark-admissible late event may precede the open
+                  // session's start — extend backwards as well as forwards
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
                     n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += Session(key, new Timestamp(s.start),

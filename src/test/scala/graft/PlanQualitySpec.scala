@@ -93,6 +93,22 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("sim_ann_ivf: cell assignment is narrow — no exchange before the per-cell join") {
+    // the argmin over broadcast seeds must be an array expression, not a
+    // window: the corpus-side plan up to the probe join may contain only
+    // broadcast exchanges (seed array + the equi-join build side), never a
+    // hash/range exchange of the corpus itself.
+    val plan = planString(run("sim_ann_ivf"))
+    // exactly ONE window exec — the final per-query top-k; the two per-side
+    // assignment windows of the old formulation are gone ("Window \[" does
+    // not match the WindowGroupLimit top-k pushdown nodes)
+    assert("Window \\[".r.findAllIn(plan).size === 1, plan)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).toSeq
+    // the only allowed shuffles: the final top-k window on query_id and the
+    // candidate dropDuplicates — both downstream of the join, keyed small
+    assert(shuffles.size <= 3, s"corpus assignment shuffled: $shuffles\n$plan")
+  }
+
   test("pack_sequences: the corpus-wide window is partitioned (two-phase scan)") {
     val df = graft.operators.Packing.packSequences(
       graft.Tables.documents(spark, sf), capacity = 2048)

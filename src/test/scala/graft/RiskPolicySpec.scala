@@ -54,7 +54,9 @@ class RiskPolicySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
     assert(rows.map(_._1).toSeq === RiskPolicy.levels)
     assert(rows.map(_._2).toSeq === Seq(0, 1, 2, 3, 4))
-    assert(rows.map(_._3).distinct.length === 5)
+    // hex of the reference's get_color RGBA map (app.py:133-138)
+    assert(rows.map(_._3).toSeq ===
+      Seq("#FF0000", "#FF4500", "#FF8C00", "#FFD700", "#00FF00"))
   }
 
   test("alertFlags thresholds (weather_producer.py:154-160)") {

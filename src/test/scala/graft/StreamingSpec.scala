@@ -123,4 +123,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(s => s.key == "a" && s.n_events == 2 && s.total_value == 3.0))
     assert(got.exists(s => s.key == "a" && s.n_events == 1 && s.total_value == 5.0))
   }
+
+  test("ST7: watermark-admissible late event extends the session start backwards") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    def ev(key: String, sec: Long, v: Double) =
+      Sessionize.Event(key, new Timestamp(sec * 1000), v)
+    val sessions = Sessionize.sessions(mem.toDS(), gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_late_sink")
+      .outputMode("append").start()
+    mem.addData(ev("a", 2000, 1.0))
+    q.processAllAvailable() // watermark → 1970
+    mem.addData(ev("a", 1990, 2.0)) // late but admissible AND within gap
+    q.processAllAvailable()
+    mem.addData(ev("b", 3000, 9.0)) // drive watermark past a's timeout
+    q.processAllAvailable()
+    mem.addData(ev("b", 3001, 1.0)) // extra batch so the timeout pass runs
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late_sink").as[Sessionize.Session].collect()
+    val a = got.find(_.key == "a").getOrElse(fail(s"no session for a: ${got.mkString(",")}"))
+    assert(a.start.getTime === 1990000L, a) // NOT 2000000 — late event lowered it
+    assert(a.end.getTime === 2000000L, a)
+    assert(a.n_events === 2 && a.total_value === 3.0, a)
+  }
 }
