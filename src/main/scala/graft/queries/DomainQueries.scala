@@ -175,18 +175,41 @@ object DomainQueries {
 
   /** Sketch-based approximate aggregates (HLL++ distinct count, GK
     * quantiles) — the constant-memory path for 100 TB cardinality/quantile
-    * questions. Approximate by construction → rows-only driver check;
-    * `ApproxAggSpec` pins the error envelope against exact values.
+    * questions. The output carries the EXACT companions (oracle-matched
+    * against DuckDB count(DISTINCT)/quantile_cont) plus within-bound
+    * booleans for the sketches, which the oracle asserts as TRUE — so the
+    * driver's hash gate checks both "exact values right" AND "sketch within
+    * its advertised error", the only SQL-expressible contract an
+    * approximate operator has. `ApproxAggSpec` pins the same envelopes
+    * numerically.
     */
   private val approxStats = NamedQuery(
     "approx_stats",
     (s, d) =>
       Tables.events(s, d).groupBy(col("event_type")).agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+        countDistinct(col("user_id")).as("n_users"),
+        percentile(col("value"), lit(0.5)).as("p50x"),
+        percentile(col("value"), lit(0.99)).as("p99x"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"))
+        .select(col("event_type"), col("n_users"),
+          round(col("p50x"), 4).as("p50"), round(col("p99x"), 4).as("p99"),
+          (abs(col("au") - col("n_users")) <=
+            col("n_users") * lit(0.05)).as("users_within_5pct"),
+          (abs(col("ap50") - col("p50x")) <=
+            greatest(abs(col("p50x")) * lit(0.02), lit(1e-6))).as("p50_within_2pct"),
+          (abs(col("ap99") - col("p99x")) <=
+            greatest(abs(col("p99x")) * lit(0.02), lit(1e-6))).as("p99_within_2pct"))
         .orderBy(col("event_type")),
-    None)
+    Some("""SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   TRUE AS users_within_5pct,
+                   TRUE AS p50_within_2pct,
+                   TRUE AS p99_within_2pct
+            FROM events GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,

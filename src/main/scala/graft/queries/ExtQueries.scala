@@ -275,7 +275,12 @@ object ExtQueries {
         .select(col("media_id"), col("n_sampled_frames"))
         .orderBy(col("media_id"))
     },
-    None)
+    // stride arithmetic on the frame index sequence: frames are indices
+    // 0..len/64 inclusive with i % 4 = 0, so the count is len/64 // 4 + 1
+    // (same strlen-as-bytes trick as multimodal_meta's oracle).
+    Some("""SELECT doc_id AS media_id,
+                   CAST((strlen(text) // 64) // 4 + 1 AS INT) AS n_sampled_frames
+            FROM documents ORDER BY media_id"""))
 
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash, dedupEmbedding,
