@@ -20,16 +20,23 @@ object TfIdf {
     * Ranking uses the score rounded to 6 decimals so the order is stable
     * against last-ulp libm differences (the oracle engine computes the
     * same doubles modulo 1 ulp of `ln`).
+    *
+    * `broadcastVocab = false` is the escape hatch for corpora whose
+    * VOCABULARY outgrows executor memory (open-vocab n-grams, 100 TB web
+    * text): the df side then joins via the (term)-keyed shuffle — tf is
+    * already partitioned by (doc_id, term), so the extra exchange is the
+    * unavoidable price of a too-big-to-broadcast dictionary. Results are
+    * identical on either path (pinned in TfIdfSpec).
     */
   def topTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastVocab: Boolean = true): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(if (broadcastVocab) broadcast(df) else df, "term")
       .crossJoin(broadcast(total))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

@@ -79,10 +79,19 @@ object SilverJob {
     */
   def startGoldRefresh(silverFires: DataFrame, checkpoint: String,
       interval: String, refresh: DataFrame => Unit): StreamingQuery =
+    startGoldRefresh(silverFires, checkpoint, Trigger.ProcessingTime(interval),
+      refresh)
+
+  /** Trigger-generalized Gold refresh — `Trigger.AvailableNow` gives the
+    * drain-and-stop variant (tests, backfills) with the same foreachBatch
+    * body as the production ProcessingTime cadence.
+    */
+  def startGoldRefresh(silverFires: DataFrame, checkpoint: String,
+      trigger: Trigger, refresh: DataFrame => Unit): StreamingQuery =
     silverFires.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(interval))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => refresh(batch) }
       .start()
 }

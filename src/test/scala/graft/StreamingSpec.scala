@@ -102,6 +102,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((28.29, 42.0)))
   }
 
+  test("ST6: streaming Gold refresh via foreachBatch — rewrites per batch, skips empty gold") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("gold-refresh-root")
+    val chk = tmpDir("gold-refresh-chk")
+    val catalog = new graft.catalog.TableCatalog(spark, root)
+    val refreshes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def refresh(batch: org.apache.spark.sql.DataFrame): Unit = {
+      refreshes.incrementAndGet()
+      catalog.overwriteIfNonEmpty(
+        batch.filter($"confidence" === "h").groupBy($"region")
+          .agg(count(lit(1)).as("n_fires")),
+        "gold", "fire_kpis")
+    }
+    val mem = MemoryStream[String]
+    mem.addData(fireJson(28.29, 1.7e9), fireJson(28.60, 1.7e9 + 60))
+    val q1 = SilverJob.startGoldRefresh(
+      SilverJob.fireSilver(mem.toDF().select($"value")), chk,
+      Trigger.AvailableNow(), refresh)
+    q1.awaitTermination()
+    assert(refreshes.get() >= 1)
+    val gold1 = catalog.read("gold", "fire_kpis").collect()
+    assert(gold1.length === 1 && gold1.head.getAs[Long]("n_fires") === 2)
+
+    // second cycle: only low-confidence detections → gold df is EMPTY →
+    // overwriteIfNonEmpty must leave the previous snapshot in place
+    mem.addData(fireJson(40.41, 1.7e9 + 120, conf = "l"))
+    val q2 = SilverJob.startGoldRefresh(
+      SilverJob.fireSilver(mem.toDF().select($"value")), chk,
+      Trigger.AvailableNow(), refresh)
+    q2.awaitTermination()
+    assert(refreshes.get() >= 2)
+    val gold2 = catalog.read("gold", "fire_kpis").collect()
+    assert(gold2.length === 1 && gold2.head.getAs[Long]("n_fires") === 2,
+      "empty gold cycle must not clobber the live snapshot")
+  }
+
+  test("ST3: two concurrent queries coordinated via awaitAnyTermination") {
+    implicit val sq = spark.sqlContext
+    spark.streams.resetTerminated()
+    val fires = MemoryStream[String]
+    val weather = MemoryStream[String]
+    fires.addData(fireJson(28.29, 1.7e9))
+    weather.addData(fireJson(1.0, 1.7e9)) // shape irrelevant; just a value row
+    val q1 = SilverJob.fireSilver(fires.toDF().select($"value"))
+      .writeStream.format("memory").queryName("st3_a")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q2 = weather.toDF().select($"value")
+      .writeStream.format("memory").queryName("st3_b")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // the reference's fire_risk_processor.py:89 coordination surface
+    assert(spark.streams.awaitAnyTermination(60000L))
+    q1.awaitTermination(); q2.awaitTermination()
+    assert(spark.table("st3_a").count() === 1)
+    assert(spark.table("st3_b").count() === 1)
+  }
+
   test("ST7: gap sessionization via flatMapGroupsWithState") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
