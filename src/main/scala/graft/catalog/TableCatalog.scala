@@ -1,5 +1,7 @@
 package graft.catalog
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -7,12 +9,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * for the reference's Delta-on-MinIO storage (reference:
   * fire_risk_processor.py:77-85, gold_batch_job.py:28-29,83-87). Delta isn't
   * available offline; what the query surface actually needs is: layered
-  * paths, append, atomic overwrite (readers never observe a half-written
-  * table), write-skip-on-empty, and partitioned layout.
+  * paths, append, ACID overwrite (readers never observe a half-written
+  * table), write-skip-on-empty, schema evolution on overwrite
+  * (gold_batch_job.py:87 `overwriteSchema=true`), and partitioned layout.
   *
-  * Atomic overwrite is temp-dir + rename — single-filesystem rename is
-  * atomic on HDFS/local; on S3-class stores swap the rename for a
-  * manifest/pointer commit (same interface).
+  * Overwritten tables are VERSIONED: each snapshot lands in
+  * `<table>/_v/NNNNN/`, and `<table>/_CURRENT` — a one-line pointer file —
+  * is atomically swapped to commit. This is the pointer-commit scheme that
+  * works on S3-class stores too (no directory rename), and it gives real
+  * reader isolation: an in-flight reader that resolved the pointer keeps
+  * reading its version's files even after the next commit, because the
+  * previous `keepVersions` snapshots are retained (vacuumed only when they
+  * age out of the retention window). Schema evolution falls out for free —
+  * a new version is a new self-contained directory, so `overwriteSchema`
+  * is the default and old versions stay readable with their old schema
+  * (time travel via `readVersion`).
+  *
+  * Single-writer per table (the reference's gold job is a single loop);
+  * concurrent READERS are the isolation target.
   *
   * Partitioning: the reference README claims time/spatial partitioning but
   * the code never calls partitionBy (SURVEY.md §1.3) — here it's real:
@@ -21,16 +35,74 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * difference between scanning 100 TB and scanning one region's slice.
   */
 final class TableCatalog(spark: SparkSession, root: String,
-    format: String = "parquet") {
+    format: String = "parquet", keepVersions: Int = 2) {
+
+  require(keepVersions >= 1, "must retain at least the live version")
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def pointerPath(layer: String, table: String) =
+    new Path(path(layer, table), "_CURRENT")
+
+  private def versionDir(layer: String, table: String, v: Int) =
+    new Path(path(layer, table), f"_v/$v%05d")
+
+  /** Committed version number, if the table is versioned. */
+  def currentVersion(layer: String, table: String): Option[Int] = {
+    val ptr = pointerPath(layer, table)
+    val fs = hadoopFs(ptr)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** All retained snapshot versions (ascending). */
+  def versions(layer: String, table: String): Seq[Int] = {
+    val vRoot = new Path(path(layer, table), "_v")
+    val fs = hadoopFs(vRoot)
+    if (!fs.exists(vRoot)) Nil
+    else fs.listStatus(vRoot).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toInt).toOption)
+      .sorted
+  }
+
+  /** Filesystem location of the live snapshot: the pointer-resolved
+    * version dir for versioned tables, the flat table dir otherwise.
+    */
+  def livePath(layer: String, table: String): String =
+    currentVersion(layer, table) match {
+      case Some(v) => versionDir(layer, table, v).toString
+      case None => path(layer, table)
+    }
+
+  /** Live snapshot: pointer-resolved for versioned (overwritten) tables,
+    * flat directory for append-only ones.
+    */
   def read(layer: String, table: String): DataFrame =
-    spark.read.format(format).load(path(layer, table))
+    currentVersion(layer, table) match {
+      case Some(v) => readVersion(layer, table, v)
+      case None => spark.read.format(format).load(path(layer, table))
+    }
+
+  /** Time travel: any retained snapshot, with the schema it was written
+    * with (the Delta `versionAsOf` surface).
+    */
+  def readVersion(layer: String, table: String, version: Int): DataFrame =
+    spark.read.format(format).load(versionDir(layer, table, version).toString)
 
   def exists(layer: String, table: String): Boolean = {
     val p = new Path(path(layer, table))
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    hadoopFs(p).exists(p)
   }
 
   def append(df: DataFrame, layer: String, table: String,
@@ -58,24 +130,42 @@ final class TableCatalog(spark: SparkSession, root: String,
       .save(path(layer, table))
   }
 
-  /** Atomic full overwrite: write to `<table>.__tmp`, then rename over the
-    * live path. Readers see either the old or the new snapshot, never a
-    * partial write — the property Delta's log gave the reference.
+  /** ACID full overwrite via versioned pointer commit: write the snapshot
+    * to `_v/NNNNN`, fsync a temp pointer, rename it over `_CURRENT`
+    * (single-file rename — atomic on HDFS/local, and the copy-then-rename
+    * dance S3 committers use has the same visibility contract). Readers see
+    * either the old or the new version, never a mix; schema may change
+    * freely between versions (`overwriteSchema` semantics). Older versions
+    * beyond `keepVersions` are vacuumed AFTER the commit, so the previous
+    * snapshot always outlives in-flight readers of it.
     */
   def overwrite(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val live = new Path(path(layer, table))
-    val tmp = new Path(path(layer, table) + ".__tmp")
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val next = currentVersion(layer, table).getOrElse(
+      versions(layer, table).lastOption.getOrElse(0)) + 1
+    val target = versionDir(layer, table, next)
     val w = df.write.mode(SaveMode.Overwrite).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .save(tmp.toString)
-    val old = new Path(path(layer, table) + ".__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
+      .save(target.toString)
+    // atomic pointer swap
+    val ptr = pointerPath(layer, table)
+    val tmp = new Path(ptr.toString + ".__tmp")
+    val fs = hadoopFs(ptr)
+    val outStream = fs.create(tmp, true)
+    try {
+      outStream.write(f"$next%05d".getBytes(StandardCharsets.UTF_8))
+      outStream.hsync()
+    } finally outStream.close()
+    // FileContext rename with OVERWRITE replaces the pointer in one atomic
+    // step — no instant where _CURRENT is missing (a plain delete+rename
+    // would expose one to concurrent readers)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ptr.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retention vacuum — never touches the version just committed or the
+    // keepVersions-1 before it
+    versions(layer, table).dropRight(keepVersions)
+      .foreach(v => fs.delete(versionDir(layer, table, v), true))
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

@@ -28,7 +28,8 @@ class TableCatalogSpec extends SparkSpec {
     val df = Seq(("canarias", 1), ("peninsula", 2), ("peninsula", 3))
       .toDF("region", "v")
     cat.overwrite(df, "silver", "p", partitionBy = Seq("region"))
-    val dirs = new java.io.File(cat.path("silver", "p")).list().toSeq
+    val dirs = new java.io.File(
+      cat.livePath("silver", "p").stripPrefix("file:")).list().toSeq
     assert(dirs.exists(_.startsWith("region=canarias")))
     val q = cat.read("silver", "p").filter($"region" === "peninsula")
     assert(q.count() === 2)
@@ -53,6 +54,43 @@ class TableCatalogSpec extends SparkSpec {
     val back = spark.read.json(cat.path("export", "shards"))
     assert(back.count() === 100L)
     assert(back.agg(sum("id")).head.getLong(0) === 5050L)
+  }
+
+  test("reader isolation: in-flight reader keeps its snapshot across an overwrite") {
+    val cat = new TableCatalog(spark, tmpDir("cat-iso"))
+    cat.overwrite(Seq(1, 2, 3).toDF("x"), "gold", "iso")
+    // resolve the plan against v1 BEFORE the next commit
+    val inFlight = cat.read("gold", "iso")
+    assert(inFlight.count() === 3) // file listing pinned to v1
+    cat.overwrite(Seq(40, 50).toDF("x"), "gold", "iso")
+    // v1 is retained (keepVersions=2) → the stale reader still sees a
+    // CONSISTENT old snapshot, never a mix or a FileNotFound
+    assert(inFlight.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(cat.read("gold", "iso").as[Int].collect().sorted.toSeq === Seq(40, 50))
+  }
+
+  test("schema evolution on overwrite + time travel to the old schema") {
+    val cat = new TableCatalog(spark, tmpDir("cat-evo"))
+    cat.overwrite(Seq((1, "a")).toDF("x", "s"), "gold", "evo")
+    // overwriteSchema semantics (gold_batch_job.py:87): columns may be
+    // added, dropped, and retyped between snapshots
+    cat.overwrite(Seq((9L, true, 0.5)).toDF("x", "flag", "score"), "gold", "evo")
+    val live = cat.read("gold", "evo")
+    assert(live.columns.sorted.toSeq === Seq("flag", "score", "x"))
+    assert(live.schema("x").dataType.typeName === "long")
+    // the superseded snapshot remains readable with ITS schema
+    val v1 = cat.readVersion("gold", "evo", 1)
+    assert(v1.columns.sorted.toSeq === Seq("s", "x"))
+    assert(v1.schema("x").dataType.typeName === "integer")
+  }
+
+  test("retention: only keepVersions snapshots survive, pointer tracks the head") {
+    val cat = new TableCatalog(spark, tmpDir("cat-ret"), keepVersions = 2)
+    (1 to 4).foreach(i => cat.overwrite(Seq(i).toDF("x"), "gold", "r"))
+    assert(cat.currentVersion("gold", "r") === Some(4))
+    assert(cat.versions("gold", "r") === Seq(3, 4))
+    assert(cat.read("gold", "r").as[Int].collect().toSeq === Seq(4))
+    assert(cat.readVersion("gold", "r", 3).as[Int].collect().toSeq === Seq(3))
   }
 
   test("non-parquet catalog format roundtrips through append/overwrite") {
