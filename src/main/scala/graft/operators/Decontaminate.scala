@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share at least
+  * `minHits` distinct n-gram shingles with an evaluation/benchmark corpus,
+  * the standard pre-training hygiene step (eval answers leaking into
+  * training data inflate benchmark scores).
+  *
+  * Scale design: the benchmark side is small (10³–10⁷ shingles) next to a
+  * 100 TB corpus, and the corpus side must stay narrow:
+  *
+  *  - `flagContaminated` (exact): corpus shingles (8-byte hashes, same
+  *    kernel as the dedup family) stream through a BROADCAST join against
+  *    the benchmark shingle set — the corpus is never shuffled; only the
+  *    hit rows (matching shingles of contaminated docs) enter the per-doc
+  *    count exchange, which is tiny by construction.
+  *  - `flagContaminatedBloom`: when even the benchmark shingle set is too
+  *    big to broadcast as a join relation, a Bloom sketch of it (bits, not
+  *    a hash table) rides to executors inside a literal and each corpus
+  *    shingle costs a few hash probes (`bloom_might_contain_long`,
+  *    plans.BloomExpressions). False positives only — so the bloom pass is
+  *    a PREFILTER producing candidate docs, and the exact join re-verifies
+  *    just those. Output is identical to `flagContaminated` (spec-pinned);
+  *    the sketch only changes how much of the corpus survives to the
+  *    verify join.
+  */
+object Decontaminate {
+
+  /** Distinct shingle hashes of the benchmark corpus, one `s` per row. */
+  def benchmarkShingles(bench: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dedup.shingleSets(bench, n, idCol, textCol)
+      .select(explode(col("ss")).as("s")).distinct()
+
+  /** Exact contamination flags: (doc_id, n_hits) for corpus docs sharing
+    * ≥ `minHits` distinct shingles with `bench`.
+    */
+  def flagContaminated(corpus: DataFrame, bench: DataFrame, n: Int,
+      minHits: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bs = benchmarkShingles(bench, n, idCol, textCol)
+    val cs = Dedup.shingleSets(corpus, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    // shingle sets are distinct per doc, so count(*) counts distinct hits
+    cs.join(broadcast(bs), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Bloom-prefiltered contamination flags — result-identical to
+    * `flagContaminated`, constant executor memory on the benchmark side.
+    */
+  def flagContaminatedBloom(corpus: DataFrame, bench: DataFrame, n: Int,
+      minHits: Int, fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val bs = benchmarkShingles(bench, n, idCol, textCol)
+    // sketch build aggregates the SMALL side; the corpus never collects
+    val nShingles = math.max(bs.count(), 1L)
+    val bloom = bs.stat.bloomFilter("s", nShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val cs = Dedup.shingleSets(corpus, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    // bloom errors are one-sided (overcount only), so thresholding the
+    // bloom hit-count keeps every true positive — a safe candidate set
+    val candidates = cs
+      .filter(graft.plans.GraftColumns.bloomMightContainLong(lit(bytes), col("s")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits_bloom"))
+      .filter(col("n_hits_bloom") >= minHits)
+      .select(col("doc_id").as("__cand_id"))
+    val surviving = corpus.join(
+      candidates, col(idCol) === col("__cand_id"), "left_semi")
+    flagContaminated(surviving, bench, n, minHits, idCol, textCol)
+  }
+}

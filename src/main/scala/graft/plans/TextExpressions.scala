@@ -50,6 +50,8 @@ object GraftColumns {
     call_function("simhash_sig", hashes)
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+  def bloomMightContainLong(bloomBytes: Column, v: Column): Column =
+    call_function("bloom_might_contain_long", bloomBytes, v)
 }
 
 /** array<string> tokens → array<long> distinct hashes of the n-token

@@ -116,7 +116,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHashSig(args(0))),
     (new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (new FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
+      (args: Seq[Expression]) => BloomMightContainLong(args(0), args(1))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

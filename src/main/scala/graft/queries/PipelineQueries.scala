@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Clusters, Dedup, Packing, Quantize, Sampling, Splits, TfIdf}
+import graft.operators.{Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -394,8 +394,78 @@ object PipelineQueries {
              SELECT doc_id, lang, n_tokens, round(priority, 4) AS priority, rank
              FROM r WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Shared DuckDB fragment: benchmark = docs with doc_id % 19 = 0, corpus
+    * = the rest; hit counts of shared distinct 3-gram shingles.
+    */
+  private val decontOracle =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                               FOR i IN range(1, len(l) - 1)])
+                      END AS ss
+               FROM tok),
+        bset AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % 19 = 0),
+        corp AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id % 19 != 0)
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM corp c JOIN bset b USING (s)
+        GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1"""
+
+  /** Benchmark decontamination: docs sharing ≥5 distinct 3-gram shingles
+    * with the held-out "benchmark" slice (doc_id % 19 = 0) of the corpus.
+    */
+  private val decontaminate = NamedQuery(
+    "decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.flagContaminated(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0), n = 3, minHits = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(decontOracle))
+
+  /** Same contract through the Bloom-prefilter scale path — the sketch must
+    * be RESULT-INVISIBLE, so this runs under the identical oracle.
+    */
+  private val decontaminateBloom = NamedQuery(
+    "decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.flagContaminatedBloom(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0), n = 3, minHits = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(decontOracle))
+
+  /** Deterministic data mixture: per-source token budgets, docs taken in
+    * md5 order until each budget is spent (first doc crossing it included).
+    */
+  private val mixBudget = NamedQuery(
+    "mix_token_budget",
+    (s, d) =>
+      Mixture.tokenBudgetMix(Tables.documents(s, d),
+          budgets = Map("src0" -> 400L, "src1" -> 800L, "src2" -> 1000000L))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, source,
+                               CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+             c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                   FROM t)
+             SELECT doc_id, source, n_tokens FROM c
+             WHERE cum_before < CASE source WHEN 'src0' THEN 400
+                                            WHEN 'src1' THEN 800
+                                            WHEN 'src2' THEN 1000000
+                                            ELSE 0 END
+             ORDER BY doc_id"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
-        sessionize, lengthPercentiles, sampleWeighted)
+        sessionize, lengthPercentiles, sampleWeighted,
+        decontaminate, decontaminateBloom, mixBudget)
 }
