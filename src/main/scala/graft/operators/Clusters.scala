@@ -33,20 +33,25 @@ object Clusters {
     * pairs), so when the deduped edge list is at most
     * `driverFallbackEdges` the graph is collected and solved with
     * in-memory union-find — one job instead of 2 per propagation round.
-    * Above the threshold the distributed min-label loop runs; results are
+    * The size check IS the collect: a limit(threshold+1) probe either
+    * returns the complete edge list (small case — no separate count job)
+    * or short-circuits after threshold+1 rows (big case — cheaper than a
+    * full count) and the distributed min-label loop runs. Results are
     * identical (both emit min-reachable-id) and both paths are spec-pinned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 15, driverFallbackEdges: Long = 4000000L): DataFrame = {
+    require(driverFallbackEdges < Int.MaxValue, "fallback threshold must fit an Int")
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
                            col(bCol).cast("long").as("dst"))
     // symmetrize once; distinct keeps the per-round join input minimal
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false)
 
-    val edgeCount = edges.count()
-    if (edgeCount <= driverFallbackEdges)
-      return unionFindLocal(edges, pairs.sparkSession)
+    val probe = edges.limit(driverFallbackEdges.toInt + 1).collect()
+    if (probe.length <= driverFallbackEdges)
+      return unionFindLocal(probe.map(r => (r.getLong(0), r.getLong(1))),
+        pairs.sparkSession)
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -83,10 +88,9 @@ object Clusters {
     * collected edge list; representative = min id, matching the
     * distributed path exactly.
     */
-  private def unionFindLocal(edges: DataFrame,
+  private def unionFindLocal(es: Array[(Long, Long)],
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = edges.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
