@@ -211,7 +211,56 @@ object DomainQueries {
                    TRUE AS p99_within_2pct
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** k-anonymity privacy gate (operators.Privacy): keep only events whose
+    * user appears ≥ 55 times — rare users are the re-identifiable ones.
+    */
+  private val privacyK = NamedQuery(
+    "privacy_k_anonymous",
+    (s, d) =>
+      graft.operators.Privacy.kAnonymous(
+          Tables.events(s, d), col("user_id"), k = 55L)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              GROUP BY 1 HAVING count(*) >= 55)
+            ORDER BY event_id"""))
+
+  /** Single-pass column profile (operators.Profile) over four lineitem
+    * columns of three different types — ANALYZE as a query.
+    */
+  private val profileLineitem = NamedQuery(
+    "profile_lineitem",
+    (s, d) =>
+      graft.operators.Profile.tableProfile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("column_name")),
+    Some("""SELECT 'l_orderkey' AS column_name, count(*) AS n,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT l_orderkey) AS n_distinct,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_quantity),
+                   CAST(min(l_quantity) AS VARCHAR),
+                   CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_returnflag),
+                   CAST(min(l_returnflag) AS VARCHAR),
+                   CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', count(*),
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_shipdate),
+                   CAST(min(l_shipdate) AS VARCHAR),
+                   CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+            ORDER BY column_name"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
-      approxStats)
+      approxStats, privacyK, profileLineitem)
 }

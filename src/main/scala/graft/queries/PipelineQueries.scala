@@ -463,9 +463,30 @@ object PipelineQueries {
                                             ELSE 0 END
              ORDER BY doc_id"""))
 
+  /** Gopher-style within-doc repetition stats: bigram totals, distinct
+    * fraction, and the top bigram's share (operators.Repetition).
+    */
+  private val repetition = NamedQuery(
+    "text_repetition",
+    (s, d) =>
+      graft.operators.Repetition.bigramStats(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             bg AS (SELECT doc_id,
+                           unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS b
+                    FROM tok WHERE len(l) >= 2),
+             cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+             st AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                           count(*) AS n_distinct, max(n) AS top_n
+                    FROM cnt GROUP BY 1)
+             SELECT doc_id, n_bigrams, n_distinct,
+                    round(n_distinct * 1.0 / n_bigrams, 4) AS distinct_frac,
+                    round(top_n * 1.0 / n_bigrams, 4) AS top_frac
+             FROM st ORDER BY doc_id"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         sessionize, lengthPercentiles, sampleWeighted,
-        decontaminate, decontaminateBloom, mixBudget)
+        decontaminate, decontaminateBloom, mixBudget, repetition)
 }
