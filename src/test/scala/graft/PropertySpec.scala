@@ -88,4 +88,53 @@ class PropertySpec extends SparkSpec {
         (a, b) => a >= b), x => x))
     assert(bad.count() === 0)
   }
+
+  private val keyedRows = sample(Gen.listOfN(500, for {
+    key <- Gen.choose(0L, 40L)
+    v <- Gen.choose(0.0, 1.0)
+  } yield (key, v))).zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+
+  test("kAnonymous: keep and suppress slices partition the input exactly") {
+    val df = keyedRows.toDF("id", "key", "v")
+    for (k <- Seq(1L, 5L, 20L, 1000L)) {
+      val kept = graft.operators.Privacy.kAnonymous(df, $"key", k)
+        .select("id").as[Long].collect().toSet
+      val supp = graft.operators.Privacy.kAnonymous(df, $"key", k, keep = false)
+        .select("id").as[Long].collect().toSet
+      assert(kept.intersect(supp).isEmpty, s"k=$k overlap")
+      assert((kept ++ supp).size === keyedRows.size, s"k=$k not a partition")
+      // k=1 keeps everything
+      if (k == 1L) assert(supp.isEmpty)
+    }
+  }
+
+  test("decontamination hits shrink monotonically with minHits and with a smaller bench") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter($"doc_id" % 19 === 0)
+    val corpus = docs.filter($"doc_id" % 19 =!= 0)
+    def flagged(minHits: Int, b: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Decontaminate.flagContaminated(corpus, b, 3, minHits)
+        .select("doc_id").as[Long].collect().toSet
+    val at3 = flagged(3, bench); val at5 = flagged(5, bench); val at9 = flagged(9, bench)
+    assert(at9.subsetOf(at5) && at5.subsetOf(at3))
+    // shrinking the benchmark can only shrink the flag set at fixed minHits
+    val smaller = flagged(5, bench.filter($"doc_id" % 38 === 0))
+    assert(smaller.subsetOf(at5))
+    assert(at3.nonEmpty)
+  }
+
+  test("tokenBudgetMix: per-source spend covers the budget, overshoot bounded by one doc") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budgets = Map("src0" -> 300L, "src1" -> 700L)
+    val mix = graft.operators.Mixture.tokenBudgetMix(docs, budgets)
+      .groupBy("source").agg(sum("n_tokens").as("spent"),
+        max("n_tokens").as("biggest"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    for ((src, budget) <- budgets; (spent, biggest) <- mix.get(src)) {
+      assert(spent >= math.min(budget, 1L), s"$src underspent")
+      assert(spent < budget + biggest, s"$src overshot by more than one doc")
+    }
+    assert(mix.keySet === budgets.keySet)
+  }
 }
