@@ -299,6 +299,34 @@ object PipelineQueries {
     Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS total
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Salted equi JOIN — result-identical to the plain join (the oracle IS
+    * the plain join): the skewed fact side scatters each hot event_type
+    * over 16 sub-keys, the 5-row dim side replicates to all of them.
+    * Events above their type's mean value, re-aggregated for a compact
+    * deterministic output.
+    */
+  private val skewSaltedJoin = NamedQuery(
+    "skew_salted_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dims = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      graft.operators.Skew.saltedJoin(ev, dims, Seq("event_type"))
+        .filter(col("value") > col("type_avg"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_above"),
+             round(sum(col("value")), 2).as("sum_above"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dims AS (SELECT event_type, avg(value) AS type_avg
+                          FROM events GROUP BY 1)
+            SELECT e.event_type, count(*) AS n_above,
+                   round(sum(e.value), 2) AS sum_above
+            FROM events e JOIN dims d ON e.event_type = d.event_type
+            WHERE e.value > d.type_avg
+            GROUP BY 1 ORDER BY 1"""))
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * a >30 min silence. Gap comparison in integer microseconds — no
     * floating-point boundary disagreements between engines.
@@ -487,6 +515,6 @@ object PipelineQueries {
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
-        sessionize, lengthPercentiles, sampleWeighted,
+        skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition)
 }
