@@ -109,6 +109,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles.size <= 3, s"corpus assignment shuffled: $shuffles\n$plan")
   }
 
+  test("profile_lineitem: per-column branches, never the multi-distinct Expand") {
+    // N count_distinct in ONE aggregation plans through Expand (N x row
+    // multiplication before the shuffle) — the 31x regression this guards
+    val plan = planString(run("profile_lineitem"))
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("decontaminate: benchmark side broadcasts; corpus is never sort-merge joined") {
+    val plan = planString(run("decontaminate"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_repetition: both aggregations keep map-side partials") {
+    val plan = planString(run("text_repetition"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack_sequences: the corpus-wide window is partitioned (two-phase scan)") {
     val df = graft.operators.Packing.packSequences(
       graft.Tables.documents(spark, sf), capacity = 2048)
