@@ -1,0 +1,54 @@
+package graft
+
+import graft.tools.PlanAudit
+
+/** The inventory-wide scale-shape gate: every driver query's executed plan
+  * must be free of cartesians/Expand/single-partition exchanges/nested-loop
+  * joins EXCEPT where the shape is the operator's definition. The accepted
+  * map documents each exception; a new query (or a plan regression) with an
+  * unlisted flag fails here.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // query -> (accepted flags, why)
+  private val accepted: Map[String, (Set[String], String)] = Map(
+    "gold_alerts" -> (Set("BroadcastNestedLoopJoin"),
+      "broadcast theta distance join — the intended plan; grid-bucketed rewrite is the non-broadcast path"),
+    "q10_cross_join_small" -> (Set("BroadcastNestedLoopJoin"),
+      "the operator IS a cross join of a 25-row dim (SURVEY J1)"),
+    "q18_rollup" -> (Set("Expand"),
+      "rollup is defined by grouping-set Expand"),
+    "q19_cube" -> (Set("Expand"),
+      "cube is defined by grouping-set Expand"),
+    "q25_conditional_kpi" -> (Set("SinglePartitionExchange"),
+      "global one-row aggregate: the final combine of partials is one tiny partition"),
+    "pack_sequences" -> (Set("SinglePartitionExchange"),
+      "two-phase scan: the offsets window runs over ONE ROW PER PARTITION, not the data"),
+    "profile_lineitem" -> (Set("SinglePartitionExchange"),
+      "per-column global aggregates: final combine of partials, one row each"),
+    "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
+      "1-row broadcast seed-array attach; the corpus join itself is hash equi"),
+    "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
+      "brute force = broadcast queries x corpus scan by definition"),
+    "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row corpus-count broadcast attach + its global count combine"))
+
+  test("no driver query carries an unaccepted scale-hostile plan shape") {
+    val results = PlanAudit.audit(spark, "/root/testdata/sf0.001")
+    val errors = results.filter(_.error.isDefined)
+    assert(errors.isEmpty, errors.mkString("\n"))
+    val unexpected = results.filter { a =>
+      val ok = accepted.get(a.name).map(_._1).getOrElse(Set.empty)
+      (a.flags -- ok).nonEmpty
+    }
+    assert(unexpected.isEmpty,
+      "unaccepted plan flags:\n" + unexpected.map(a =>
+        s"  ${a.name}: ${a.flags.mkString(",")}").mkString("\n"))
+    // stale-acceptance check: every accepted entry must still be real
+    val byName = results.map(a => a.name -> a.flags).toMap
+    val stale = accepted.collect {
+      case (n, (fs, _)) if (fs -- byName.getOrElse(n, Set.empty)).nonEmpty => n
+    }
+    assert(stale.isEmpty, s"acceptances no longer needed (remove them): $stale")
+  }
+}
