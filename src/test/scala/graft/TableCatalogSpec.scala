@@ -93,6 +93,21 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.readVersion("gold", "r", 3).as[Int].collect().toSeq === Seq(3))
   }
 
+  test("crash recovery: an orphaned version dir (write died before commit) is harmless") {
+    val cat = new TableCatalog(spark, tmpDir("cat-crash"))
+    cat.overwrite(Seq(1).toDF("x"), "gold", "c") // v1 committed
+    // simulate a writer that died AFTER writing _v/00002 but BEFORE the
+    // pointer swap: data exists, _CURRENT still says 1
+    Seq(99).toDF("x").write.parquet(
+      cat.path("gold", "c") + "/_v/00002")
+    assert(cat.currentVersion("gold", "c") === Some(1))
+    assert(cat.read("gold", "c").as[Int].collect().toSeq === Seq(1)) // reader unaffected
+    // next overwrite claims version 2 again, replacing the orphan atomically
+    cat.overwrite(Seq(2).toDF("x"), "gold", "c")
+    assert(cat.currentVersion("gold", "c") === Some(2))
+    assert(cat.read("gold", "c").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("non-parquet catalog format roundtrips through append/overwrite") {
     val cat = new TableCatalog(spark, tmpDir("cat-json"), format = "json")
     cat.append(Seq((1L, "a")).toDF("id", "v"), "silver", "j")
