@@ -103,4 +103,28 @@ object Multimodal {
                         i -> i % $stride = 0),
                  i -> substring(payload, i * 64 + 1, 64))"""))
       .withColumn("n_sampled_frames", size(col("frames")))
+
+  /** Per-sampled-frame feature rows: (media_id, frame_idx, frame_len,
+    * mean_byte) for every non-empty `stride`-th frame — the per-frame
+    * feature table a video pipeline feeds an encoder, as pure codegen HOFs
+    * (explode the frame-index sequence, slice, fold). `frame_idx` is the
+    * ORIGINAL frame number, so downstream can align features to timestamps.
+    * The byte stats stand in for a real per-frame decode, same stub
+    * contract as `decodeStub`.
+    */
+  def frameStats(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("s", col("payload").cast("string"))
+      .select(col("media_id"), col("s"),
+        explode(expr(
+          s"filter(sequence(0, int(length(s) / 64)), i -> i % $stride = 0)"
+        )).as("frame_idx"))
+      .withColumn("f", expr("substring(s, frame_idx * 64 + 1, 64)"))
+      .filter(length(col("f")) > 0)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("f")).as("frame_len"),
+        round(
+          expr("aggregate(transform(sequence(1, length(f)), " +
+            "i -> ascii(substring(f, i, 1))), 0L, (a, x) -> a + x)")
+            / length(col("f")), 4).as("mean_byte"))
 }

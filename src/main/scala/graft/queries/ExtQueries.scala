@@ -282,8 +282,33 @@ object ExtQueries {
                    CAST((strlen(text) // 64) // 4 + 1 AS INT) AS n_sampled_frames
             FROM documents ORDER BY media_id"""))
 
+  /** Per-frame features of the sampled frames — frame index, length, mean
+    * byte (the ord-arithmetic trick of multimodal_meta, per frame).
+    */
+  private val mmFrameStats = NamedQuery(
+    "multimodal_frame_stats",
+    (s, d) => {
+      val media = Multimodal.fromBinaryColumn(
+        Tables.documents(s, d), "doc_id", "text", "video")
+      Multimodal.frameStats(media, stride = 4)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""WITH idx AS (SELECT doc_id AS media_id, text,
+                   unnest([i FOR i IN range(0, strlen(text) // 64 + 1) IF i % 4 = 0]) AS frame_idx
+                 FROM documents),
+            fr AS (SELECT media_id, frame_idx,
+                          substring(text, frame_idx * 64 + 1, 64) AS f
+                   FROM idx),
+            nz AS (SELECT * FROM fr WHERE strlen(f) > 0)
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(strlen(f) AS INT) AS frame_len,
+                   round(list_reduce(list_transform(string_split(f, ''),
+                           c -> CAST(ord(c) AS BIGINT)), (a, b) -> a + b)
+                         * 1.0 / strlen(f), 4) AS mean_byte
+            FROM nz ORDER BY media_id, frame_idx"""))
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash, dedupEmbedding,
     simTopK, simAnn, simIvf, centroid, textStats, textQuality, textLang,
-    mmMeta, mmFrames)
+    mmMeta, mmFrames, mmFrameStats)
 }

@@ -40,4 +40,19 @@ class MultimodalSpec extends SparkSpec {
     // 160 bytes → frames at offsets 0,64,128 (+ boundary) ; stride 2 keeps idx 0,2
     assert(s(0).getAs[Int]("n_sampled_frames") === 2)
   }
+
+  test("frameStats: original frame indices, clamped tail length, exact mean byte") {
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
+    val f = Multimodal.frameStats(media, stride = 2)
+      .orderBy($"media_id", $"frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // doc 1 (160 bytes of "abcd"…): stride-2 frames 0 (full 64) and 2
+    // (bytes 128..159 → 32); mean of repeating abcd = 98.5 for any
+    // 4-aligned window. doc 2 ("x"): frame 0 of length 1, mean 120.
+    // doc 3 (""): no frames.
+    assert(f.toSeq === Seq(
+      (1L, 0, 64, 98.5),
+      (1L, 2, 32, 98.5),
+      (2L, 0, 1, 120.0)))
+  }
 }
