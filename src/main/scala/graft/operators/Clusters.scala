@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * (dense blobs around a template, diameter ≲ 4), so 3-5 rounds settle
   * real corpora. Each round is `localCheckpoint`ed: iterative plans
   * otherwise grow lineage exponentially and re-execute the whole history
-  * every round. For adversarially deep graphs (long chains), swap the loop
-  * body for the large-star/small-star rewrite [Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"] — same per-round cost, O(log²n)
-  * rounds; not needed for the dedup workload this serves.
+  * every round. For adversarially deep graphs (long chains), use
+  * `connectedComponentsStar` — the large-star/small-star rewrite [Kiveris
+  * et al.] with O(log² n) rounds at the same per-round cost; the min-label
+  * loop stays the default because dedup blobs converge in fewer passes.
   */
 object Clusters {
 
@@ -82,6 +82,84 @@ object Clusters {
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star/small-star rewrites
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] — O(log² n) rounds on ANY graph shape, vs the min-label
+    * loop's O(diameter). Use this when components may be long chains
+    * (entity-resolution graphs, link graphs) rather than the shallow blobs
+    * near-dup dedup produces.
+    *
+    *  - large-star: every neighbor v > u of u re-points to m(u) = min of
+    *    u's closed neighborhood — strictly per-round: one agg + one join.
+    *  - small-star: every neighbor v ≤ u (and u itself) points to m⁻(u) =
+    *    min over the ≤-neighborhood — same cost shape.
+    *
+    * Both steps preserve connectivity and only ever decrease edge
+    * endpoints; the fixpoint is a star forest where every node points at
+    * its component's min. Each round is two agg+join passes over the edge
+    * list with `localCheckpoint` barriers (same per-round discipline as
+    * the min-label loop). Output matches `connectedComponents` exactly
+    * (spec-pinned, including deep-chain adversaries).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+                           col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // canonical undirected edges as (hi → lo); nodes carried as self-loops
+    // would complicate the stars, so track the node set separately
+    val nodes = fwd.select(col("u").as("node"))
+      .union(fwd.select(col("v").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    var edges = fwd
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(eager = false)
+
+    def checksum(e: DataFrame): java.math.BigDecimal =
+      e.agg(sum((col("u") * lit(31L) + col("v")).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+
+    var iter = 0
+    var converged = false
+    var prev = checksum(edges)
+    while (iter < maxIter && !converged) {
+      // ---- large-star: neighbors STRICTLY ABOVE u re-point to m(u)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+                least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(eager = false)
+      // ---- small-star: u and its ≤-neighbors re-point to the ≤-min
+      val symS = afterLarge.union(
+        afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val lower = symS.filter(col("v") < col("u"))
+      val minsS = lower.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = lower.join(minsS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(lower.join(minsS, "u").select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+                least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(eager = false)
+      edges = afterSmall
+      val cur = checksum(edges)
+      converged = cur == prev ||
+        (cur == null && prev == null) // empty edge set fixpoint
+      prev = cur
+      iter += 1
+    }
+    // star forest: every remaining (u, v) is node→its component min; nodes
+    // that lost all edges (singletons after rewrites) are their own min
+    nodes.join(edges.select(col("u").as("node"), col("v").as("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
   /** In-memory union-find (path compression + union-by-min) over a

@@ -45,6 +45,28 @@ class ClustersSpec extends SparkSpec {
     assert(fast === dist)
   }
 
+  test("large-star/small-star agrees with union-find on chains, blobs, and a random graph") {
+    // deep path (the min-label loop's worst case), a dense blob, a pair
+    val adversarial = ((0L until 64L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (200L, 202L), (201L, 202L), (202L, 203L)) ++
+      Seq((900L, 901L))).toDF("doc1", "doc2")
+    val star = Clusters.connectedComponentsStar(adversarial, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    val exact = Clusters.connectedComponents(adversarial, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    assert(star === exact)
+    // random graph, both orientations and dupes included
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter(p => p._1 != p._2).toDF("doc1", "doc2")
+    val starR = Clusters.connectedComponentsStar(pairs, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    val exactR = Clusters.connectedComponents(pairs, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    assert(starR === exactR)
+  }
+
   test("keepList drops all but one representative per cluster") {
     val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
