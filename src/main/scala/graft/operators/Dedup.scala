@@ -139,6 +139,80 @@ object Dedup {
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     graft.plans.GraftColumns.minhashSig(shingleArr, numHashes)
 
+  /** (doc_id, bucket) LSH band rows from a shingle table. Band → bucket =
+    * hash of that band's signature slice. Only (doc_id, bucket) ever
+    * enters a shuffle — never the shingle arrays, which at scale are the
+    * bulk of the bytes and would be copied ×bands.
+    */
+  private def bandedBuckets(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = sh.withColumn("sig",
+      minhashSignature(col("ss"), bands * rowsPerBand))
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        xxhash64(lit(bnd),
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bucket")
+      }: _*)).as("bucket"))
+  }
+
+  /** The INCREMENTAL dedup surface: build the LSH index of a corpus ONCE —
+    * `minhashLshIndex` (doc_id, bucket) band rows plus
+    * `minhashLshShingleStore` (doc_id, ss) for exact verification — write
+    * both partitioned/bucketed by their keys, then `minhashLshProbe` each
+    * incoming batch against them. Per batch the corpus-side cost is one
+    * bucket equi join against the index and a shingle-store join for the
+    * matched candidates only; the corpus text is never re-read. (This is
+    * the batch analogue of streaming near-dup dedup: index append +
+    * probe per micro-batch.)
+    */
+  def minhashLshIndex(docs: DataFrame, n: Int,
+      bands: Int = 32, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedBuckets(shingleSets(docs, n, idCol, textCol), bands, rowsPerBand)
+
+  /** (doc_id, ss) exact-verify side table for `minhashLshProbe`. */
+  def minhashLshShingleStore(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleSets(docs, n, idCol, textCol)
+
+  /** Near-dup pairs of `newDocs` against an indexed corpus:
+    * (doc1 = new id, doc2 = indexed id, exact jaccard ≥ threshold).
+    * Band parameters MUST match the ones the index was built with. Hot
+    * buckets (> maxBucket members in the index) are skipped, same recall
+    * trade as `minhashLshPairs`.
+    */
+  def minhashLshProbe(newDocs: DataFrame, index: DataFrame,
+      shingleStore: DataFrame, n: Int, threshold: Double,
+      bands: Int = 32, rowsPerBand: Int = 2, maxBucket: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newSh = shingleSets(newDocs, n, idCol, textCol)
+    val newBanded = bandedBuckets(newSh, bands, rowsPerBand)
+      .select(col("doc_id").as("doc1"), col("bucket"))
+    // at scale the bucket sizes live IN the index table; recomputing here
+    // is one aggregation over (doc_id, bucket) pairs
+    val coldBuckets = index.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+      .select("bucket")
+    val candidates = newBanded
+      .join(index.join(coldBuckets, "bucket")
+        .select(col("bucket"), col("doc_id").as("doc2")), "bucket")
+      .filter(col("doc1") =!= col("doc2"))
+      .select("doc1", "doc2")
+      .dropDuplicates("doc1", "doc2")
+    candidates
+      .join(newSh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
+      .join(shingleStore.select(col("doc_id").as("doc2"), col("ss").as("ss2")),
+        "doc2")
+      .withColumn("common",
+        graft.plans.GraftColumns.sortedIntersectSize(col("ss1"), col("ss2")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("ss1")) + size(col("ss2")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash + LSH banding near-dup pairs, verified against exact Jaccard.
     *
     * bands × rowsPerBand = numHashes. Two docs land in the same bucket when
@@ -156,19 +230,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 2, maxBucket: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val sh = shingleSets(docs, n, idCol, textCol)
-    val sig = sh.withColumn("sig", minhashSignature(col("ss"), numHashes))
-
-    // band → bucket hash (hash of that band's signature slice). Only
-    // (doc_id, band, bucket) enters the shuffle — never the shingle arrays,
-    // which at scale are the bulk of the bytes and would be copied ×bands.
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { bnd =>
-        xxhash64(lit(bnd),
-          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bucket")
-      }: _*)).as("bucket"))
+    val banded = bandedBuckets(sh, bands, rowsPerBand)
 
     val candidates = banded.groupBy(col("bucket"))
       .agg(collect_set(col("doc_id")).as("members"))

@@ -67,6 +67,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact) // exact-verify step ⇒ no false positives either
   }
 
+  test("incremental LSH: probe a new batch against the prebuilt index") {
+    // index docs 1-7 once
+    val index = Dedup.minhashLshIndex(docs, n = 3)
+    val store = Dedup.minhashLshShingleStore(docs, n = 3)
+    // new batch: a near-dup of indexed doc 3 + a novel doc
+    val batch = Seq(
+      (100L, "large scale data processing with spark requires careful partitioning design " +
+        "because shuffle volume dominates the cost of every join and aggregation " +
+        "when the cluster reads terabytes from object storage every single hour truly"),
+      (101L, "entirely new content about gardening tulips in the spring sunshine")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashLshProbe(batch, index, store, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((100L, 3L), (100L, 4L)))
+    assert(hits.forall(_._3 >= 0.5))
+    // probe result must agree with the full batch-pairs run restricted to
+    // (batch x corpus) — the incremental path is not allowed to lose pairs
+    val full = Dedup.minhashLshPairs(docs.union(batch), n = 3, threshold = 0.5)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a >= 100L) != (b >= 100L) }
+      .map { case (a, b) => if (a >= 100L) (a, b) else (b, a) }.toSet
+    assert(hits.map(h => (h._1, h._2)).toSet === full)
+  }
+
   test("simhash: exact dups at hamming 0; near-dups within budget; jaccard values match oracle op") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 12, blocks = 16)
       .select($"doc1", $"doc2", $"hamming").collect()
