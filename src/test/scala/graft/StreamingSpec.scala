@@ -158,6 +158,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("st3_b").count() === 1)
   }
 
+  test("streaming near-dup: incremental LSH probe per micro-batch via foreachBatch") {
+    implicit val sq = spark.sqlContext
+    // static corpus indexed ONCE (at scale: written bucketed tables)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashLshIndex(corpus, n = 3)
+      .localCheckpoint(true)
+    val store = graft.operators.Dedup.minhashLshShingleStore(corpus, n = 3)
+      .localCheckpoint(true)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (100L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (101L, "novel text with no counterpart in the indexed corpus whatsoever here"))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val found = graft.operators.Dedup
+          .minhashLshProbe(batch, index, store, n = 3, threshold = 0.5)
+          .select($"doc1", $"doc2").as[(Long, Long)].collect()
+        hits.synchronized { hits ++= found }
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(hits.toSet === Set((100L, 1L)))
+  }
+
   test("ST7: gap sessionization via flatMapGroupsWithState") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
