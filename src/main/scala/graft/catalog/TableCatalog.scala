@@ -58,9 +58,13 @@ final class TableCatalog(spark: SparkSession, root: String,
     else {
       val in = fs.open(ptr)
       try {
+        // read to EOF — a single read() may legally return a prefix, which
+        // would silently parse a truncated (stale) version number
+        val bos = new java.io.ByteArrayOutputStream(32)
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toInt)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim.toInt)
       } finally in.close()
     }
   }
@@ -107,6 +111,13 @@ final class TableCatalog(spark: SparkSession, root: String,
 
   def append(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
+    // appended files land in the flat dir, which the versioned read path
+    // ignores — appending to an overwritten table would be silent data
+    // loss, so refuse loudly (append-vs-snapshot is a per-table choice)
+    require(currentVersion(layer, table).isEmpty,
+      s"$layer/$table is snapshot-versioned (overwrite was used); " +
+        "append-mode and overwrite-mode tables are distinct — " +
+        "use overwrite, or a different table for the append stream")
     val w = df.write.mode(SaveMode.Append).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(path(layer, table))
@@ -166,6 +177,17 @@ final class TableCatalog(spark: SparkSession, root: String,
     // keepVersions-1 before it
     versions(layer, table).dropRight(keepVersions)
       .foreach(v => fs.delete(versionDir(layer, table, v), true))
+    // a previously-APPENDED table's flat files were superseded by the
+    // first versioned commit (read() follows the pointer); give them one
+    // commit cycle of grace for in-flight readers, then vacuum them too
+    if (next >= 2) {
+      val tableDir = new Path(path(layer, table))
+      fs.listStatus(tableDir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm != "_v" && !nm.startsWith("_CURRENT"))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

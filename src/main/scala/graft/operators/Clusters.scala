@@ -33,11 +33,10 @@ object Clusters {
     * pairs), so when the deduped edge list is at most
     * `driverFallbackEdges` the graph is collected and solved with
     * in-memory union-find — one job instead of 2 per propagation round.
-    * The size check IS the collect: a limit(threshold+1) probe either
-    * returns the complete edge list (small case — no separate count job)
-    * or short-circuits after threshold+1 rows (big case — cheaper than a
-    * full count) and the distributed min-label loop runs. Results are
-    * identical (both emit min-reachable-id) and both paths are spec-pinned.
+    * The size gate is a limit(threshold+1) count — it short-circuits on
+    * big graphs instead of scanning every edge, and nothing is collected
+    * to the driver unless the list is already known to be small. Results
+    * are identical on both paths (min-reachable-id), spec-pinned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 15, driverFallbackEdges: Long = 4000000L): DataFrame = {
@@ -48,9 +47,15 @@ object Clusters {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false)
 
-    val probe = edges.limit(driverFallbackEdges.toInt + 1).collect()
-    if (probe.length <= driverFallbackEdges)
-      return unionFindLocal(probe.map(r => (r.getLong(0), r.getLong(1))),
+    // size gate: a LIMIT-bounded count short-circuits on big graphs without
+    // a full scan, and — unlike collecting the probe rows — never pulls
+    // millions of Rows onto the driver just to discard them; the collect
+    // below only happens once the edge list is known to be small
+    val probeCount = edges.select(lit(1))
+      .limit(driverFallbackEdges.toInt + 1).count()
+    if (probeCount <= driverFallbackEdges)
+      return unionFindLocal(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))),
         pairs.sparkSession)
 
     var labels = edges.select(col("src").as("node")).distinct()
@@ -117,8 +122,12 @@ object Clusters {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(eager = false)
 
+    // set fingerprint: sum of a 64-bit hash per canonical edge — two
+    // DIFFERENT edge sets colliding needs a ~2^-64 event, unlike the
+    // linear 31u+v form where one removed duplicate can offset a rewrite
+    // (ids may be negative, so linear terms cancel adversarially)
     def checksum(e: DataFrame): java.math.BigDecimal =
-      e.agg(sum((col("u") * lit(31L) + col("v")).cast("decimal(38,0)")))
+      e.agg(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
         .head.getDecimal(0)
 
     var iter = 0
@@ -156,8 +165,13 @@ object Clusters {
       iter += 1
     }
     // star forest: every remaining (u, v) is node→its component min; nodes
-    // that lost all edges (singletons after rewrites) are their own min
-    nodes.join(edges.select(col("u").as("node"), col("v").as("cluster_id")),
+    // that lost all edges (singletons after rewrites) are their own min.
+    // The groupBy-min guarantees ONE row per node even if maxIter cut the
+    // loop before a perfect star formed (then labels are best-effort mins,
+    // never duplicated rows)
+    nodes.join(
+        edges.select(col("u").as("node"), col("v").as("cluster_id"))
+          .groupBy("node").agg(min(col("cluster_id")).as("cluster_id")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }

@@ -39,12 +39,22 @@ object Decontaminate {
     */
   def flagContaminated(corpus: DataFrame, bench: DataFrame, n: Int,
       minHits: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    flagAgainstShingles(corpus, benchmarkShingles(bench, n, idCol, textCol),
+      n, minHits, idCol, textCol)
+
+  /** Exact flags against an already-built benchmark shingle set — both
+    * entry points share this so the bloom path never re-tokenizes the
+    * benchmark, and a PREBUILT shingle table (written once, probed by many
+    * corpus sweeps) plugs straight in.
+    */
+  def flagAgainstShingles(corpus: DataFrame, benchShingles: DataFrame,
+      n: Int, minHits: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bs = benchmarkShingles(bench, n, idCol, textCol)
     val cs = Dedup.shingleSets(corpus, n, idCol, textCol)
       .select(col("doc_id"), explode(col("ss")).as("s"))
     // shingle sets are distinct per doc, so count(*) counts distinct hits
-    cs.join(broadcast(bs), "s")
+    cs.join(broadcast(benchShingles), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
@@ -56,7 +66,10 @@ object Decontaminate {
       minHits: Int, fpp: Double = 0.01, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    // one benchmark tokenize for the sketch, the count, AND the verify —
+    // localCheckpoint barriers the reuse (the count materializes it)
     val bs = benchmarkShingles(bench, n, idCol, textCol)
+      .localCheckpoint(eager = false)
     // sketch build aggregates the SMALL side; the corpus never collects
     val nShingles = math.max(bs.count(), 1L)
     val bloom = bs.stat.bloomFilter("s", nShingles, fpp)
@@ -76,6 +89,6 @@ object Decontaminate {
       .select(col("doc_id").as("__cand_id"))
     val surviving = corpus.join(
       candidates, col(idCol) === col("__cand_id"), "left_semi")
-    flagContaminated(surviving, bench, n, minHits, idCol, textCol)
+    flagAgainstShingles(surviving, bs, n, minHits, idCol, textCol)
   }
 }

@@ -21,6 +21,9 @@ object Privacy {
     val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
     val qualifying = counts.filter(
       if (keep) col("__n") >= k else col("__n") < k).select(col("__k"))
-    df.join(qualifying, key === col("__k"), "left_semi")
+    // null-safe equality: NULL is a real key (groupBy counts it as one
+    // group); a plain === would silently drop null-key rows from BOTH
+    // slices and break the keep/suppress partition contract
+    df.join(qualifying, key <=> col("__k"), "left_semi")
   }
 }

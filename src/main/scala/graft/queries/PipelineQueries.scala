@@ -301,30 +301,34 @@ object PipelineQueries {
 
   /** Salted equi JOIN — result-identical to the plain join (the oracle IS
     * the plain join): the skewed fact side scatters each hot event_type
-    * over 16 sub-keys, the 5-row dim side replicates to all of them.
-    * Events above their type's mean value, re-aggregated for a compact
-    * deterministic output.
+    * over 16 sub-keys, the 5-row dim side replicates to all of them. The
+    * dim carries STATIC per-type thresholds (config, not an aggregate) so
+    * the filter boundary is a literal — a computed avg threshold would
+    * ride on engine-specific summation order and make the strict
+    * comparison 1-ulp flaky between Spark and the oracle.
     */
   private val skewSaltedJoin = NamedQuery(
     "skew_salted_join",
     (s, d) => {
+      import s.implicits._
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-      val dims = ev.groupBy(col("event_type"))
-        .agg(avg(col("value")).as("type_avg"))
+      val dims = Seq(("click", 60.0), ("error", 75.0), ("purchase", 50.0),
+        ("signup", 40.0), ("view", 55.0)).toDF("event_type", "threshold")
       graft.operators.Skew.saltedJoin(ev, dims, Seq("event_type"))
-        .filter(col("value") > col("type_avg"))
+        .filter(col("value") > col("threshold"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_above"),
              round(sum(col("value")), 2).as("sum_above"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH dims AS (SELECT event_type, avg(value) AS type_avg
-                          FROM events GROUP BY 1)
+    Some("""WITH dims(event_type, threshold) AS (
+              VALUES ('click', 60.0), ('error', 75.0), ('purchase', 50.0),
+                     ('signup', 40.0), ('view', 55.0))
             SELECT e.event_type, count(*) AS n_above,
                    round(sum(e.value), 2) AS sum_above
             FROM events e JOIN dims d ON e.event_type = d.event_type
-            WHERE e.value > d.type_avg
+            WHERE e.value > d.threshold
             GROUP BY 1 ORDER BY 1"""))
 
   /** Batch sessionization (gaps-and-islands): a new session starts after

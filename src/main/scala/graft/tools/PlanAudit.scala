@@ -42,7 +42,8 @@ object PlanAudit {
         ).collect { case (f, true) => f }.toSet
         Audit(name, nExchange, flags, None)
       } catch {
-        case e: Throwable => Audit(name, -1, Set.empty, Some(e.getMessage))
+        case scala.util.control.NonFatal(e) =>
+          Audit(name, -1, Set.empty, Some(e.toString))
       }
     }
 

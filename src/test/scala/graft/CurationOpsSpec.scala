@@ -36,6 +36,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(suppressed === Set("bob", "carol"))
   }
 
+  test("Privacy.kAnonymous: NULL is a key — null rows partition like any other") {
+    val rows = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, None), (5L, None), (6L, Some("b")))
+      .toDF("id", "user")
+    val kept = Privacy.kAnonymous(rows, col("user"), k = 2)
+      .select("id").as[Long].collect().toSet
+    val supp = Privacy.kAnonymous(rows, col("user"), k = 2, keep = false)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L)) // the two null-key rows qualify
+    assert(supp === Set(6L))
+    assert(kept ++ supp === (1L to 6L).toSet) // nothing vanishes
+  }
+
   test("Profile.tableProfile: one row per column with exact stats") {
     val df = Seq(
       (1L, Some("a"), 1.5),

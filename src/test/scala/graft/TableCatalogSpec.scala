@@ -93,6 +93,26 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.readVersion("gold", "r", 3).as[Int].collect().toSeq === Seq(3))
   }
 
+  test("append to a snapshot-versioned table is refused (not silently invisible)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-mix"))
+    cat.overwrite(Seq(1).toDF("x"), "gold", "m")
+    val e = intercept[IllegalArgumentException] {
+      cat.append(Seq(2).toDF("x"), "gold", "m")
+    }
+    assert(e.getMessage.contains("snapshot-versioned"))
+  }
+
+  test("flat files of a previously-appended table are vacuumed after a grace commit") {
+    val cat = new TableCatalog(spark, tmpDir("cat-flat"))
+    cat.append(Seq(1, 2).toDF("x"), "silver", "f")
+    cat.overwrite(Seq(9).toDF("x"), "silver", "f") // v1: flat kept for in-flight readers
+    val dir = new java.io.File(cat.path("silver", "f"))
+    assert(dir.listFiles().exists(_.getName.endsWith(".parquet")))
+    cat.overwrite(Seq(10).toDF("x"), "silver", "f") // v2: flat vacuumed
+    assert(!dir.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(cat.read("silver", "f").as[Int].collect().toSeq === Seq(10))
+  }
+
   test("crash recovery: an orphaned version dir (write died before commit) is harmless") {
     val cat = new TableCatalog(spark, tmpDir("cat-crash"))
     cat.overwrite(Seq(1).toDF("x"), "gold", "c") // v1 committed
