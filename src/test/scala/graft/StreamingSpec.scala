@@ -209,6 +209,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(s => s.key == "a" && s.n_events == 1 && s.total_value == 5.0))
   }
 
+  test("ST7: a late event BRIDGES two open intervals into one session") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    def ev(key: String, sec: Long, v: Double) =
+      Sessionize.Event(key, new Timestamp(sec * 1000), v)
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 30000L)
+      .writeStream.format("memory").queryName("sess_bridge_sink")
+      .outputMode("append").start()
+    mem.addData(ev("a", 1000, 1.0), ev("a", 1050, 2.0)) // two intervals, 50s apart
+    q.processAllAvailable()
+    mem.addData(ev("a", 1025, 4.0)) // admissible (wm=1020), within gap of BOTH
+    q.processAllAvailable()
+    mem.addData(ev("b", 3000, 9.0)) // drive watermark past the merged close
+    q.processAllAvailable()
+    mem.addData(ev("b", 3001, 1.0)) // extra batch so the timeout pass runs
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_bridge_sink").as[Sessionize.Session].collect()
+      .filter(_.key == "a")
+    assert(got.length === 1, got.mkString(","))
+    assert(got.head.start.getTime === 1000000L && got.head.end.getTime === 1050000L)
+    assert(got.head.n_events === 3 && got.head.total_value === 7.0)
+  }
+
+  test("ST7: distant out-of-order event stays a separate session (no gluing)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    def ev(key: String, sec: Long, v: Double) =
+      Sessionize.Event(key, new Timestamp(sec * 1000), v)
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 30000L)
+      .writeStream.format("memory").queryName("sess_sep_sink")
+      .outputMode("append").start()
+    mem.addData(ev("a", 1000, 1.0), ev("a", 1200, 2.0)) // 200s apart: two intervals
+    q.processAllAvailable()
+    mem.addData(ev("a", 1185, 4.0)) // admissible (wm=1170); near 1200 ONLY
+    q.processAllAvailable()
+    mem.addData(ev("b", 3000, 9.0))
+    q.processAllAvailable()
+    mem.addData(ev("b", 3001, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_sep_sink").as[Sessionize.Session].collect()
+      .filter(_.key == "a").sortBy(_.start.getTime)
+    assert(got.length === 2, got.mkString(","))
+    assert(got(0).start.getTime === 1000000L && got(0).n_events === 1)
+    assert(got(1).start.getTime === 1185000L && got(1).end.getTime === 1200000L
+      && got(1).n_events === 2 && got(1).total_value === 6.0)
+  }
+
   test("ST7: watermark-admissible late event extends the session start backwards") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
