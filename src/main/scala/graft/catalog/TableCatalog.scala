@@ -152,7 +152,8 @@ final class TableCatalog(spark: SparkSession, root: String,
     */
   def overwrite(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val next = currentVersion(layer, table).getOrElse(
+    val prevCommitted = currentVersion(layer, table)
+    val next = prevCommitted.getOrElse(
       versions(layer, table).lastOption.getOrElse(0)) + 1
     val target = versionDir(layer, table, next)
     val w = df.write.mode(SaveMode.Overwrite).format(format)
@@ -179,8 +180,11 @@ final class TableCatalog(spark: SparkSession, root: String,
       .foreach(v => fs.delete(versionDir(layer, table, v), true))
     // a previously-APPENDED table's flat files were superseded by the
     // first versioned commit (read() follows the pointer); give them one
-    // commit cycle of grace for in-flight readers, then vacuum them too
-    if (next >= 2) {
+    // commit cycle of grace for in-flight readers, then vacuum them too.
+    // Keyed on a previously COMMITTED pointer, not the version number —
+    // an orphaned _v dir from a crashed writer must not skip the grace
+    // (until this commit, readers were still resolving the flat dir)
+    if (prevCommitted.isDefined) {
       val tableDir = new Path(path(layer, table))
       fs.listStatus(tableDir).foreach { st =>
         val nm = st.getPath.getName

@@ -33,10 +33,11 @@ object Clusters {
     * pairs), so when the deduped edge list is at most
     * `driverFallbackEdges` the graph is collected and solved with
     * in-memory union-find — one job instead of 2 per propagation round.
-    * The size gate is a limit(threshold+1) count — it short-circuits on
-    * big graphs instead of scanning every edge, and nothing is collected
-    * to the driver unless the list is already known to be small. Results
-    * are identical on both paths (min-reachable-id), spec-pinned.
+    * The size gate is one count() — which is also the job that
+    * materializes the lazy edge checkpoint every downstream path reuses,
+    * so it is not an extra scan — and nothing is collected to the driver
+    * unless the list is already known to be small. Results are identical
+    * on both paths (min-reachable-id), spec-pinned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 15, driverFallbackEdges: Long = 4000000L): DataFrame = {
@@ -47,12 +48,11 @@ object Clusters {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false)
 
-    // size gate: a LIMIT-bounded count short-circuits on big graphs without
-    // a full scan, and — unlike collecting the probe rows — never pulls
-    // millions of Rows onto the driver just to discard them; the collect
-    // below only happens once the edge list is known to be small
-    val probeCount = edges.select(lit(1))
-      .limit(driverFallbackEdges.toInt + 1).count()
+    // size gate: the count doubles as the lazy checkpoint's materialization
+    // job (every downstream path reads those cached partitions), and —
+    // unlike collecting probe rows — nothing lands on the driver unless
+    // the edge list is already known to be small
+    val probeCount = edges.count()
     if (probeCount <= driverFallbackEdges)
       return unionFindLocal(
         edges.collect().map(r => (r.getLong(0), r.getLong(1))),
@@ -110,14 +110,17 @@ object Clusters {
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+    val raw = pairs.select(col(aCol).cast("long").as("u"),
                            col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-    // canonical undirected edges as (hi → lo); nodes carried as self-loops
-    // would complicate the stars, so track the node set separately
-    val nodes = fwd.select(col("u").as("node"))
-      .union(fwd.select(col("v").as("node"))).distinct()
+    // node set from the UNFILTERED pairs: a self-loop-only node is still a
+    // node and must come back as its own singleton cluster (parity with
+    // connectedComponents)
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
       .localCheckpoint(eager = false)
+    // canonical undirected edges as (hi → lo); self-loops carry no
+    // connectivity and would complicate the star rewrites
+    val fwd = raw.filter(col("u") =!= col("v"))
     var edges = fwd
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(eager = false)

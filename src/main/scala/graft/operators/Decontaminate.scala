@@ -28,11 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct shingle hashes of the benchmark corpus, one `s` per row. */
+  /** Distinct shingle hashes of the benchmark corpus, one `s` per row,
+    * plus a constant `shingle_n` column recording the width it was built
+    * with — so a PREBUILT table (the column survives a parquet round-trip)
+    * is checked against the probe's `n`; mismatched widths would otherwise
+    * join near-nothing and silently report a clean corpus.
+    */
   def benchmarkShingles(bench: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     Dedup.shingleSets(bench, n, idCol, textCol)
       .select(explode(col("ss")).as("s")).distinct()
+      .withColumn("shingle_n", lit(n))
 
   /** Exact contamination flags: (doc_id, n_hits) for corpus docs sharing
     * ≥ `minHits` distinct shingles with `bench`.
@@ -51,10 +57,18 @@ object Decontaminate {
   def flagAgainstShingles(corpus: DataFrame, benchShingles: DataFrame,
       n: Int, minHits: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val benchN: Option[Int] =
+      if (!benchShingles.columns.contains("shingle_n")) None
+      else benchShingles.select("shingle_n").head(1).headOption.map(_.getInt(0))
+    require(benchN.forall(_ == n),
+      s"benchmark shingle table was built with n=${benchN.get} but the " +
+        s"probe uses n=$n — mismatched widths join near-nothing and " +
+        "silently under-flag contamination")
+    val bs = benchShingles.select("s")
     val cs = Dedup.shingleSets(corpus, n, idCol, textCol)
       .select(col("doc_id"), explode(col("ss")).as("s"))
     // shingle sets are distinct per doc, so count(*) counts distinct hits
-    cs.join(broadcast(benchShingles), "s")
+    cs.join(broadcast(bs), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }

@@ -221,10 +221,13 @@ object DomainQueries {
           Tables.events(s, d), col("user_id"), k = 55L)
         .select(col("event_id"), col("user_id"))
         .orderBy(col("event_id")),
-    Some("""SELECT event_id, user_id FROM events
-            WHERE user_id IN (SELECT user_id FROM events
-                              GROUP BY 1 HAVING count(*) >= 55)
-            ORDER BY event_id"""))
+    // IS NOT DISTINCT FROM mirrors the engine's null-safe key join — a
+    // plain IN(subquery) would drop NULL-key rows the engine keeps
+    Some("""SELECT e.event_id, e.user_id FROM events e
+            JOIN (SELECT user_id FROM events
+                  GROUP BY 1 HAVING count(*) >= 55) q
+              ON e.user_id IS NOT DISTINCT FROM q.user_id
+            ORDER BY e.event_id"""))
 
   /** Single-pass column profile (operators.Profile) over four lineitem
     * columns of three different types — ANALYZE as a query.

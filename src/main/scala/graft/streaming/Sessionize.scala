@@ -68,7 +68,7 @@ object Sessionize {
           val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             val (closed, open) = state.get.intervals
-              .partition(_.lastTs + gapMs <= wm)
+              .partition(_.lastTs + gapMs < wm)
             rearm(open)
             closed.sortBy(_.start).map(emit).iterator
           } else {

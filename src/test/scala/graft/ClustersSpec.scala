@@ -65,6 +65,14 @@ class ClustersSpec extends SparkSpec {
     val exactR = Clusters.connectedComponents(pairs, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     assert(starR === exactR)
+    // a self-loop-only node is still a (singleton) node on both paths
+    val selfLoop = Seq((50L, 50L), (60L, 61L)).toDF("doc1", "doc2")
+    val s1 = Clusters.connectedComponentsStar(selfLoop, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    val s2 = Clusters.connectedComponents(selfLoop, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    assert(s1 === Map(50L -> 50L, 60L -> 60L, 61L -> 60L))
+    assert(s1 === s2)
   }
 
   test("keepList drops all but one representative per cluster") {

@@ -46,6 +46,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloomed.toSeq === exact.toSeq)
   }
 
+  test("prebuilt shingle table with a different n is refused, not silently empty") {
+    val bench = Seq((100L, "the exact answer is forty two obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "the exact answer is forty two obviously padded"))
+      .toDF("doc_id", "text")
+    val prebuilt = Decontaminate.benchmarkShingles(bench, n = 5)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.flagAgainstShingles(corpus, prebuilt, n = 3, minHits = 2)
+    }
+    assert(e.getMessage.contains("mismatched widths"))
+    // same-n prebuilt table works
+    val ok = Decontaminate.flagAgainstShingles(corpus,
+      Decontaminate.benchmarkShingles(bench, n = 3), n = 3, minHits = 2)
+    assert(ok.count() === 1)
+  }
+
   test("bloom_might_contain_long: no false negatives, bounded false positives") {
     graft.plans.GraftFunctions.ensure(spark)
     val members = (1L to 1000L).map(_ * 7919L)

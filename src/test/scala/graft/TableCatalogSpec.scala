@@ -113,6 +113,20 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.read("silver", "f").as[Int].collect().toSeq === Seq(10))
   }
 
+  test("orphaned version dir does not skip the flat-file grace commit") {
+    val cat = new TableCatalog(spark, tmpDir("cat-orphan-grace"))
+    cat.append(Seq(1, 2).toDF("x"), "silver", "og")
+    // crashed overwrite: version dir exists, pointer never committed —
+    // readers are STILL on the flat dir
+    Seq(99).toDF("x").write.parquet(cat.path("silver", "og") + "/_v/00001")
+    cat.overwrite(Seq(9).toDF("x"), "silver", "og") // first COMMITTED version
+    val dir = new java.io.File(cat.path("silver", "og"))
+    // flat files must survive this commit (grace for in-flight flat readers)
+    assert(dir.listFiles().exists(_.getName.endsWith(".parquet")))
+    cat.overwrite(Seq(10).toDF("x"), "silver", "og")
+    assert(!dir.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("crash recovery: an orphaned version dir (write died before commit) is harmless") {
     val cat = new TableCatalog(spark, tmpDir("cat-crash"))
     cat.overwrite(Seq(1).toDF("x"), "gold", "c") // v1 committed
