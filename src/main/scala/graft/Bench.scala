@@ -24,18 +24,23 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // min of two timed runs: single-shot numbers on a shared box swing 2-3×
-    // from GC/scheduler noise; the min is the reproducible throughput figure
+    // from GC/scheduler noise; the min is the reproducible throughput figure.
+    // A failing query must NOT masquerade as a fast success: it reports -1
+    // (excluded from nothing — the consumer sees the negative marker) and
+    // the error goes to stderr.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: $e"); None
+        }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum // failed queries excluded
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,7 +28,8 @@ object Normalizer {
   def firesFromCsv(spark: SparkSession, path: String, region: String): Dataset[FireEvent] = {
     import spark.implicits._
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    requireColumns(raw, Seq("latitude", "longitude", "bright_ti4", "confidence"))
+    requireColumns(raw, Seq("latitude", "longitude", "bright_ti4", "confidence",
+      "acq_date", "acq_time"))
       .select(
         lit("NASA_VIIRS").as("source"),
         lit(region).as("region"),
@@ -36,9 +37,14 @@ object Normalizer {
         col("longitude").cast("double").as("lon"),
         col("bright_ti4").cast("double").as("temp_k"),
         col("confidence").cast("string").as("confidence"),
-        (unix_timestamp(concat_ws(" ", col("acq_date"),
-          format_string("%04d", col("acq_time"))), "yyyy-MM-dd HHmm"))
-          .cast("double").as("timestamp"))
+        // FIRMS acq times are UTC: an explicit +0000 offset in the pattern
+        // pins the parse regardless of session time zone (a zone-less
+        // unix_timestamp would shift the same CSV hours per deployment)
+        (unix_timestamp(
+          concat_ws(" ", col("acq_date"),
+            format_string("%04d", col("acq_time")), lit("+0000")),
+          "yyyy-MM-dd HHmm XX")
+          .cast("double")).as("timestamp"))
       .as[FireEvent]
   }
 

@@ -69,7 +69,7 @@ object Multimodal {
         if (i < 16) h = h * 31 + (payload(i) & 0xff)
         i += 1
       }
-      (sum.toDouble / payload.length, h, payload.length / 64 + 1)
+      (sum.toDouble / payload.length, h, (payload.length + 63) / 64)
     }
   }
 
@@ -98,9 +98,12 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.withColumn("frames",
+      // i * 64 < length guard: without it a payload whose length is an
+      // exact multiple of 64 (or empty) gains a phantom empty trailing
+      // frame, disagreeing with decodeStub's ceil(len/64) frame_count
       expr(s"""transform(
                  filter(sequence(0, int(length(payload) / 64)),
-                        i -> i % $stride = 0),
+                        i -> i % $stride = 0 AND i * 64 < length(payload)),
                  i -> substring(payload, i * 64 + 1, 64))"""))
       .withColumn("n_sampled_frames", size(col("frames")))
 

@@ -153,9 +153,13 @@ object Clusters {
         afterLarge.select(col("v").as("u"), col("u").as("v")))
       val lower = symS.filter(col("v") < col("u"))
       val minsS = lower.groupBy("u").agg(min(col("v")).as("m"))
+      // ONE join, both (v→m) and (u→m) rows exploded from it — a second
+      // identical shuffle join per round would double the dominant cost
       val afterSmall = lower.join(minsS, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .union(lower.join(minsS, "u").select(col("u").as("a"), col("m").as("b")))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
                 least(col("a"), col("b")).as("v"))

@@ -22,11 +22,14 @@ object Sampling {
   /** md5-prefix as a uniform value in [0, 16^6): the first 6 hex chars of
     * md5(key) compared lexicographically against the fraction cut. String
     * comparison of fixed-width lowercase hex == numeric comparison, and
-    * md5 is bit-identical everywhere.
+    * md5 is bit-identical everywhere. fraction = 1.0 maps to "g" — above
+    * every hex string — so a 100% sample is exactly the identity (clamping
+    * to ffffff would silently drop the 1-in-2^24 keys hashing to it).
     */
   private[operators] def hexCut(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    f"${math.floor(fraction * (1L << 24)).toLong min ((1L << 24) - 1)}%06x"
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * (1L << 24)).toLong}%06x"
   }
 
   /** First 6 hex chars of md5(key) — the shared uniform-value primitive. */

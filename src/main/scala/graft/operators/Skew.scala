@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic-output salt. NOT a row hash: the canonical hot key is a
+    * default-filled record duplicated verbatim, and identical rows hash
+    * identically — a row-hash salt would put the entire hot key back on
+    * one reducer. `rand(seed)` draws per-row from a per-partition-seeded
+    * stream: which salt a row gets depends on partition layout, but every
+    * salted operator here is salt-value-invariant (aggregates re-combine,
+    * joins replicate the other side to all salts), so results stay
+    * deterministic.
+    */
+  private def salt(saltFactor: Int): Column =
+    floor(rand(42) * saltFactor).cast("int")
+
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading a hot key over `saltFactor` reducers — then final combine
     * on the keys. `partials` maps each output column to its (partial,
@@ -22,8 +34,7 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltFactor: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", salt(saltFactor))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(keys.map(col): _*)
@@ -31,14 +42,13 @@ object Skew {
   }
 
   /** Salted equi join for a skewed LEFT side against a small-ish right
-    * side: left rows scatter over `saltFactor` sub-keys (deterministic
-    * hash of the whole row, no rand()), the right side replicates to every
-    * sub-key. Join output is row-identical to the plain equi join.
+    * side: left rows scatter over `saltFactor` sub-keys, the right side
+    * replicates to every sub-key. Join output is row-identical to the
+    * plain equi join for ANY salt assignment.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int = 16): DataFrame = {
-    val lsalt = pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor))
-    val l = left.withColumn("__salt", lsalt)
+    val l = left.withColumn("__salt", salt(saltFactor))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -498,30 +498,37 @@ object CoreQueries {
   private val q26 = NamedQuery(
     "q26_asof_join",
     (s, d) => {
+      // ordering by the (ms, event_id) STRUCT instead of an arithmetic
+      // ms*1e6+id composite: the packed form silently corrupts the order
+      // once event_id reaches 1e6 (any corpus beyond ~1M events); struct
+      // max is lexicographic and id-range-proof in both engines
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
-                (unix_millis(col("ts")) * lit(1000000L) + col("event_id")).as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("k"))
+                unix_millis(col("ts")).as("ms"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("last_click_k",
-          max(when(col("event_type") === "click", col("k"))).over(w))
-        .filter(col("event_type") === "purchase" && col("last_click_k").isNotNull)
+      ev.withColumn("lc",
+          max(when(col("event_type") === "click",
+            struct(col("ms").as("ms"), col("event_id").as("eid")))).over(w))
+        .filter(col("event_type") === "purchase" && col("lc").isNotNull)
         .select(col("event_id"), col("user_id"), r2(col("value")).as("purchase_value"),
-                col("last_click_k"))
+                col("lc.ms").as("last_click_ms"), col("lc.eid").as("last_click_id"))
         .orderBy(col("event_id"))
     },
     Some("""WITH u AS (
-              SELECT user_id, event_id, event_type, value,
-                     epoch_ms(ts)*1000000 + event_id AS k
+              SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms
               FROM events WHERE event_type IN ('click','purchase')),
             w AS (
-              SELECT *, max(CASE WHEN event_type='click' THEN k END)
-                OVER (PARTITION BY user_id ORDER BY k
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_k
+              SELECT *, max(CASE WHEN event_type='click'
+                                 THEN struct_pack(ms := ms, eid := event_id) END)
+                OVER (PARTITION BY user_id ORDER BY ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
               FROM u)
-            SELECT event_id, user_id, round(value,2) AS purchase_value, last_click_k
-            FROM w WHERE event_type='purchase' AND last_click_k IS NOT NULL
+            SELECT event_id, user_id, round(value,2) AS purchase_value,
+                   lc.ms AS last_click_ms, lc.eid AS last_click_id
+            FROM w WHERE event_type='purchase' AND lc IS NOT NULL
             ORDER BY event_id"""))
 
   // Pivot: long → wide on a bounded value list. Explicit values keep the

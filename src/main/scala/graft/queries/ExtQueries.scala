@@ -263,7 +263,8 @@ object ExtQueries {
                    round(list_reduce(list_transform(string_split(text, ''),
                            c -> CAST(ord(c) AS BIGINT)), (a, b) -> a + b)
                          * 1.0 / strlen(text), 4) AS mean_byte,
-                   strlen(text) // 64 + 1 AS frame_count
+                   CASE WHEN strlen(text) = 0 THEN 0
+                        ELSE (strlen(text) - 1) // 64 + 1 END AS frame_count
             FROM documents ORDER BY media_id"""))
 
   private val mmFrames = NamedQuery(
@@ -275,11 +276,14 @@ object ExtQueries {
         .select(col("media_id"), col("n_sampled_frames"))
         .orderBy(col("media_id"))
     },
-    // stride arithmetic on the frame index sequence: frames are indices
-    // 0..len/64 inclusive with i % 4 = 0, so the count is len/64 // 4 + 1
+    // stride arithmetic on the frame index sequence: NON-EMPTY frames are
+    // indices 0..(len-1)/64 with i % 4 = 0, so the count is
+    // ((len-1)//64)//4 + 1 for len > 0 and 0 for an empty payload
     // (same strlen-as-bytes trick as multimodal_meta's oracle).
     Some("""SELECT doc_id AS media_id,
-                   CAST((strlen(text) // 64) // 4 + 1 AS INT) AS n_sampled_frames
+                   CAST(CASE WHEN strlen(text) = 0 THEN 0
+                             ELSE ((strlen(text) - 1) // 64) // 4 + 1
+                        END AS INT) AS n_sampled_frames
             FROM documents ORDER BY media_id"""))
 
   /** Per-frame features of the sampled frames — frame index, length, mean

@@ -48,7 +48,7 @@ object Sessionize {
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .withWatermark("ts", s"$gapMs milliseconds") // no integer-second truncation
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -78,7 +78,7 @@ object Sessionize {
             }
             // an interval already behind the watermark can never grow — close
             // it now rather than waiting for the next timeout pass
-            val (closed, open) = intervals.partition(_.lastTs + gapMs <= wm)
+            val (closed, open) = intervals.partition(_.lastTs + gapMs < wm)
             rearm(open)
             closed.sortBy(_.start).map(emit).iterator
           }

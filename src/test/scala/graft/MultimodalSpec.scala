@@ -37,8 +37,15 @@ class MultimodalSpec extends SparkSpec {
   test("frame sampling keeps every stride-th 64-byte frame") {
     val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
     val s = Multimodal.sampleFrames(media, stride = 2).orderBy($"media_id").collect()
-    // 160 bytes → frames at offsets 0,64,128 (+ boundary) ; stride 2 keeps idx 0,2
+    // 160 bytes → frames at offsets 0,64,128 ; stride 2 keeps idx 0,2
     assert(s(0).getAs[Int]("n_sampled_frames") === 2)
+    // empty payload: no frames (no phantom empty trailing frame)
+    assert(s(2).getAs[Int]("n_sampled_frames") === 0)
+    // exact multiple of 64: ceil semantics, consistent with decodeStub
+    val m128 = Multimodal.fromBinaryColumn(
+      Seq((9L, "ab" * 64)).toDF("doc_id", "text"), "doc_id", "text", "video")
+    val f128 = Multimodal.sampleFrames(m128, stride = 1).collect().head
+    assert(f128.getAs[Int]("n_sampled_frames") === 2) // 128 bytes = 2 frames, not 3
   }
 
   test("frameStats: original frame indices, clamped tail length, exact mean byte") {

@@ -24,6 +24,33 @@ class NormalizerSpec extends SparkSpec {
     assert(rows(0).timestamp === 1705329000.0)
   }
 
+  test("FIRMS timestamps are UTC regardless of session time zone") {
+    val dir = tmpDir("csv-tz")
+    Files.writeString(Paths.get(s"$dir/f.csv"),
+      """latitude,longitude,bright_ti4,confidence,acq_date,acq_time
+        |28.29,-16.51,350.0,h,2024-01-15,1430
+        |""".stripMargin)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = Normalizer.firesFromCsv(spark, s"$dir/f.csv", "x")
+        .collect().head.timestamp
+      assert(got === 1705329000.0) // same 2024-01-15 14:30 UTC epoch
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("CSV missing acq_date/acq_time fails fast with the missing set") {
+    val dir = tmpDir("csv-noacq")
+    Files.writeString(Paths.get(s"$dir/f.csv"),
+      """latitude,longitude,bright_ti4,confidence
+        |28.29,-16.51,350.0,h
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Normalizer.firesFromCsv(spark, s"$dir/f.csv", "x")
+    }
+    assert(e.getMessage.contains("acq_date") && e.getMessage.contains("acq_time"))
+  }
+
   test("requireColumns fails fast with the missing set") {
     val e = intercept[IllegalArgumentException] {
       Normalizer.requireColumns(Seq(1).toDF("x"), Seq("x", "lat", "lon"))

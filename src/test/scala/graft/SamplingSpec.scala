@@ -22,6 +22,12 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.length / 2000.0 - 0.2) < 0.05)
   }
 
+  test("hashBernoulli boundary fractions: 1.0 is the identity, 0.0 is empty") {
+    val df = (1L to 5000L).toDF("id")
+    assert(Sampling.hashBernoulli(df, col("id"), 1.0).count() === 5000L)
+    assert(Sampling.hashBernoulli(df, col("id"), 0.0).count() === 0L)
+  }
+
   test("hashBernoulli nests: 10% sample is a subset of the 20% sample") {
     val small = Sampling.hashBernoulli(docs, col("doc_id"), 0.1)
       .select("doc_id").as[Long].collect().toSet
