@@ -38,10 +38,22 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the JSON line short (log-tail capture
+    // truncated round 2's full-precision line and lost 8 entries), and ms
+    // precision is below the run-to-run noise floor anyway.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed queries excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces vs log truncation: the same line goes to a repo file
+    // the driver snapshots with the end-of-round commit.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(json)
     spark.stop()
   }
 }

@@ -41,6 +41,12 @@ object GoldJob {
     * Catalyst plans BroadcastNestedLoopJoin with the explicit broadcast hint
     * (same physical plan the reference's crossJoin+filter reached, minus the
     * unfiltered cross product in the logical plan).
+    *
+    * SMALL-DIM special case only: BNLJ cost is |fires|×|stations|, so this
+    * is correct while the deduped station side stays broadcast-sized (the
+    * reference's 32 stations). The pipeline default is `goldAlertsGrid`,
+    * whose cell-key equi join carries the same semantics at any station
+    * cardinality — `runCycle` uses it unconditionally.
     */
   def goldAlerts(fires: DataFrame, weather: DataFrame): DataFrame = {
     val lw = latestWeather(weather)
@@ -91,7 +97,9 @@ object GoldJob {
   def runCycle(catalog: TableCatalog): Boolean = {
     val fires = catalog.read("silver", "fire_events")
     val weather = catalog.read("silver", "weather_events")
+    // grid equi join, not the broadcast BNLJ: identical result set
+    // (GoldJobSpec pins equivalence) with no broadcast-size precondition.
     catalog.overwriteIfNonEmpty(
-      goldAlerts(fires, weather), "gold", "fire_risk_alerts")
+      goldAlertsGrid(fires, weather), "gold", "fire_risk_alerts")
   }
 }

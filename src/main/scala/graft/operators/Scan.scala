@@ -11,32 +11,54 @@ import org.apache.spark.sql.functions._
   * single worst scaling trap in Spark window usage. This operator runs the
   * textbook two-phase scan instead:
   *
-  *   1. range-partition by the order key (so partition i holds keys all
-  *      below partition i+1) and cumsum WITHIN each partition — a window
-  *      partitioned by `spark_partition_id()`, fully parallel;
-  *   2. aggregate one row per partition (its total), prefix-sum that tiny
+  *   1. bucket rows by equi-depth split points of the order key (one narrow
+  *      single-column aggregate computes the bounds; the bucket id is then a
+  *      PURE expression of the row) and cumsum WITHIN each bucket — a
+  *      window partitioned by the bucket id, fully parallel;
+  *   2. aggregate one row per bucket (its total), prefix-sum that tiny
   *      table (p rows ≈ thousands at most — driver-scale by construction),
-  *      and broadcast the per-partition offsets back.
+  *      and broadcast the per-bucket offsets back.
   *
-  * Net cost: one range exchange + one broadcast — same result as the
-  * single-task window at any scale.
+  * Because the bucket id is deterministic per row (not derived from a
+  * sampled exchange via `spark_partition_id`), the two consumers of the
+  * bucketed frame agree under ANY re-execution — no `localCheckpoint` / no
+  * pinned blocks, so the operator adds zero storage footprint at 100 TB
+  * (the earlier checkpoint-based variant transiently doubled it). Net
+  * cost: one extra column-pruned scan for the bounds + one hash exchange +
+  * one broadcast — same result as the single-task window at any scale.
   */
 object Scan {
 
   /** Adds `outCol` = sum of `value` over all rows with order key <= this
     * row's (inclusive running total in `order` order). `order` must be
-    * unique (ties would make "global order" ill-defined).
+    * unique (ties would make "global order" ill-defined) and of a type
+    * `percentile_approx` accepts (numeric / date / timestamp).
     */
   def cumulativeSum(df: DataFrame, order: Column, value: Column,
       outCol: String): DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    // localCheckpoint freezes the (sampled) range boundaries so the two
-    // consumers below see identical partitioning
-    val parted = df
-      .repartitionByRange(parts, order)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+    // Pass 1: p-1 equi-depth split points of the order key. Mergeable
+    // sketch → partial aggregation; the scan reads one column. Approximate
+    // bounds only skew bucket SIZES, never correctness — assignment below
+    // is monotone in `order` regardless of where the bounds fall.
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val bounds: Seq[Any] =
+      if (probs.isEmpty) Seq.empty
+      else {
+        val row = df
+          .agg(percentile_approx(order, array(probs.map(lit): _*), lit(10000))
+            .as("b"))
+          .head()
+        if (row.isNullAt(0)) Seq.empty else row.getSeq[Any](0)
+      }
+    // bucket id = #bounds strictly below this key — deterministic, monotone
+    // non-decreasing in `order`, so each bucket holds a contiguous range.
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(order > lit(b), 1).otherwise(0)
+    }
+    val parted = df.withColumn("__pid", pid)
+      .repartition(parts, col("__pid"))
     val local = parted.withColumn("__cum_local",
       sum(value).over(Window.partitionBy(col("__pid")).orderBy(order)))
     val offsets = parted.groupBy(col("__pid"))

@@ -555,28 +555,42 @@ object CoreQueries {
   // ---------------------------------------------------------------- gold
   // Flagship: the reference's entire Gold pipeline re-expressed over the
   // events table (gold_batch_job.py:22-90 / SURVEY §3.2): latest reading
-  // per station (W1 window dedup) → broadcast theta band join against
-  // incidents (J1+J2) → chained CASE risk classify (P6) → projection (P1).
-  // The dedup side is small by construction (one row per key) → broadcast;
-  // the band predicate prunes pairs at the join, so no unfiltered cross
-  // product ever materializes.
+  // per station (W1 window dedup) → banded theta join against incidents
+  // (J1+J2) → chained CASE risk classify (P6) → projection (P1).
+  //
+  // The band predicate |intensity − level| < 5 is planned as an EQUI join:
+  // each station hashes to band floor(level/5); each incident probes its
+  // own band ± 1 (any level within 5.0 of intensity must land in one of
+  // those three bands, and each station matches at most one probe, so no
+  // duplicate pairs). The exact predicate stays as the residual filter.
+  // This is the value-axis analogue of GoldJob.goldAlertsGrid: no
+  // nested-loop join anywhere, the small deduped side broadcasts via AQE
+  // today, and at station cardinalities past the broadcast threshold the
+  // same plan degrades to a sort-merge join on the band key instead of an
+  // |incidents|×|stations| loop.
   private val gold = NamedQuery(
     "gold_alerts",
     (s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_ms", unix_millis(col("ts")))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms").desc, col("event_id").desc)
+      val bandW = 5.0
       val stations = ev
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id").as("station_id"), col("value").as("level"),
                 col("ts_ms").as("level_ts_ms"))
+        .withColumn("band", floor(col("level") / bandW))
       val incidents = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("incident_id"), col("user_id"),
                 col("value").as("intensity"), col("ts_ms"))
+        .withColumn("band", explode(array(
+          floor(col("intensity") / bandW) - 1,
+          floor(col("intensity") / bandW),
+          floor(col("intensity") / bandW) + 1)))
       incidents
-        .join(broadcast(stations),
-          abs(col("intensity") - col("level")) < 5.0)
+        .join(stations, Seq("band"))
+        .filter(abs(col("intensity") - col("level")) < 5.0)
         .withColumn("risk_level",
           when(col("intensity") >= 400.0 && col("level") >= 400.0, "EXTREME")
           .when(col("intensity") >= 400.0, "VERY_HIGH")

@@ -12,8 +12,6 @@ class PlanAuditSpec extends SparkSpec {
 
   // query -> (accepted flags, why)
   private val accepted: Map[String, (Set[String], String)] = Map(
-    "gold_alerts" -> (Set("BroadcastNestedLoopJoin"),
-      "broadcast theta distance join — the intended plan; grid-bucketed rewrite is the non-broadcast path"),
     "q10_cross_join_small" -> (Set("BroadcastNestedLoopJoin"),
       "the operator IS a cross join of a 25-row dim (SURVEY J1)"),
     "q18_rollup" -> (Set("Expand"),
