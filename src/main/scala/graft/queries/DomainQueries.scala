@@ -263,7 +263,80 @@ object DomainQueries {
                    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
             ORDER BY column_name"""))
 
+  /** Z-order (Morton-curve) layout through the driver gate: interleave the
+    * bits of two 8-bit dimension keys per lineitem row with
+    * `Layout.zvalue` — a pure codegen bit fold — plus the top-level
+    * quadrant id (the 2 MSBs: which half of each dimension the row falls
+    * in). The oracle re-derives the interleave arithmetically in SQL, so
+    * any bit-placement bug in the fold breaks the hash. The write-side
+    * clustering built on this value (`Layout.zorderBy` = range exchange +
+    * local sort) is pinned in LayoutSpec; the z-value is the part with
+    * row-level semantics a batch oracle can check.
+    */
+  private val layoutZorder = NamedQuery(
+    "layout_zorder", {
+      (s, d) => {
+        import graft.operators.Layout
+        val bits = 8
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256L)).as("x"),
+          pmod(col("l_suppkey"), lit(256L)).as("y"))
+        li.withColumn("zval", Layout.zvalue(col("x"), col("y"), bits))
+          .withColumn("quadrant",
+            shiftrightunsigned(col("zval"), 2 * bits - 2).cast("int"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      }
+    },
+    Some {
+      // bit i of x → bit 2i, bit i of y → bit 2i+1, mirrored as SQL shifts
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"((x & ${1L << i}) << $i)", s"((y & ${1L << i}) << ${i + 1})")
+      }.mkString(" | ")
+      s"""WITH k AS (SELECT l_orderkey, l_linenumber,
+                            l_partkey % 256 AS x, l_suppkey % 256 AS y
+                     FROM lineitem)
+          SELECT l_orderkey, l_linenumber, x, y,
+                 ($terms) AS zval,
+                 CAST(($terms) >> 14 AS INT) AS quadrant
+          FROM k ORDER BY l_orderkey, l_linenumber"""
+    })
+
+  /** Partition-pruning evidence (S5 through the driver gate): overwrite a
+    * segment-partitioned customer table via the versioned catalog, read it
+    * BACK with a partition-key predicate, and aggregate. The read must
+    * scan only the matching hive-style partition directory —
+    * PlanQualitySpec pins `PartitionFilters` on this exact plan. The
+    * oracle computes the same aggregate straight from the source table, so
+    * a partitioned write that drops/duplicates/corrupts rows turns the
+    * hash red.
+    */
+  private val partitionPrunedScan = NamedQuery(
+    "partition_pruned_scan", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        // per-sfDir catalog root: bench (sf0.1) and verify (sf0.01) runs
+        // must not clobber each other's versions
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_prune_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        cat.overwrite(Tables.customer(s, d), "silver", "customer_by_segment",
+          partitionBy = Seq("c_mktsegment"))
+        cat.read("silver", "customer_by_segment")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+               round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+          .orderBy(col("c_nationkey"))
+      }
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
-      approxStats, privacyK, profileLineitem)
+      approxStats, privacyK, profileLineitem, layoutZorder,
+      partitionPrunedScan)
 }

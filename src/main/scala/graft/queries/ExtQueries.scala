@@ -33,27 +33,35 @@ object ExtQueries {
                     min(doc_id) AS keep_id, count(*) AS n_copies
              FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** Exact 3-gram Jaccard pair set at threshold 0.8 in DuckDB — the ground
+    * truth both for `dedup_ngram_jaccard` itself and for the MinHash+LSH
+    * recall gate (`dedup_minhash_lsh`), whose exact-verified output must
+    * reproduce this set value-for-value on the driver corpus.
+    */
+  private val ngramPairsOracle =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                               FOR i IN range(1, len(l) - 1)])
+                      END AS ss
+               FROM tok),
+        ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+        pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                         a.ns AS n1, b.ns AS n2, count(*) AS common
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+        SELECT doc1, doc2,
+               round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+        FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
+        ORDER BY doc1, doc2"""
+
   private val dedupNgram = NamedQuery(
     "dedup_ngram_jaccard",
     (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
         .orderBy(col("doc1"), col("doc2")),
-    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
-             sh AS (SELECT doc_id,
-                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
-                                                    FOR i IN range(1, len(l) - 1)])
-                           END AS ss
-                    FROM tok),
-             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
-             pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-                              a.ns AS n1, b.ns AS n2, count(*) AS common
-                       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2, 3, 4)
-             SELECT doc1, doc2,
-                    round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
-             FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
-             ORDER BY doc1, doc2"""))
+    Some(ngramPairsOracle))
 
   /** The scale-robust variant: candidates only from shingles with df ≤ 20
     * (stop-shingle skew cap), Jaccard exact-verified on full sets.
@@ -88,21 +96,101 @@ object ExtQueries {
              FROM v WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
              ORDER BY doc1, doc2"""))
 
-  // LSH variants: not SQL-expressible (seeded xxhash64 banding) → rows-only
-  // driver check; ScalaTest pins them against the exact-Jaccard oracle op.
+  /** MinHash+LSH, now hash-gated against the exact-Jaccard oracle: emitted
+    * pairs are exact-verified (so false positives are impossible and the
+    * jaccard values are bit-identical to the oracle's), and at b=32/r=2 the
+    * S-curve miss probability at J ≥ 0.8 is (1−J²)³² < 1e-13 per pair, so
+    * on the driver corpus the pair SET equals the exact set (verified at
+    * sf0.001/0.01; at sf0.1 the maxBucket=64 skew guard drops 4 of 256
+    * pairs — the intended recall trade, outside the correctness gate).
+    */
   private val dedupMinhash = NamedQuery(
     "dedup_minhash_lsh",
     (s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
         .orderBy(col("doc1"), col("doc2")),
-    None)
+    Some(ngramPairsOracle))
 
+  // SimHash's pair set (hamming metric) is not SQL-expressible (seeded
+  // xxhash64 signature) → rows-only driver check + spec pins; its
+  // false-positive direction is driver-gated by dedup_simhash_contained.
   private val dedupSimhash = NamedQuery(
     "dedup_simhash",
     (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
         .orderBy(col("doc1"), col("doc2")),
     None)
+
+  /** Containment gate for SimHash (the VERDICT's driver-verifiable
+    * companion): every hamming ≤ 6 pair must be a GENUINE near-dup — exact
+    * shingle Jaccard ≥ 0.5 (wide margin below the 0.8 near-dup bar; the
+    * observed minimum on the corpus family is ≥ 0.8). The query emits the
+    * violations, so the expected — and hash-verified — result is EMPTY: a
+    * regression that lets spurious pairs through the block-trick join or
+    * the signature kernel turns this red. Recall (the other direction) is
+    * hamming-metric-defined and spec-pinned (DedupSpec planted corpus).
+    * Cost: Jaccard is exact-verified for the |pairs| candidates only, same
+    * join shape as minhashLshPairs' verify stage — scale-safe.
+    */
+  private val dedupSimhashContained = NamedQuery(
+    "dedup_simhash_contained",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.minhashLshShingleStore(docs, n = 3)
+      Dedup.simhashPairs(docs, maxHamming = 6)
+        .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
+        .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
+        .withColumn("common",
+          graft.plans.GraftColumns.sortedIntersectSize(col("ss1"), col("ss2")))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (size(col("ss1")) + size(col("ss2")) - col("common")))
+        .filter(col("jaccard") < 0.5)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS doc1, CAST(NULL AS BIGINT) AS doc2,
+                   CAST(NULL AS DOUBLE) AS jaccard
+            WHERE false"""))
+
+  /** The incremental near-dup surface through the driver gate: LSH-index
+    * the corpus (doc_id % 19 != 0) once, probe the "new batch"
+    * (doc_id % 19 = 0) against it — the daily operation of a streaming
+    * curation pipeline. Exact-verify contract ⇒ emitted (new, indexed)
+    * pairs must equal DuckDB's exact cross-set Jaccard ≥ 0.8 pairs
+    * (verified equal at sf0.001/0.01/0.1).
+    */
+  private val dedupIncrementalProbe = NamedQuery(
+    "dedup_incremental_probe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 19 === 0)
+      val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+      Dedup.minhashLshProbe(
+          batch,
+          Dedup.minhashLshIndex(corpus, n = 3),
+          Dedup.minhashLshShingleStore(corpus, n = 3),
+          n = 3, threshold = 0.8)
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, len(ss) AS ns, unnest(ss) AS s FROM sh),
+             newb AS (SELECT * FROM ex WHERE doc_id % 19 = 0),
+             idx AS (SELECT * FROM ex WHERE doc_id % 19 <> 0),
+             pairs AS (SELECT newb.doc_id AS doc1, idx.doc_id AS doc2,
+                              newb.ns AS n1, idx.ns AS n2, count(*) AS common
+                       FROM newb JOIN idx ON newb.s = idx.s
+                       GROUP BY 1, 2, 3, 4)
+             SELECT doc1, doc2,
+                    round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+             FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
+             ORDER BY doc1, doc2"""))
 
   private val dedupEmbedding = NamedQuery(
     "dedup_embedding_cosine",
@@ -117,6 +205,21 @@ object ExtQueries {
             ORDER BY 1, 2"""))
 
   // ------------------------------------------------------- similarity
+  /** Exact cosine top-10 for queries 0/1/2 in DuckDB — ground truth for
+    * brute force AND for the two exhaustive-probe ANN recall gates, which
+    * must reproduce it exactly.
+    */
+  private val topkOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       s AS (SELECT query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(qv, embedding) AS cos
+             FROM embeddings, q WHERE vec_id <> query_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cos, rank
+       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private val simTopK = NamedQuery(
     "sim_topk_bruteforce",
     (s, d) => {
@@ -125,15 +228,7 @@ object ExtQueries {
           emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
-            s AS (SELECT query_id, vec_id AS neighbor_id,
-                         list_cosine_similarity(qv, embedding) AS cos
-                  FROM embeddings, q WHERE vec_id <> query_id),
-            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-            SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cos, rank
-            FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+    Some(topkOracle))
 
   private val simAnn = NamedQuery(
     "sim_ann_lsh",
@@ -155,6 +250,39 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     None)
+
+  /** Recall gates for the two ANN operators (the VERDICT's driver-
+    * verifiable companions). Sub-linear parameter points (sim_ann_lsh /
+    * sim_ann_ivf above) trade recall for probe cost, so their output is
+    * corpus-dependent and stays rows-only + spec-pinned; the EXHAUSTIVE
+    * parameter points below have PROVABLE recall 1.0 — maxHamming = nBits
+    * probes every one of the 2^8 buckets, nProbe = nCells probes every
+    * cell — so each must reproduce the exact brute-force top-k, and a bug
+    * anywhere in the machinery (signature kernel, probe expansion, bucket/
+    * cell join, candidate dedup, ranking, cosine arithmetic) breaks the
+    * hash against DuckDB's independently-computed top-k.
+    */
+  private val simLshExhaustive = NamedQuery(
+    "sim_ann_lsh_exhaustive",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nBits = 8, maxHamming = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(topkOracle))
+
+  private val simIvfExhaustive = NamedQuery(
+    "sim_ann_ivf_exhaustive",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nCells = 16, nProbe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(topkOracle))
 
   private val centroid = NamedQuery(
     "vector_centroid",
@@ -312,7 +440,9 @@ object ExtQueries {
             FROM nz ORDER BY media_id, frame_idx"""))
 
   val all: Seq[NamedQuery] = Seq(
-    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash, dedupEmbedding,
-    simTopK, simAnn, simIvf, centroid, textStats, textQuality, textLang,
+    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
+    dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
+    simTopK, simAnn, simIvf, simLshExhaustive, simIvfExhaustive,
+    centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats)
 }

@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: parameter sweep for the recall-companion queries. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, d)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val bf = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val bfSet = bf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (mh <- Seq(1, 2, 3, 4)) {
+        val ann = Similarity.lshTopK(emb, q, k = 10, nBits = 8, maxHamming = mh)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[$sf] lsh nBits=8 maxHamming=$mh hits=${(ann & bfSet).size}/30")
+      }
+      for (np <- Seq(4, 8, 12, 16)) {
+        val ann = Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[$sf] ivf nCells=16 nProbe=$np hits=${(ann & bfSet).size}/30")
+      }
+      val docs = Tables.documents(spark, d)
+      val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+        .select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mh = Dedup.minhashLshPairs(docs, 3, 0.8)
+        .select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = Dedup.simhashPairs(docs, maxHamming = 6)
+        .select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[$sf] exact=${exact.size} minhash=${mh.size} (∩=${(mh & exact).size})" +
+        s" simhash=${sh.size} (exact⊆simhash=${(exact -- sh).isEmpty}, ∩=${(sh & exact).size})")
+      // incremental probe vs exact cross-set jaccard
+      val probeB = docs.filter(col("doc_id") % 19 === 0)
+      val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+      val idx = Dedup.minhashLshIndex(corpus, 3)
+      val store = Dedup.minhashLshShingleStore(corpus, 3)
+      val probed = Dedup.minhashLshProbe(probeB, idx, store, 3, 0.8)
+        .select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactCross = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      // exact pairs with exactly one side in the probe batch, reoriented
+      val crossSet = exact.flatMap { case (a, b) =>
+        val (ap, bp) = (a % 19 == 0, b % 19 == 0)
+        if (ap && !bp) Some((a, b)) else if (bp && !ap) Some((b, a)) else None
+      }
+      println(s"[$sf] probe=${probed.size} exactCross=${crossSet.size} equal=${probed == crossSet}")
+      val _ = exactCross
+      // hamming distance distribution over the exact-jaccard pair set
+      import graft.functions.VectorFunctions.hammingDistance
+      val sigs = Dedup.shingleSets(docs, 3, "doc_id", "text")
+        .select(col("doc_id"), graft.plans.GraftColumns.simhashSig(col("ss")).as("sig"))
+      for (t <- Seq(0.8, 0.9, 0.95)) {
+        val exDf = Dedup.ngramJaccardPairs(docs, 3, t).select("doc1", "doc2")
+        val ham = exDf
+          .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("s1")), "doc1")
+          .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("s2")), "doc2")
+          .select(hammingDistance(col("s1"), col("s2")).as("h"))
+          .agg(count(lit(1)).as("n"), max(col("h")).as("maxh")).head()
+        println(s"[$sf] jaccard>=$t pairs=${ham.getLong(0)} maxHamming=${ham.get(1)}")
+      }
+    }
+    spark.stop()
+  }
+}

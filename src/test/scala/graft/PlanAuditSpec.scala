@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpec {
       "per-column global aggregates: final combine of partials, one row each"),
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
       "1-row broadcast seed-array attach; the corpus join itself is hash equi"),
+    "sim_ann_ivf_exhaustive" -> (Set("BroadcastNestedLoopJoin"),
+      "same 1-row seed-array attach as sim_ann_ivf, at the all-cells probe point"),
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "brute force = broadcast queries x corpus scan by definition"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),

@@ -35,10 +35,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(read.split(",").length < 11, read)
   }
 
-  test("gold_alerts: dedup side broadcasts; no shuffled cartesian") {
+  test("gold_alerts: banded EQUI join — hash/merge on the band key, no nested loop") {
     val plan = planString(run("gold_alerts"))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("partition_pruned_scan: segment predicate prunes to one hive partition") {
+    val plan = planString(run("partition_pruned_scan"))
+    // the read-back scan must carry the partition-key predicate as a
+    // PartitionFilter (directory pruning), not a data Filter
+    assert("PartitionFilters: \\[[^\\]]*c_mktsegment[^\\]]*BUILDING".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("layout_zorder: pure narrow bit fold — no join, no aggregate exchange") {
+    val plan = planString(run("layout_zorder"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
   }
 
   test("q5_local_supplier_volume: small dims broadcast, no cartesian") {
