@@ -43,12 +43,26 @@ object VectorFunctions {
     * The hyperplanes are derived deterministically from (bit, dim) via
     * xxhash64, so signatures are reproducible across runs and executors
     * with zero driver-side state to ship — at 1000 executors nothing is
-    * broadcast, the "random" planes are recomputed inside codegen.
+    * broadcast, the "random" planes are recomputed from the hash.
     *
     * Returns a LongType signature with `nBits` (≤ 63) sign bits: the LSH
-    * bucketing primitive for approximate nearest neighbours.
+    * bucketing primitive for approximate nearest neighbours. Computed by
+    * the native `hyperplane_sig` kernel (graft.plans.HyperplaneSig) — one
+    * fused loop with a per-length weight cache; the HOF formulation below
+    * re-derived every ±1 weight per row per bit, which dominated wide
+    * multi-table signatures (56 bits × 64 dims ≈ 3.6k hashes PER ROW).
+    * Requires `GraftFunctions.ensure(spark)` (the operators call it).
     */
   def hyperplaneSignature(v: Column, nBits: Int): Column = {
+    require(nBits > 0 && nBits <= 63, s"nBits must be 1..63, got $nBits")
+    graft.plans.GraftColumns.hyperplaneSig(v, nBits)
+  }
+
+  /** The original HOF formulation of `hyperplaneSignature` — kept as the
+    * independent reference implementation the kernel is pinned against in
+    * VectorExpressionsSpec (bit-for-bit equality).
+    */
+  private[graft] def hyperplaneSignatureHof(v: Column, nBits: Int): Column = {
     require(nBits > 0 && nBits <= 63, s"nBits must be 1..63, got $nBits")
     val bits = (0 until nBits).map { b =>
       // pseudo-random ±1 weight per (bit, dimension): parity of xxhash64

@@ -47,8 +47,10 @@ object Similarity {
     * written once (partitioned/bucketed by `bucket`) and probed many times.
     */
   def lshBuckets(corpus: DataFrame, nBits: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
     corpus.withColumn("bucket", hyperplaneSignature(col(vecCol), nBits))
+  }
 
   /** ANN top-k: probe only buckets within `maxHamming` of the query's
     * signature (multi-probe LSH). Join fans out per probe-bucket instead of
@@ -81,6 +83,66 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .dropDuplicates("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+              col("rank"))
+  }
+
+  /** Multi-table LSH ANN — the standard recall amplification: `nTables`
+    * INDEPENDENT signature tables of `nBits` each (sliced from one wide
+    * `hyperplaneSignature` call, whose per-bit hyperplanes are already
+    * independent), a pair is a candidate when it collides in ANY table.
+    * Candidate probability for a neighbour whose per-bit agreement is p
+    * rises from p^b (single table) to 1-(1-p^b)^L — the OR-amplified
+    * S-curve — while probe cost grows only linearly in L.
+    *
+    * Scale shape is identical to `lshTopK`: the corpus is exploded to
+    * (table, chunk) rows ONCE (at scale: written bucketed by (table,
+    * chunk) and probed many times), probes hit matching chunks only, and
+    * `maxHamming` adds per-table multi-probe on top. nBits × nTables ≤ 63.
+    */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, nTables: Int = 7, maxHamming: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits >= 1 && nTables >= 1 && nBits * nTables <= 63,
+      s"need nBits*nTables in [1,63], got $nBits*$nTables")
+    require(maxHamming >= 0 && maxHamming <= nBits,
+      s"maxHamming must be in [0, $nBits], got $maxHamming")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val mask = (1L << nBits) - 1
+    def chunks(df: DataFrame, id: String, vec: String, nrm: String,
+        out: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          norm2Fast(col(vecCol)).as(nrm),
+          hyperplaneSignature(col(vecCol), nBits * nTables).as("__sig"))
+        .select(col(id), col(vec), col(nrm),
+          explode(array((0 until nTables).map { t =>
+            struct(lit(t).as("tbl"),
+              shiftrightunsigned(col("__sig"), t * nBits)
+                .bitwiseAND(lit(mask)).as("chunk"))
+          }: _*)).as(out))
+    val c = chunks(corpus, "neighbor_id", "cv", "cn", "b")
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        col("b.tbl"), col("b.chunk"))
+    // per-table multi-probe masks (single-bit flips and up, within a table)
+    val masks: Seq[Long] = 0L +: (1 to maxHamming).flatMap { h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+    }
+    val q = chunks(queries, "query_id", "qv", "qn", "b")
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("b.tbl").as("qtbl"),
+        explode(array(masks.map(m =>
+          col("b.chunk").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val scored = q.join(c, col("qtbl") === col("tbl") && col("probe") === col("chunk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

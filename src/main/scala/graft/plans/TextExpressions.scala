@@ -50,6 +50,8 @@ object GraftColumns {
     call_function("simhash_sig", hashes)
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+  def hyperplaneSig(v: Column, nBits: Int): Column =
+    call_function("hyperplane_sig", v, lit(nBits))
   def bloomMightContainLong(bloomBytes: Column, v: Column): Column =
     call_function("bloom_might_contain_long", bloomBytes, v)
 }

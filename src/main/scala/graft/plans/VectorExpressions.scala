@@ -87,6 +87,85 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native kernel for the LSH hyperplane signature: `nBits` sign bits of
+  * pseudo-random ±1 projections, weight(b, i) = parity of
+  * xxhash64(b: int, i: int) — EXACTLY the arithmetic of the HOF
+  * formulation (`VectorFunctions.hyperplaneSignatureHof`: per-element
+  * double promotion, left-to-right accumulation per bit, `proj >= 0` sets
+  * the bit), pinned bit-for-bit in VectorExpressionsSpec. The HOF path
+  * recomputed every weight hash per ROW (nBits × dims interpreted lambda
+  * dispatches + 2 hashes each); here the ±1 weight matrix is derived once
+  * per vector length and cached, leaving a fused primitive loop per row.
+  * Weights depend only on (nBits, length), so the cache stays tiny and
+  * executor-local — nothing is broadcast at 1000 executors.
+  */
+case class HyperplaneSig(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 63, s"nBits must be 1..63, got $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<float> or array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // ±1 weight rows per vector length: weights(n)(b * n + i)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  private def weights(n: Int): Array[Byte] =
+    cache.computeIfAbsent(n, { len =>
+      val w = new Array[Byte](nBits * len)
+      var b = 0
+      while (b < nBits) {
+        // seed chain identical to xxhash64(lit(b), i): both int32 inputs
+        val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L)
+        var i = 0
+        while (i < len) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, seed)
+          w(b * len + i) = if ((h & 1L) == 0L) 1 else -1
+          i += 1
+        }
+        b += 1
+      }
+      w
+    })
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val w = weights(n)
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var i = 0
+      val off = b * n
+      if (isFloat) while (i < n) {
+        acc += w(off + i) * v.getFloat(i).toDouble
+        i += 1
+      } else while (i < n) {
+        acc += w(off + i) * v.getDouble(i)
+        i += 1
+      }
+      if (acc >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: `GraftFunctions.ensure(spark)` for imperative use, or
   * `spark.sql.extensions=graft.plans.GraftSparkExtensions` for config-time
   * injection (the SparkSessionExtensions path).
@@ -114,6 +193,10 @@ object GraftFunctions {
     (new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) => SimHashSig(args(0))),
+    (new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) =>
+        HyperplaneSig(args(0), intLit(args(1), "hyperplane_sig"))),
     (new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),

@@ -230,12 +230,20 @@ object ExtQueries {
     },
     Some(topkOracle))
 
+  /** Production ANN point: 7 OR-amplified tables × 8 bits with 2-bit
+    * multi-probe — measured 93-97% recall@10 on the driver corpus family
+    * (RecallProbe) vs 7-20% for a single 8-bit table, probing ~14% of the
+    * bucket space. Rows-only here (seeded-hash buckets aren't
+    * SQL-expressible); the machinery is hash-gated by
+    * sim_ann_lsh_exhaustive and recall is spec-pinned in SimilaritySpec.
+    */
   private val simAnn = NamedQuery(
     "sim_ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10, nBits = 8)
+      Similarity.lshTopKMulti(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nBits = 8, nTables = 7, maxHamming = 2)
         .orderBy(col("query_id"), col("rank"))
     },
     None)

@@ -26,6 +26,13 @@ object RecallProbe {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"[$sf] lsh nBits=8 maxHamming=$mh hits=${(ann & bfSet).size}/30")
       }
+      for ((nt, mh) <- Seq((4, 1), (7, 0), (7, 1), (7, 2))) {
+        val ann = Similarity.lshTopKMulti(emb, q, k = 10, nBits = 8,
+            nTables = nt, maxHamming = mh)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[$sf] lshMulti nBits=8 nTables=$nt maxHamming=$mh hits=${(ann & bfSet).size}/30")
+      }
       for (np <- Seq(4, 8, 12, 16)) {
         val ann = Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = np)
           .select(col("query_id"), col("neighbor_id"))

@@ -42,6 +42,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("multi-table LSH ANN: recall vs brute force on clustered corpus (seeded)") {
+    val rnd = new scala.util.Random(17)
+    val centers = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 40L, 80L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopKMulti(emb, queries, k = 5,
+        nBits = 8, nTables = 7, maxHamming = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multi-table LSH ANN: exhaustive probe == brute force exactly") {
+    // maxHamming = nBits probes every chunk of every table, so the result
+    // must reproduce exact top-k through the whole multi-table pipeline
+    val got = Similarity.lshTopKMulti(
+        corpus, corpus.filter($"vec_id" === 0L), k = 3,
+        nBits = 4, nTables = 7, maxHamming = 4)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("IVF ANN: recall vs brute force on clustered corpus (seeded)") {
     val rnd = new scala.util.Random(23)
     val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))

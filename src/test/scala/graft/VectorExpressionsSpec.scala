@@ -26,6 +26,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(vals.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("hyperplane_sig ≡ HOF signature, bit-for-bit (seeded, widths 1/8/56/63)") {
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    // varied dims incl. 1 and odd lengths; float corpus like the real table
+    val rows = Seq.tabulate(120)(i =>
+      Tuple1(Array.fill(1 + i % 67)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("v")
+    for (nBits <- Seq(1, 8, 56, 63)) {
+      val bad = df.select(
+          hyperplaneSignature($"v", nBits).as("gen"),
+          hyperplaneSignatureHof($"v", nBits).as("hof"))
+        .filter($"gen" =!= $"hof").count()
+      assert(bad === 0, s"nBits=$nBits")
+    }
+  }
+
+  test("hyperplane_sig null semantics and double arrays") {
+    GraftFunctions.ensure(spark)
+    val df = Seq(Tuple1(null.asInstanceOf[Array[Double]]),
+        Tuple1(Array(0.5, -1.5, 2.5)))
+      .toDF("v").select(hyperplaneSignature($"v", 8).as("s"))
+    val got = df.collect()
+    assert(got(0).isNullAt(0))
+    assert(!got(1).isNullAt(0))
+  }
+
   test("vec_dot null semantics: length mismatch and null input → null") {
     GraftFunctions.ensure(spark)
     val df = Seq(
