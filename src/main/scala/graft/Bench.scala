@@ -48,11 +48,23 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum // failed queries excluded
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // belt and braces vs log truncation: the same line goes to a repo file
-    // the driver snapshots with the end-of-round commit.
+    // the driver snapshots with the end-of-round commit. Anchor on the
+    // repo root when identifiable (cwd may differ under a launcher); a
+    // failed write warns instead of silently losing the fallback copy.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val root =
+        if (java.nio.file.Files.isDirectory(cwd.resolve(".git"))) cwd
+        else {
+          val repo = java.nio.file.Paths.get("/root/repo")
+          if (java.nio.file.Files.isDirectory(repo)) repo else cwd
+        }
+      java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),
         (json + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+    }
     println(json)
     spark.stop()
   }

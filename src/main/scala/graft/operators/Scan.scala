@@ -33,16 +33,27 @@ object Scan {
     * row's (inclusive running total in `order` order). `order` must be
     * unique (ties would make "global order" ill-defined) and of a type
     * `percentile_approx` accepts (numeric / date / timestamp).
+    *
+    * NOTE: constructing the result runs the bounds aggregation EAGERLY
+    * (one column-pruned scan) — this operator is a terminal pipeline
+    * stage, not a free plan transform.
     */
   def cumulativeSum(df: DataFrame, order: Column, value: Column,
       outCol: String): DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    // Pass 1: p-1 equi-depth split points of the order key. Mergeable
-    // sketch → partial aggregation; the scan reads one column. Approximate
-    // bounds only skew bucket SIZES, never correctness — assignment below
-    // is monotone in `order` regardless of where the bounds fall.
-    val probs = (1 until parts).map(_.toDouble / parts)
+    // 4 buckets per shuffle partition: the window exchange hashes BUCKET
+    // ids into partitions, and with buckets == partitions balls-in-bins
+    // leaves some tasks carrying 2-3 buckets and others none. Over-
+    // decomposing 4× smooths the max task load; the offsets table is
+    // still only `buckets` rows.
+    val buckets = parts * 4
+    // Pass 1: buckets-1 equi-depth split points of the order key.
+    // Mergeable sketch → partial aggregation; the scan reads one column.
+    // Approximate bounds only skew bucket SIZES, never correctness —
+    // assignment below is monotone in `order` regardless of where the
+    // bounds fall.
+    val probs = (1 until buckets).map(_.toDouble / buckets)
     val bounds: Seq[Any] =
       if (probs.isEmpty) Seq.empty
       else {
@@ -57,8 +68,10 @@ object Scan {
     val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(order > lit(b), 1).otherwise(0)
     }
+    // no explicit repartition: the window's own hash exchange on __pid
+    // distributes the data, and the offsets aggregation map-side combines
+    // to <= buckets rows per task before its (tiny) exchange
     val parted = df.withColumn("__pid", pid)
-      .repartition(parts, col("__pid"))
     val local = parted.withColumn("__cum_local",
       sum(value).over(Window.partitionBy(col("__pid")).orderBy(order)))
     val offsets = parted.groupBy(col("__pid"))

@@ -92,7 +92,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   * xxhash64(b: int, i: int) — EXACTLY the arithmetic of the HOF
   * formulation (`VectorFunctions.hyperplaneSignatureHof`: per-element
   * double promotion, left-to-right accumulation per bit, `proj >= 0` sets
-  * the bit), pinned bit-for-bit in VectorExpressionsSpec. The HOF path
+  * the bit), pinned bit-for-bit in VectorExpressionsSpec — including a
+  * null ELEMENT poisoning every projection (signature 0). Sole deliberate
+  * divergence: a null ARRAY yields null here (standard null-in/null-out)
+  * where the HOF's when/otherwise collapses it to 0. The HOF path
   * recomputed every weight hash per ROW (nBits × dims interpreted lambda
   * dispatches + 2 hashes each); here the ±1 weight matrix is derived once
   * per vector length and cached, leaving a fused primitive loop per row.
@@ -142,6 +145,14 @@ case class HyperplaneSig(child: Expression, nBits: Int)
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // HOF parity: a null ELEMENT poisons every per-bit projection (null
+    // propagates through the aggregate), so when(proj >= 0) is false for
+    // all bits → signature 0. Mirror that exactly.
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j)) return 0L
+      j += 1
+    }
     val w = weights(n)
     var sig = 0L
     var b = 0

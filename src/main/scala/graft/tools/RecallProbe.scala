@@ -43,6 +43,27 @@ object RecallProbe {
       val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
         .select("doc1", "doc2")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (mb <- Seq(64, 1024)) {
+        val s = Dedup.minhashLshPairs(docs, 3, 0.8, maxBucket = mb)
+          .select("doc1", "doc2")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[$sf] minhash maxBucket=$mb pairs=${s.size} ==exact:${s == exact}")
+        if (s != exact) {
+          val missing = (exact -- s).toSeq.sorted
+          println(s"[$sf] missing pairs: $missing")
+          val ids = missing.flatMap(p => Seq(p._1, p._2)).distinct
+          val info = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+            .filter(col("doc1").isin(missing.map(_._1): _*) &&
+              col("doc2").isin(missing.map(_._2): _*))
+            .collect().mkString("; ")
+          println(s"[$sf] missing detail: $info")
+          val sizes = graft.operators.Dedup
+            .minhashLshShingleStore(docs.filter(col("doc_id").isin(ids: _*)), 3)
+            .select(col("doc_id"), size(col("ss")).as("ns"))
+            .collect().map(r => s"${r.getLong(0)}:${r.getInt(1)}").mkString(" ")
+          println(s"[$sf] shingle counts: $sizes")
+        }
+      }
       val mh = Dedup.minhashLshPairs(docs, 3, 0.8)
         .select("doc1", "doc2")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -59,14 +80,12 @@ object RecallProbe {
       val probed = Dedup.minhashLshProbe(probeB, idx, store, 3, 0.8)
         .select("doc1", "doc2")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exactCross = Dedup.ngramJaccardPairs(docs, 3, 0.8)
       // exact pairs with exactly one side in the probe batch, reoriented
       val crossSet = exact.flatMap { case (a, b) =>
         val (ap, bp) = (a % 19 == 0, b % 19 == 0)
         if (ap && !bp) Some((a, b)) else if (bp && !ap) Some((b, a)) else None
       }
       println(s"[$sf] probe=${probed.size} exactCross=${crossSet.size} equal=${probed == crossSet}")
-      val _ = exactCross
       // hamming distance distribution over the exact-jaccard pair set
       import graft.functions.VectorFunctions.hammingDistance
       val sigs = Dedup.shingleSets(docs, 3, "doc_id", "text")
