@@ -123,6 +123,61 @@ class PropertySpec extends SparkSpec {
     assert(at3.nonEmpty)
   }
 
+  test("minhash: per-pair slot agreement tracks Jaccard (correlated-slot regression guard)") {
+    // THE law the missing mod-P reduction violated: E[slot match] = J per
+    // slot, independently enough that every pair concentrates near J. The
+    // broken kernel made high slots order by one h2-min shingle, so pairs
+    // whose h2-min was private collapsed to ~0.3-0.5 agreement even at
+    // J 0.82 — this asserts a 5.6-sd floor per pair, which that kernel
+    // fails with probability ≈ 1 over 40 pairs.
+    graft.plans.GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(31)
+    val pairs = Seq.tabulate(40) { i =>
+      val base = Array.fill(200)(rnd.nextLong())
+      (i, base, base.drop(20) ++ Array.fill(20)(rnd.nextLong())) // J = 180/220
+    }
+    val ms = pairs.toDF("id", "a", "b")
+      .select(
+        graft.plans.GraftColumns.minhashSig($"a", 64).as("sa"),
+        graft.plans.GraftColumns.minhashSig($"b", 64).as("sb"))
+      .select(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p))").as("m"))
+      .as[Int].collect()
+    // J ≈ 0.818 → E[m] = 52.4, binomial sd ≈ 2.5; floor 38 ≈ 5.6 sd below
+    assert(ms.forall(_ >= 38), s"slot agreements: ${ms.mkString(",")}")
+    val mean = ms.map(_.toDouble).sum / (ms.length * 64)
+    assert(mean > 0.75 && mean < 0.9, s"mean agreement $mean, want ≈ 0.82")
+  }
+
+  test("simhash: identity, locality under small edits, dispersion for unrelated sets") {
+    graft.plans.GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.tabulate(30) { _ =>
+      val base = Array.fill(200)(rnd.nextLong())
+      (base,
+        base.drop(10) ++ Array.fill(10)(rnd.nextLong()), // 5% edit
+        Array.fill(200)(rnd.nextLong()))                 // unrelated
+    }
+    val sigs = rows.toDF("a", "b", "c")
+      .select(
+        graft.plans.GraftColumns.simhashSig($"a").as("sa"),
+        graft.plans.GraftColumns.simhashSig($"a").as("sa2"),
+        graft.plans.GraftColumns.simhashSig($"b").as("sb"),
+        graft.plans.GraftColumns.simhashSig($"c").as("sc"))
+      .collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val identity = sigs.map(r => ham(r.getLong(0), r.getLong(1)))
+    val near = sigs.map(r => ham(r.getLong(0), r.getLong(2)))
+    val far = sigs.map(r => ham(r.getLong(0), r.getLong(3)))
+    assert(identity.forall(_ == 0))
+    // 5% of the weight mass moved → few sign flips; generous 24-bit cap
+    assert(near.forall(_ <= 24), s"near hammings: ${near.mkString(",")}")
+    // unrelated sets: Binomial(64, 1/2) per pair — 6-sd band [10, 54],
+    // and the mean concentrates near 32
+    assert(far.forall(h => h >= 10 && h <= 54), s"far hammings: ${far.mkString(",")}")
+    val mean = far.map(_.toDouble).sum / far.length
+    assert(mean > 24 && mean < 40, s"mean unrelated hamming $mean, want ≈ 32")
+  }
+
   test("tokenBudgetMix: per-source spend covers the budget, overshoot bounded by one doc") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val budgets = Map("src0" -> 300L, "src1" -> 700L)
