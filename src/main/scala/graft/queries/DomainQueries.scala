@@ -186,10 +186,21 @@ object DomainQueries {
   private val approxStats = NamedQuery(
     "approx_stats",
     (s, d) =>
+      // The sketch booleans are RANK-bracket contracts, not value-relative
+      // ones: percentile_approx(accuracy=10000) guarantees rank error ≤
+      // n/10000, so its p50/p99 values must lie between the exact
+      // percentiles one whole point either side (p49..p51, p98..max) for
+      // any group of ≥ ~110 rows — provable at every scale factor, where a
+      // "within 2% of the value" check breaks wherever the distribution's
+      // tail is sparse (observed: p99 at sf0.001, 1.2k rows per group).
       Tables.events(s, d).groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_users"),
         percentile(col("value"), lit(0.5)).as("p50x"),
         percentile(col("value"), lit(0.99)).as("p99x"),
+        percentile(col("value"), lit(0.49)).as("p49x"),
+        percentile(col("value"), lit(0.51)).as("p51x"),
+        percentile(col("value"), lit(0.98)).as("p98x"),
+        max(col("value")).as("maxv"),
         approx_count_distinct(col("user_id"), 0.02).as("au"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"))
@@ -197,18 +208,18 @@ object DomainQueries {
           round(col("p50x"), 4).as("p50"), round(col("p99x"), 4).as("p99"),
           (abs(col("au") - col("n_users")) <=
             col("n_users") * lit(0.05)).as("users_within_5pct"),
-          (abs(col("ap50") - col("p50x")) <=
-            greatest(abs(col("p50x")) * lit(0.02), lit(1e-6))).as("p50_within_2pct"),
-          (abs(col("ap99") - col("p99x")) <=
-            greatest(abs(col("p99x")) * lit(0.02), lit(1e-6))).as("p99_within_2pct"))
+          (col("ap50") >= col("p49x") && col("ap50") <= col("p51x"))
+            .as("p50_rank_ok"),
+          (col("ap99") >= col("p98x") && col("ap99") <= col("maxv"))
+            .as("p99_rank_ok"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,
                    count(DISTINCT user_id) AS n_users,
                    round(quantile_cont(value, 0.5), 4) AS p50,
                    round(quantile_cont(value, 0.99), 4) AS p99,
                    TRUE AS users_within_5pct,
-                   TRUE AS p50_within_2pct,
-                   TRUE AS p99_within_2pct
+                   TRUE AS p50_rank_ok,
+                   TRUE AS p99_rank_ok
             FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** k-anonymity privacy gate (operators.Privacy): keep only events whose
