@@ -194,6 +194,49 @@ final class TableCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Keyed MERGE (whole-row upsert): the `MERGE INTO … WHEN MATCHED UPDATE
+    * WHEN NOT MATCHED INSERT` surface the reference's Delta stack offers.
+    * Incoming batch rows replace stored rows with the same key; unmatched
+    * stored rows survive; unmatched batch rows insert. Commits ONE new
+    * snapshot version with the same pointer-swap isolation as `overwrite`
+    * (readers of the previous version are undisturbed — it stays retained).
+    * The batch must be key-unique (Delta's own MERGE precondition);
+    * schemas are matched by NAME (`unionByName`).
+    *
+    * Scale: one shuffle on the merge key for the precedence window — the
+    * stored side streams from its live snapshot, nothing is collected.
+    */
+  def merge(batch: DataFrame, layer: String, table: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    if (currentVersion(layer, table).isEmpty && !this.exists(layer, table)) {
+      overwrite(batch, layer, table, partitionBy) // first write = insert-all
+    } else {
+      val all = batch.withColumn("__src", lit(1))
+        .unionByName(read(layer, table).withColumn("__src", lit(0)))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+      val merged = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__src")
+      overwrite(merged, layer, table, partitionBy)
+    }
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the live snapshot into `numFiles`
+    * balanced files — contents identical, layout fixed (the antidote to
+    * small-file accretion from frequent merges). Commits a new version, so
+    * time travel to the pre-compaction layout still works while retained.
+    * Hand the result of `Layout.zorderBy` to `overwrite` directly when a
+    * clustered (not just balanced) rewrite is wanted.
+    */
+  def compact(layer: String, table: String, numFiles: Int,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(numFiles >= 1)
+    overwrite(read(layer, table).repartition(numFiles), layer, table,
+      partitionBy)
+  }
+
   /** Overwrite only when the new snapshot is non-empty — an empty compute
     * cycle leaves the previous snapshot in place (reference:
     * gold_batch_job.py:81-90). Uses a cheap `isEmpty` (limit-1 scan), not

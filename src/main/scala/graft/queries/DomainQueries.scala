@@ -346,8 +346,47 @@ object DomainQueries {
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Keyed MERGE (upsert) through the driver gate: seed the catalog with
+    * 80% of orders, merge a correction batch (orderkey % 10 ≥ 5, price
+    * doubled — overlaps keys 5-7, inserts 8-9), read the committed
+    * snapshot back and aggregate. The oracle recomputes the upsert
+    * relationally (batch ∪ non-colliding base), so dropped rows, surviving
+    * stale rows, or double-applied updates all break the hash.
+    */
+  private val catalogMergeUpsert = NamedQuery(
+    "catalog_merge_upsert", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+        val base = orders.filter(col("o_orderkey") % 10 < 8)
+        val batch = orders.filter(col("o_orderkey") % 10 >= 5)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        cat.overwrite(base, "silver", "orders_upsert")
+        cat.merge(batch, "silver", "orders_upsert", keys = Seq("o_orderkey"))
+        cat.read("silver", "orders_upsert")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+            batch AS (SELECT * REPLACE (o_totalprice * 2.0 AS o_totalprice)
+                      FROM orders WHERE o_orderkey % 10 >= 5),
+            merged AS (
+              SELECT * FROM batch
+              UNION ALL
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM merged GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
-      partitionPrunedScan)
+      partitionPrunedScan, catalogMergeUpsert)
 }

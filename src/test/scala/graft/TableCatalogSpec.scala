@@ -38,6 +38,43 @@ class TableCatalogSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("region"))
   }
 
+  test("merge: batch wins on key collision, stored survivors kept, inserts land") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge"))
+    cat.overwrite((1 to 5).map(i => (i.toLong, "a")).toDF("k", "v"),
+      "silver", "m")
+    cat.merge((4 to 7).map(i => (i.toLong, "b")).toDF("k", "v"),
+      "silver", "m", keys = Seq("k"))
+    val got = cat.read("silver", "m").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "a", 3L -> "a",
+      4L -> "b", 5L -> "b", 6L -> "b", 7L -> "b"))
+    // one committed version per merge; the pre-merge snapshot time-travels
+    val vs = cat.versions("silver", "m")
+    assert(vs.size === 2)
+    assert(cat.readVersion("silver", "m", vs.head)
+      .as[(Long, String)].collect().toMap ===
+      (1 to 5).map(i => i.toLong -> "a").toMap)
+  }
+
+  test("merge into an absent table is insert-all") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge2"))
+    cat.merge(Seq((1L, "x")).toDF("k", "v"), "silver", "m", keys = Seq("k"))
+    assert(cat.read("silver", "m").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x")))
+  }
+
+  test("compact: identical contents, exactly numFiles data files, new version") {
+    val cat = new TableCatalog(spark, tmpDir("cat-compact"))
+    cat.overwrite((1L to 100L).toDF("x").repartition(16), "silver", "c")
+    val before = cat.read("silver", "c").as[Long].collect().sorted
+    cat.compact("silver", "c", numFiles = 2)
+    val after = cat.read("silver", "c").as[Long].collect().sorted
+    assert(after === before)
+    val files = new java.io.File(
+      cat.livePath("silver", "c").stripPrefix("file:"))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2, files.map(_.getName).mkString(","))
+  }
+
   test("export: JSONL shards with bounded rows per file, lossless roundtrip") {
     val cat = new TableCatalog(spark, tmpDir("cat-export"))
     val df = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
