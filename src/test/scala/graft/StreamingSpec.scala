@@ -138,6 +138,32 @@ class StreamingSpec extends SparkSpec {
       "empty gold cycle must not clobber the live snapshot")
   }
 
+  test("streaming MERGE sink: table converges to latest-row-per-key across batches") {
+    implicit val sq = spark.sqlContext
+    val cat = new graft.catalog.TableCatalog(spark, tmpDir("merge-sink"))
+    val chk = tmpDir("merge-sink-chk")
+    val mem = MemoryStream[(Long, String, Long)] // (key, value, ts)
+
+    mem.addData((1L, "a", 10L), (2L, "b", 10L))
+    val q1 = SilverJob.startMergeSink(
+      mem.toDF().toDF("k", "v", "ts"), cat, "silver", "latest",
+      keys = Seq("k"), orderCol = "ts", checkpoint = chk)
+    q1.awaitTermination()
+    assert(cat.read("silver", "latest").select($"k", $"v")
+      .as[(Long, String)].collect().toMap === Map(1L -> "a", 2L -> "b"))
+
+    // batch 2: update k=1, insert k=3 with an intra-batch older duplicate
+    // that the per-batch dedup must discard before the merge
+    mem.addData((1L, "c", 20L), (3L, "stale", 15L), (3L, "d", 25L))
+    val q2 = SilverJob.startMergeSink(
+      mem.toDF().toDF("k", "v", "ts"), cat, "silver", "latest",
+      keys = Seq("k"), orderCol = "ts", checkpoint = chk)
+    q2.awaitTermination()
+    assert(cat.read("silver", "latest").select($"k", $"v")
+      .as[(Long, String)].collect().toMap ===
+      Map(1L -> "c", 2L -> "b", 3L -> "d"))
+  }
+
   test("ST3: two concurrent queries coordinated via awaitAnyTermination") {
     implicit val sq = spark.sqlContext
     spark.streams.resetTerminated()
