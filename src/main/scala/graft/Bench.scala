@@ -54,7 +54,8 @@ object Bench {
     try {
       val cwd = java.nio.file.Paths.get("").toAbsolutePath
       val root =
-        if (java.nio.file.Files.isDirectory(cwd.resolve(".git"))) cwd
+        // exists, not isDirectory: in worktrees/submodules .git is a file
+        if (java.nio.file.Files.exists(cwd.resolve(".git"))) cwd
         else {
           val repo = java.nio.file.Paths.get("/root/repo")
           if (java.nio.file.Files.isDirectory(repo)) repo else cwd

@@ -194,47 +194,111 @@ final class TableCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** True when the flat (non-versioned) table dir holds any data — an
+    * orphaned `_v` from a crashed first overwrite does NOT count, so a
+    * merge routed here still takes the insert-all path instead of trying
+    * to read an empty directory.
+    */
+  private def hasFlatData(layer: String, table: String): Boolean = {
+    val dir = new Path(path(layer, table))
+    val fs = hadoopFs(dir)
+    fs.exists(dir) &&
+      fs.listStatus(dir).exists(!_.getPath.getName.startsWith("_"))
+  }
+
+  /** Hive-style partition columns of the live snapshot, read back from the
+    * directory layout (`col=value/…` nesting). The catalog keeps no table
+    * metadata, so this is how `merge`/`compact` preserve a partitioned
+    * layout without the caller re-stating it.
+    */
+  def partitionColumnsOf(layer: String, table: String): Seq[String] = {
+    val live = new Path(livePath(layer, table))
+    val fs = hadoopFs(live)
+    if (!fs.exists(live)) Nil
+    else {
+      val cols = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = live
+      var continue = true
+      while (continue) {
+        fs.listStatus(cur).find(st =>
+          st.isDirectory && st.getPath.getName.contains("=")) match {
+          case Some(st) =>
+            cols += st.getPath.getName.split("=", 2)(0)
+            cur = st.getPath
+          case None => continue = false
+        }
+      }
+      cols.toList
+    }
+  }
+
+  private val mergeSrcCol = "__graft_merge_src"
+  private val mergeRnCol = "__graft_merge_rn"
+
   /** Keyed MERGE (whole-row upsert): the `MERGE INTO … WHEN MATCHED UPDATE
     * WHEN NOT MATCHED INSERT` surface the reference's Delta stack offers.
-    * Incoming batch rows replace stored rows with the same key; unmatched
-    * stored rows survive; unmatched batch rows insert. Commits ONE new
-    * snapshot version with the same pointer-swap isolation as `overwrite`
-    * (readers of the previous version are undisturbed — it stays retained).
-    * The batch must be key-unique (Delta's own MERGE precondition);
-    * schemas are matched by NAME (`unionByName`).
+    * Commits ONE new snapshot version with the same pointer-swap isolation
+    * as `overwrite` (readers of the previous version are undisturbed — it
+    * stays retained). Schemas are matched by NAME (`unionByName`); a
+    * partitioned live layout is preserved unless `partitionBy` overrides.
+    *
+    * Precedence:
+    *  - `precedence = None` (plain upsert): every batch row replaces the
+    *    stored row with its key. The batch must be key-unique — Delta's
+    *    own MERGE precondition; duplicate keys would commit an arbitrary
+    *    winner, so callers dedup first (`startMergeSink` does).
+    *  - `precedence = Some(c)`: the row with the HIGHEST `c` wins across
+    *    batch, stored, and intra-batch duplicates — the CDC contract where
+    *    a late out-of-order event must NOT clobber a newer stored row.
+    *    Ties on `c` break toward the batch.
     *
     * Scale: one shuffle on the merge key for the precedence window — the
     * stored side streams from its live snapshot, nothing is collected.
     */
   def merge(batch: DataFrame, layer: String, table: String,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      precedence: Option[String] = None): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    require(!batch.columns.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ are reserved by merge")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    if (currentVersion(layer, table).isEmpty && !this.exists(layer, table)) {
-      overwrite(batch, layer, table, partitionBy) // first write = insert-all
+    val firstWrite =
+      currentVersion(layer, table).isEmpty && !hasFlatData(layer, table)
+    val parts =
+      if (partitionBy.nonEmpty || firstWrite) partitionBy
+      else partitionColumnsOf(layer, table)
+    if (firstWrite) {
+      overwrite(batch, layer, table, parts) // first write = insert-all
     } else {
-      val all = batch.withColumn("__src", lit(1))
-        .unionByName(read(layer, table).withColumn("__src", lit(0)))
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
-      val merged = all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__src")
-      overwrite(merged, layer, table, partitionBy)
+      val all = batch.withColumn(mergeSrcCol, lit(1))
+        .unionByName(read(layer, table).withColumn(mergeSrcCol, lit(0)))
+      val order = precedence.map(col(_).desc).toSeq :+ col(mergeSrcCol).desc
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      val merged = all.withColumn(mergeRnCol, row_number().over(w))
+        .filter(col(mergeRnCol) === 1).drop(mergeRnCol, mergeSrcCol)
+      overwrite(merged, layer, table, parts)
     }
   }
 
   /** OPTIMIZE-style compaction: rewrite the live snapshot into `numFiles`
     * balanced files — contents identical, layout fixed (the antidote to
-    * small-file accretion from frequent merges). Commits a new version, so
-    * time travel to the pre-compaction layout still works while retained.
-    * Hand the result of `Layout.zorderBy` to `overwrite` directly when a
-    * clustered (not just balanced) rewrite is wanted.
+    * small-file accretion from frequent merges). A hive-partitioned live
+    * layout is detected and preserved (rows are then clustered by the
+    * partition columns, giving one file per partition value). Commits a
+    * new version, so time travel to the pre-compaction layout still works
+    * while retained. Hand the result of `Layout.zorderBy` to `overwrite`
+    * directly when a clustered (not just balanced) rewrite is wanted.
     */
-  def compact(layer: String, table: String, numFiles: Int,
-      partitionBy: Seq[String] = Nil): Unit = {
+  def compact(layer: String, table: String, numFiles: Int): Unit = {
     require(numFiles >= 1)
-    overwrite(read(layer, table).repartition(numFiles), layer, table,
-      partitionBy)
+    val parts = partitionColumnsOf(layer, table)
+    val cur = read(layer, table)
+    val packed =
+      if (parts.isEmpty) cur.repartition(numFiles)
+      else cur.repartition(numFiles,
+        parts.map(org.apache.spark.sql.functions.col): _*)
+    overwrite(packed, layer, table, parts)
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

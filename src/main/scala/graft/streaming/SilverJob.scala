@@ -72,16 +72,17 @@ object SilverJob {
       .trigger(trigger)
       .start()
 
-  /** Streaming MERGE sink (CDC upsert): every micro-batch is deduplicated
-    * to its latest row per key (highest `orderCol` wins — within a batch
-    * the catalog's key-unique MERGE precondition must be established
-    * first) and upserted into the versioned catalog table. This is the
+  /** Streaming MERGE sink (CDC upsert): every micro-batch upserts into the
+    * versioned catalog table with `orderCol` precedence — the row with the
+    * highest `orderCol` wins across the batch, the stored table, AND
+    * intra-batch duplicates, so a late out-of-order event in a later
+    * micro-batch can never clobber a newer stored row. This is the
     * streaming `MERGE INTO` surface Delta offers: the table converges to
     * latest-row-per-key across restarts, because re-processed batches
-    * upsert idempotently (same keys, same rows → same final state),
+    * upsert idempotently (precedence is a pure function of the data),
     * completing exactly-once through the checkpoint + idempotent-merge
-    * pair. Batch-side cost per trigger: one key shuffle in the dedup
-    * window + the merge's key shuffle — the stored table is never
+    * pair. Batch-side cost per trigger: one `isEmpty` probe (limit-1) +
+    * the merge's single key-shuffle window — the stored table is never
     * collected.
     */
   def startMergeSink(stream: DataFrame, catalog: graft.catalog.TableCatalog,
@@ -93,11 +94,9 @@ object SilverJob {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (!latest.isEmpty) catalog.merge(latest, layer, table, keys)
+        if (!batch.isEmpty)
+          catalog.merge(batch, layer, table, keys,
+            precedence = Some(orderCol))
       }
       .start()
 

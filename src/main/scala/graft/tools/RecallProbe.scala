@@ -52,9 +52,10 @@ object RecallProbe {
           val missing = (exact -- s).toSeq.sorted
           println(s"[$sf] missing pairs: $missing")
           val ids = missing.flatMap(p => Seq(p._1, p._2)).distinct
+          val missKeys = missing.map { case (a, b) => s"$a:$b" }
           val info = Dedup.ngramJaccardPairs(docs, 3, 0.8)
-            .filter(col("doc1").isin(missing.map(_._1): _*) &&
-              col("doc2").isin(missing.map(_._2): _*))
+            .filter(concat_ws(":", col("doc1"), col("doc2"))
+              .isin(missKeys: _*))
             .collect().mkString("; ")
           println(s"[$sf] missing detail: $info")
           val sizes = graft.operators.Dedup

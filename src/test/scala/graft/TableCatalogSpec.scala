@@ -62,6 +62,44 @@ class TableCatalogSpec extends SparkSpec {
       Seq((1L, "x")))
   }
 
+  test("merge with precedence: a late lower-ordered row never clobbers a newer stored row") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge3"))
+    cat.overwrite(Seq((1L, 20L, "new"), (2L, 10L, "b")).toDF("k", "ts", "v"),
+      "silver", "m")
+    // late event for k=1 (ts 10 < stored 20) + intra-batch dup for k=3
+    cat.merge(Seq((1L, 10L, "late"), (3L, 15L, "stale"), (3L, 25L, "d"))
+        .toDF("k", "ts", "v"),
+      "silver", "m", keys = Seq("k"), precedence = Some("ts"))
+    val got = cat.read("silver", "m").select($"k", $"v")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "new", 2L -> "b", 3L -> "d"))
+  }
+
+  test("merge preserves a hive-partitioned live layout without re-stating it") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge4"))
+    cat.overwrite(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("region", "k", "v"),
+      "silver", "m", partitionBy = Seq("region"))
+    cat.merge(Seq(("b", 3L, "z")).toDF("region", "k", "v"),
+      "silver", "m", keys = Seq("k"))
+    assert(cat.partitionColumnsOf("silver", "m") === Seq("region"))
+    val dirs = new java.io.File(
+      cat.livePath("silver", "m").stripPrefix("file:")).list().toSeq
+    assert(dirs.exists(_.startsWith("region=a")), dirs.mkString(","))
+    assert(cat.read("silver", "m").count() === 3)
+  }
+
+  test("merge after a crashed first overwrite (orphaned _v, no pointer) is insert-all") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge5"))
+    // simulate the crash state overwrite() documents: version dir written,
+    // pointer swap never happened
+    val orphan = new java.io.File(
+      cat.path("silver", "m").stripPrefix("file:") + "/_v/00001")
+    assert(orphan.mkdirs())
+    cat.merge(Seq((1L, "x")).toDF("k", "v"), "silver", "m", keys = Seq("k"))
+    assert(cat.read("silver", "m").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x")))
+  }
+
   test("compact: identical contents, exactly numFiles data files, new version") {
     val cat = new TableCatalog(spark, tmpDir("cat-compact"))
     cat.overwrite((1L to 100L).toDF("x").repartition(16), "silver", "c")
@@ -73,6 +111,22 @@ class TableCatalogSpec extends SparkSpec {
       cat.livePath("silver", "c").stripPrefix("file:"))
       .listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length === 2, files.map(_.getName).mkString(","))
+  }
+
+  test("compact preserves a hive-partitioned layout (one file per partition value)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-compact2"))
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("region", "x")
+    cat.overwrite(df.repartition(8), "silver", "c", partitionBy = Seq("region"))
+    cat.compact("silver", "c", numFiles = 2)
+    assert(cat.partitionColumnsOf("silver", "c") === Seq("region"))
+    val live = new java.io.File(cat.livePath("silver", "c").stripPrefix("file:"))
+    for (r <- Seq("region=a", "region=b")) {
+      val files = new java.io.File(live, r)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$r: ${files.map(_.getName).mkString(",")}")
+    }
+    assert(cat.read("silver", "c").count() === 40)
   }
 
   test("export: JSONL shards with bounded rows per file, lossless roundtrip") {
