@@ -57,8 +57,10 @@ object Bench {
         // exists, not isDirectory: in worktrees/submodules .git is a file
         if (java.nio.file.Files.exists(cwd.resolve(".git"))) cwd
         else {
+          // fallback only when it is actually a git checkout — never dump
+          // the file into an unrelated directory that happens to exist
           val repo = java.nio.file.Paths.get("/root/repo")
-          if (java.nio.file.Files.isDirectory(repo)) repo else cwd
+          if (java.nio.file.Files.exists(repo.resolve(".git"))) repo else cwd
         }
       java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),
         (json + "\n").getBytes("UTF-8"))

@@ -235,6 +235,19 @@ final class TableCatalog(spark: SparkSession, root: String,
   private val mergeSrcCol = "__graft_merge_src"
   private val mergeRnCol = "__graft_merge_rn"
 
+  /** Live snapshot read with hive partition-column TYPE INFERENCE off:
+    * rewrite paths must not let inference retype numeric-looking string
+    * partition values (month=01 → bigint 1) and then commit the coerced
+    * values — that silently rewrites the layout and breaks upsert keys.
+    * The caller casts partition columns to the intended types explicitly.
+    */
+  private def readForRewrite(layer: String, table: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try read(layer, table) finally spark.conf.set(key, prev)
+  }
+
   /** Keyed MERGE (whole-row upsert): the `MERGE INTO … WHEN MATCHED UPDATE
     * WHEN NOT MATCHED INSERT` surface the reference's Delta stack offers.
     * Commits ONE new snapshot version with the same pointer-swap isolation
@@ -246,7 +259,9 @@ final class TableCatalog(spark: SparkSession, root: String,
     *  - `precedence = None` (plain upsert): every batch row replaces the
     *    stored row with its key. The batch must be key-unique — Delta's
     *    own MERGE precondition; duplicate keys would commit an arbitrary
-    *    winner, so callers dedup first (`startMergeSink` does).
+    *    winner. Callers with possibly-duplicated batches should pass a
+    *    `precedence` column instead, which resolves intra-batch
+    *    duplicates deterministically (`startMergeSink` does exactly that).
     *  - `precedence = Some(c)`: the row with the HIGHEST `c` wins across
     *    batch, stored, and intra-batch duplicates — the CDC contract where
     *    a late out-of-order event must NOT clobber a newer stored row.
@@ -271,8 +286,19 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (firstWrite) {
       overwrite(batch, layer, table, parts) // first write = insert-all
     } else {
+      // partition values verbatim (inference off), then cast partition
+      // columns to the BATCH's types — the batch schema is authoritative,
+      // exactly as unionByName would resolve it, minus the lossy
+      // string→numeric inference round trip
+      val batchTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+      val stored = parts.foldLeft(readForRewrite(layer, table)) { (df, p) =>
+        batchTypes.get(p) match {
+          case Some(t) => df.withColumn(p, col(p).cast(t))
+          case None => df
+        }
+      }
       val all = batch.withColumn(mergeSrcCol, lit(1))
-        .unionByName(read(layer, table).withColumn(mergeSrcCol, lit(0)))
+        .unionByName(stored.withColumn(mergeSrcCol, lit(0)))
       val order = precedence.map(col(_).desc).toSeq :+ col(mergeSrcCol).desc
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       val merged = all.withColumn(mergeRnCol, row_number().over(w))
@@ -289,6 +315,8 @@ final class TableCatalog(spark: SparkSession, root: String,
     * new version, so time travel to the pre-compaction layout still works
     * while retained. Hand the result of `Layout.zorderBy` to `overwrite`
     * directly when a clustered (not just balanced) rewrite is wanted.
+    * Partition column types follow Spark's partition discovery — the same
+    * types every reader of this catalog sees for the table.
     */
   def compact(layer: String, table: String, numFiles: Int): Unit = {
     require(numFiles >= 1)

@@ -34,9 +34,16 @@ object Scan {
     * unique (ties would make "global order" ill-defined) and of a type
     * `percentile_approx` accepts (numeric / date / timestamp).
     *
-    * NOTE: constructing the result runs the bounds aggregation EAGERLY
-    * (one column-pruned scan) — this operator is a terminal pipeline
-    * stage, not a free plan transform.
+    * Cost contract, stated honestly: constructing the result runs the
+    * bounds aggregation EAGERLY (one pass, pruned to the order column),
+    * and the returned plan evaluates the INPUT twice more (window branch +
+    * bucket-totals branch — their exchanges differ, so Spark cannot reuse
+    * one). That is the deliberate trade against the previous
+    * localCheckpoint design, which evaluated once but pinned the whole
+    * input in block storage (cache pressure + 2× transient footprint at
+    * scale). Callers whose upstream is an expensive derived pipeline
+    * should `persist()` it themselves before calling — the operator no
+    * longer decides that for them.
     */
   def cumulativeSum(df: DataFrame, order: Column, value: Column,
       outCol: String): DataFrame = {
@@ -46,8 +53,10 @@ object Scan {
     // ids into partitions, and with buckets == partitions balls-in-bins
     // leaves some tasks carrying 2-3 buckets and others none. Over-
     // decomposing 4× smooths the max task load; the offsets table is
-    // still only `buckets` rows.
-    val buckets = parts * 4
+    // still only `buckets` rows. Capped so the percentile sketch and (for
+    // temporal keys) the fallback when-chain stay bounded — past the cap,
+    // load smoothing saturates anyway.
+    val buckets = math.min(parts * 4, 4096)
     // Pass 1: buckets-1 equi-depth split points of the order key.
     // Mergeable sketch → partial aggregation; the scan reads one column.
     // Approximate bounds only skew bucket SIZES, never correctness —
@@ -65,9 +74,21 @@ object Scan {
       }
     // bucket id = #bounds strictly below this key — deterministic, monotone
     // non-decreasing in `order`, so each bucket holds a contiguous range.
-    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(order > lit(b), 1).otherwise(0)
-    }
+    // Numeric keys go through the binary-search kernel (O(log buckets) per
+    // row, single expression node); a when-chain here would be O(buckets)
+    // deep — analyzer stack overflow territory at real shuffle-partition
+    // counts. Temporal keys (rare) keep the fold, with depth bounded by
+    // the bucket cap. The double cast is monotone, so bucket CONTENTS stay
+    // contiguous either way; only sizes could shift at cast ties.
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else if (bounds.forall(_.isInstanceOf[Number]))
+        graft.plans.GraftColumns.bucketBySortedBounds(order.cast("double"),
+          bounds.map(_.asInstanceOf[Number].doubleValue).toArray)
+      else bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(order > lit(b), 1).otherwise(0)
+      }
     // no explicit repartition: the window's own hash exchange on __pid
     // distributes the data, and the offsets aggregation map-side combines
     // to <= buckets rows per task before its (tiny) exchange

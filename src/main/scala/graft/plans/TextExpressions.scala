@@ -52,6 +52,8 @@ object GraftColumns {
     call_function("sorted_intersect_size", a, b)
   def hyperplaneSig(v: Column, nBits: Int): Column =
     call_function("hyperplane_sig", v, lit(nBits))
+  def bucketBySortedBounds(v: Column, bounds: Array[Double]): Column =
+    call_function("bucket_sorted_bounds", v, lit(bounds))
   def bloomMightContainLong(bloomBytes: Column, v: Column): Column =
     call_function("bloom_might_contain_long", bloomBytes, v)
 }

@@ -177,6 +177,46 @@ case class HyperplaneSig(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Bucket assignment against a SORTED bounds array: returns the count of
+  * bounds strictly below the value — i.e. the equi-depth bucket id — via
+  * binary search. Exists because the expression-tree alternative (a
+  * left-deep chain of `when(v > b, 1)` adds, one per bound) is O(bounds)
+  * deep and O(bounds) per row: at the shuffle-partition counts a 100 TB
+  * job runs (thousands), deep Catalyst trees risk analyzer stack overflow
+  * and the per-row cost dominates. Here the tree is one node and each row
+  * costs O(log bounds).
+  */
+case class BucketBySortedBounds(child: Expression, bounds: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bounds.nonEmpty, "need at least one bound")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bucket_sorted_bounds expects a double value, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bucket_sorted_bounds"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    // lower bound: first index whose bound is >= x == #bounds < x
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: `GraftFunctions.ensure(spark)` for imperative use, or
   * `spark.sql.extensions=graft.plans.GraftSparkExtensions` for config-time
   * injection (the SparkSessionExtensions path).
@@ -187,6 +227,15 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int width, got $other")
+  }
+
+  private def doubleArrLit(e: Expression, fn: String): Array[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        a: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(DoubleType, _)) =>
+      a.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal array<double>, got $other")
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -204,6 +253,11 @@ object GraftFunctions {
     (new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) => SimHashSig(args(0))),
+    (new FunctionIdentifier("bucket_sorted_bounds"),
+      new ExpressionInfo(classOf[BucketBySortedBounds].getName, "bucket_sorted_bounds"),
+      (args: Seq[Expression]) =>
+        BucketBySortedBounds(args(0),
+          doubleArrLit(args(1), "bucket_sorted_bounds"))),
     (new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (args: Seq[Expression]) =>

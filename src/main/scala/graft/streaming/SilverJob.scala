@@ -81,9 +81,16 @@ object SilverJob {
     * latest-row-per-key across restarts, because re-processed batches
     * upsert idempotently (precedence is a pure function of the data),
     * completing exactly-once through the checkpoint + idempotent-merge
-    * pair. Batch-side cost per trigger: one `isEmpty` probe (limit-1) +
-    * the merge's single key-shuffle window — the stored table is never
-    * collected.
+    * pair.
+    *
+    * Cost contract: the merge is COPY-ON-WRITE — every non-empty trigger
+    * shuffles batch ∪ stored on the key and commits a full new snapshot,
+    * so per-trigger cost grows with TABLE size, not batch size. Right for
+    * modest reference tables kept continuously fresh (the gold-view shape
+    * of this pipeline); for a large fast-growing table, widen the trigger
+    * interval or partition the table and merge per-partition slices — a
+    * Delta-style matched-file rewrite is out of scope for a directory
+    * catalog with no file-level transaction log.
     */
   def startMergeSink(stream: DataFrame, catalog: graft.catalog.TableCatalog,
       layer: String, table: String, keys: Seq[String], orderCol: String,

@@ -88,6 +88,26 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.read("silver", "m").count() === 3)
   }
 
+  test("merge preserves numeric-looking STRING partition values (no inference retype)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge6"))
+    cat.overwrite(Seq(("01", 1L, "x"), ("02", 2L, "y")).toDF("month", "k", "v"),
+      "silver", "m", partitionBy = Seq("month"))
+    cat.merge(Seq(("01", 1L, "x2")).toDF("month", "k", "v"),
+      "silver", "m", keys = Seq("k"))
+    // the committed LAYOUT still says month=01/month=02 — inference must
+    // not have rewritten the directory values to month=1/month=2 …
+    val dirs = new java.io.File(
+      cat.livePath("silver", "m").stripPrefix("file:")).list().toSeq
+    assert(dirs.contains("month=01") && dirs.contains("month=02"),
+      dirs.mkString(","))
+    // … and the upsert collided (no phantom '01'-vs-1 duplicate row).
+    // (A normal read() of any hive layout still applies Spark's partition
+    // type inference — that reader-side behavior is unchanged.)
+    val got = cat.read("silver", "m").select($"k", $"v")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "x2"), (2L, "y")))
+  }
+
   test("merge after a crashed first overwrite (orphaned _v, no pointer) is insert-all") {
     val cat = new TableCatalog(spark, tmpDir("cat-merge5"))
     // simulate the crash state overwrite() documents: version dir written,
