@@ -13,10 +13,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** Override with GRAFT_TEST_SHUFFLE_PARTITIONS to re-run the whole suite
+    * under a different partition count — catches results that silently
+    * depend on partitioning (row order, partition-id arithmetic, salting).
+    */
+  private val shufflePartitions =
+    sys.env.getOrElse("GRAFT_TEST_SHUFFLE_PARTITIONS", "4")
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
