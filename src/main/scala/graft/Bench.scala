@@ -57,9 +57,10 @@ object Bench {
         // exists, not isDirectory: in worktrees/submodules .git is a file
         if (java.nio.file.Files.exists(cwd.resolve(".git"))) cwd
         else {
-          // fallback only when it is actually a git checkout — never dump
-          // the file into an unrelated directory that happens to exist
-          val repo = java.nio.file.Paths.get("/root/repo")
+          // fallback (overridable) only when it is actually a git
+          // checkout — never dump the file into an unrelated directory
+          val repo = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
           if (java.nio.file.Files.exists(repo.resolve(".git"))) repo else cwd
         }
       java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),

@@ -235,18 +235,17 @@ final class TableCatalog(spark: SparkSession, root: String,
   private val mergeSrcCol = "__graft_merge_src"
   private val mergeRnCol = "__graft_merge_rn"
 
-  /** Live snapshot read with hive partition-column TYPE INFERENCE off:
-    * rewrite paths must not let inference retype numeric-looking string
-    * partition values (month=01 → bigint 1) and then commit the coerced
-    * values — that silently rewrites the layout and breaks upsert keys.
-    * The caller casts partition columns to the intended types explicitly.
+  /** Live snapshot read with an EXPLICIT schema: a user-specified schema
+    * bypasses hive partition-column type inference entirely, so rewrite
+    * paths can't let inference retype numeric-looking string partition
+    * values (month=01 → bigint 1) and commit the coerced values — and,
+    * unlike toggling the inference session conf, it cannot race other
+    * threads' reads on the shared session (concurrent READERS are this
+    * class's documented isolation target).
     */
-  private def readForRewrite(layer: String, table: String): DataFrame = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try read(layer, table) finally spark.conf.set(key, prev)
-  }
+  private def readWithSchema(layer: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.format(format).schema(schema).load(livePath(layer, table))
 
   /** Keyed MERGE (whole-row upsert): the `MERGE INTO … WHEN MATCHED UPDATE
     * WHEN NOT MATCHED INSERT` surface the reference's Delta stack offers.
@@ -265,7 +264,10 @@ final class TableCatalog(spark: SparkSession, root: String,
     *  - `precedence = Some(c)`: the row with the HIGHEST `c` wins across
     *    batch, stored, and intra-batch duplicates — the CDC contract where
     *    a late out-of-order event must NOT clobber a newer stored row.
-    *    Ties on `c` break toward the batch.
+    *    Ties on `c` break toward the batch, then by a content hash of the
+    *    row — fully deterministic, so a replayed batch (exactly-once
+    *    recovery) commits the SAME winner even when two same-key rows
+    *    share the same precedence value.
     *
     * Scale: one shuffle on the merge key for the precedence window — the
     * stored side streams from its live snapshot, nothing is collected.
@@ -278,28 +280,33 @@ final class TableCatalog(spark: SparkSession, root: String,
       "column names starting with __graft_ are reserved by merge")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val firstWrite =
-      currentVersion(layer, table).isEmpty && !hasFlatData(layer, table)
+    val versioned = currentVersion(layer, table).isDefined
+    // append-mode tables are refused for the same reason append() refuses
+    // versioned ones: a merge would silently convert the table to
+    // snapshot mode and the NEXT append would die — modes are a per-table
+    // choice, surfaced loudly, not flipped as a side effect
+    require(versioned || !hasFlatData(layer, table),
+      s"$layer/$table is an append-mode table; merge would convert it to " +
+        "snapshot-versioned and break the append stream — overwrite it " +
+        "once (or use a different table) to adopt snapshot mode")
     val parts =
-      if (partitionBy.nonEmpty || firstWrite) partitionBy
+      if (partitionBy.nonEmpty || !versioned) partitionBy
       else partitionColumnsOf(layer, table)
-    if (firstWrite) {
+    if (!versioned) {
       overwrite(batch, layer, table, parts) // first write = insert-all
     } else {
-      // partition values verbatim (inference off), then cast partition
-      // columns to the BATCH's types — the batch schema is authoritative,
-      // exactly as unionByName would resolve it, minus the lossy
-      // string→numeric inference round trip
-      val batchTypes = batch.schema.map(f => f.name -> f.dataType).toMap
-      val stored = parts.foldLeft(readForRewrite(layer, table)) { (df, p) =>
-        batchTypes.get(p) match {
-          case Some(t) => df.withColumn(p, col(p).cast(t))
-          case None => df
-        }
-      }
+      // the batch schema is authoritative for the rewrite: an explicit
+      // schema on the stored read keeps partition VALUES verbatim (no
+      // lossy string→numeric inference round trip) with the batch's types
+      val stored = readWithSchema(layer, table, batch.schema)
       val all = batch.withColumn(mergeSrcCol, lit(1))
         .unionByName(stored.withColumn(mergeSrcCol, lit(0)))
-      val order = precedence.map(col(_).desc).toSeq :+ col(mergeSrcCol).desc
+      // final content-hash tie-breaker: deterministic winner even for
+      // same-key rows sharing the same precedence value, so a replayed
+      // batch converges instead of committing a layout-dependent row
+      val contentHash = xxhash64(struct(batch.columns.map(col): _*))
+      val order = precedence.map(col(_).desc).toSeq ++
+        Seq(col(mergeSrcCol).desc, contentHash.asc)
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       val merged = all.withColumn(mergeRnCol, row_number().over(w))
         .filter(col(mergeRnCol) === 1).drop(mergeRnCol, mergeSrcCol)
@@ -320,6 +327,13 @@ final class TableCatalog(spark: SparkSession, root: String,
     */
   def compact(layer: String, table: String, numFiles: Int): Unit = {
     require(numFiles >= 1)
+    // same mode guard as merge: compacting an append-mode table would
+    // silently convert it to snapshot mode and kill the append stream.
+    // Stop the stream and adopt snapshot mode explicitly first.
+    require(currentVersion(layer, table).isDefined,
+      s"$layer/$table is not snapshot-versioned; compact only rewrites " +
+        "snapshot tables — an append-mode table must be migrated " +
+        "explicitly (overwrite once) before compaction")
     val parts = partitionColumnsOf(layer, table)
     val cur = read(layer, table)
     val packed =

@@ -19,6 +19,12 @@ object Packing {
 
   /** (doc_id, n_tokens, bin_id) for every doc, bins of `capacity` tokens
     * in `idCol` order.
+    *
+    * Cost note: `Scan.cumulativeSum`'s two branches each evaluate the
+    * token-count projection (one regex pass per evaluation — measured
+    * cheaper than persisting the (doc_id, n_tokens) pairs and carrying
+    * the unpersist lifecycle; a caller looping many packings over one
+    * corpus should persist `docs` once outside the loop instead).
     */
   def packSequences(docs: DataFrame, capacity: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -43,7 +43,10 @@ object Scan {
     * input in block storage (cache pressure + 2× transient footprint at
     * scale). Callers whose upstream is an expensive derived pipeline
     * should `persist()` it themselves before calling — the operator no
-    * longer decides that for them.
+    * longer decides that for them. Corollary: the input must be
+    * DETERMINISTIC (no rand()/uuid() upstream without a persist) — the
+    * two branches would otherwise observe different draws and the offsets
+    * would not correspond to the windowed values.
     */
   def cumulativeSum(df: DataFrame, order: Column, value: Column,
       outCol: String): DataFrame = {
@@ -81,14 +84,18 @@ object Scan {
     // the bucket cap. The double cast is monotone, so bucket CONTENTS stay
     // contiguous either way; only sizes could shift at cast ties.
     graft.plans.GraftFunctions.ensure(df.sparkSession)
-    val pid: Column =
+    // coalesce: a null order key (outside the uniqueness contract, but it
+    // must not SILENTLY drop the row through the null-never-equal join)
+    // lands in bucket 0, same as the when-chain path evaluates it.
+    val pid: Column = coalesce(
       if (bounds.isEmpty) lit(0)
       else if (bounds.forall(_.isInstanceOf[Number]))
         graft.plans.GraftColumns.bucketBySortedBounds(order.cast("double"),
           bounds.map(_.asInstanceOf[Number].doubleValue).toArray)
       else bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(order > lit(b), 1).otherwise(0)
-      }
+      },
+      lit(0))
     // no explicit repartition: the window's own hash exchange on __pid
     // distributes the data, and the offsets aggregation map-side combines
     // to <= buckets rows per task before its (tiny) exchange

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The shared ranking tail of every top-k operator: per-query rank by
+    * (cos desc, neighbor_id) — deterministic under ties — keep rank ≤ k,
+    * round cos to the oracle's 4 decimals. One definition so tie-breaking
+    * and rounding can never drift between the exact and ANN paths.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+
   /** Exact top-k by cosine for each query row (queries small → broadcast).
     * Output: one row per (query_id, neighbour) kept by rank ≤ k.
     */
@@ -33,14 +50,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Corpus bucketing by `nBits`-bit hyperplane signature. At scale this is
@@ -83,14 +93,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Multi-table LSH ANN — the standard recall amplification: `nTables`
@@ -143,14 +146,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCells` Voronoi
@@ -208,14 +204,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("nv")) / (col("qn") * col("cn")))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
-              col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Per-group vector centroid via posexplode + partial-aggregating groupBy

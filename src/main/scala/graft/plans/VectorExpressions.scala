@@ -147,7 +147,11 @@ case class HyperplaneSig(child: Expression, nBits: Int)
     val n = v.numElements()
     // HOF parity: a null ELEMENT poisons every per-bit projection (null
     // propagates through the aggregate), so when(proj >= 0) is false for
-    // all bits → signature 0. Mirror that exactly.
+    // all bits → signature 0. Mirror that exactly. An EMPTY array is the
+    // same in the HOF — sequence(0, size-1) runs DOWNWARD to [0,-1], so
+    // zip_with null-pads and poisons — so it is also signature 0 here
+    // (NOT all-bits-set, which a bare acc=0.0 ≥ 0 loop would produce).
+    if (n == 0) return 0L
     var j = 0
     while (j < n) {
       if (v.isNullAt(j)) return 0L

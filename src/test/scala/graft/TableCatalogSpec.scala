@@ -108,6 +108,38 @@ class TableCatalogSpec extends SparkSpec {
     assert(got === Set((1L, "x2"), (2L, "y")))
   }
 
+  test("merge and compact refuse append-mode tables (no silent mode flip)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge7"))
+    cat.append(Seq((1L, "a")).toDF("k", "v"), "silver", "m")
+    intercept[IllegalArgumentException] {
+      cat.merge(Seq((1L, "b")).toDF("k", "v"), "silver", "m", keys = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      cat.compact("silver", "m", numFiles = 1)
+    }
+    // the append stream is unharmed
+    cat.append(Seq((2L, "c")).toDF("k", "v"), "silver", "m")
+    assert(cat.read("silver", "m").count() === 2)
+  }
+
+  test("merge with precedence: equal-precedence duplicate replays deterministically") {
+    // same key, same ts, different payloads in one batch — the committed
+    // winner must be identical across independent merges (content-hash
+    // tie-break), or exactly-once replay would diverge
+    def run(): String = {
+      val cat = new TableCatalog(spark, tmpDir("cat-merge8"))
+      cat.overwrite(Seq((9L, 0L, "seed")).toDF("k", "ts", "v"), "silver", "m")
+      cat.merge(
+        Seq((1L, 5L, "pay-a"), (1L, 5L, "pay-b")).toDF("k", "ts", "v")
+          .repartition(3),
+        "silver", "m", keys = Seq("k"), precedence = Some("ts"))
+      cat.read("silver", "m").filter($"k" === 1L)
+        .select($"v").as[String].collect().head
+    }
+    val winners = (1 to 3).map(_ => run()).toSet
+    assert(winners.size === 1, winners)
+  }
+
   test("merge after a crashed first overwrite (orphaned _v, no pointer) is insert-all") {
     val cat = new TableCatalog(spark, tmpDir("cat-merge5"))
     // simulate the crash state overwrite() documents: version dir written,

@@ -52,10 +52,11 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!got(1).isNullAt(0))
   }
 
-  test("hyperplane_sig: null ELEMENT matches HOF null-poisoning (sig 0)") {
+  test("hyperplane_sig: null ELEMENT and EMPTY array match HOF null-poisoning (sig 0)") {
     GraftFunctions.ensure(spark)
     val df = Seq(
         Tuple1(Array[java.lang.Double](null, 5.0)),
+        Tuple1(Array.empty[java.lang.Double]),
         Tuple1(Array[java.lang.Double](1.0, -2.0)))
       .toDF("v").select(
         hyperplaneSignature($"v", 8).as("gen"),
@@ -63,7 +64,9 @@ class VectorExpressionsSpec extends SparkSpec {
     val got = df.collect()
     assert(got(0).getLong(0) === 0L)
     assert(got(0).getLong(0) === got(0).getLong(1))
+    assert(got(1).getLong(0) === 0L)
     assert(got(1).getLong(0) === got(1).getLong(1))
+    assert(got(2).getLong(0) === got(2).getLong(1))
   }
 
   test("vec_dot null semantics: length mismatch and null input → null") {
