@@ -303,10 +303,23 @@ final class TableCatalog(spark: SparkSession, root: String,
         .unionByName(stored.withColumn(mergeSrcCol, lit(0)))
       // final content-hash tie-breaker: deterministic winner even for
       // same-key rows sharing the same precedence value, so a replayed
-      // batch converges instead of committing a layout-dependent row
-      val contentHash = xxhash64(struct(batch.columns.map(col): _*))
+      // batch converges instead of committing a layout-dependent row.
+      // Map-typed columns are excluded — Spark refuses to hash maps (their
+      // internal entry order is unspecified), and a tie-break must never
+      // make every merge on a map-carrying table throw.
+      def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+      val hashCols = batch.schema.fields
+        .filter(f => hashable(f.dataType)).map(f => col(f.name))
       val order = precedence.map(col(_).desc).toSeq ++
-        Seq(col(mergeSrcCol).desc, contentHash.asc)
+        Seq(col(mergeSrcCol).desc) ++
+        (if (hashCols.nonEmpty)
+          Seq(xxhash64(struct(hashCols: _*)).asc) else Nil)
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       val merged = all.withColumn(mergeRnCol, row_number().over(w))
         .filter(col(mergeRnCol) === 1).drop(mergeRnCol, mergeSrcCol)
