@@ -22,6 +22,31 @@ class ScanPackSplitSpec extends SparkSpec {
     assert(scan2 === naive)
   }
 
+  test("cumulativeSum: null order key is retained (bucket 0), not silently dropped") {
+    val df = Seq((Some(1L), 10L), (None, 5L), (Some(2L), 20L))
+      .toDF("k", "v")
+    val got = Scan.cumulativeSum(df, col("k"), col("v"), "cum")
+    // the row count is the contract: a null key is outside the uniqueness
+    // requirement but must never vanish through the bucket join
+    assert(got.count() === 3)
+    // null sorts first in the window, so it anchors the running total
+    val cums = got.orderBy(col("k").asc_nulls_first)
+      .select("cum").as[Long].collect().toSeq
+    assert(cums === Seq(5L, 15L, 35L))
+  }
+
+  test("cumulativeSum: negative values and a single row") {
+    val one = Scan.cumulativeSum(Seq((1L, -7L)).toDF("k", "v"),
+      col("k"), col("v"), "cum").select("cum").as[Long].collect()
+    assert(one.toSeq === Seq(-7L))
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) -i else i)).toDF("k", "v")
+    val naive = df.withColumn("cum", sum("v").over(Window.orderBy("k")))
+      .select("k", "cum").as[(Long, Long)].collect().sorted
+    val scan = Scan.cumulativeSum(df, col("k"), col("v"), "cum")
+      .select("k", "cum").as[(Long, Long)].collect().sorted
+    assert(scan === naive)
+  }
+
   test("cumulativeSum does not run a global single-partition window") {
     val df = spark.range(10000L).toDF("k").withColumn("v", lit(1L))
     val plan = Scan.cumulativeSum(df, col("k"), col("v"), "cum")
