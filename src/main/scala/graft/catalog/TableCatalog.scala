@@ -251,7 +251,11 @@ final class TableCatalog(spark: SparkSession, root: String,
     * WHEN NOT MATCHED INSERT` surface the reference's Delta stack offers.
     * Commits ONE new snapshot version with the same pointer-swap isolation
     * as `overwrite` (readers of the previous version are undisturbed — it
-    * stays retained). Schemas are matched by NAME (`unionByName`); a
+    * stays retained). Schemas are matched by NAME (`unionByName`); the
+    * batch must cover every stored column (a narrower batch fails loudly —
+    * committing it would drop the missing columns from ALL rows), while
+    * extra batch columns schema-evolve the table with stored rows
+    * null-padded, mirroring Delta MERGE's target-schema preservation. A
     * partitioned live layout is preserved unless `partitionBy` overrides.
     *
     * Precedence:
@@ -295,9 +299,27 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (!versioned) {
       overwrite(batch, layer, table, parts) // first write = insert-all
     } else {
-      // the batch schema is authoritative for the rewrite: an explicit
-      // schema on the stored read keeps partition VALUES verbatim (no
-      // lossy string→numeric inference round trip) with the batch's types
+      // the batch schema is authoritative for TYPES, never for WIDTH: the
+      // explicit-schema stored read below returns only the batch's
+      // columns, so a batch missing a stored column would read that
+      // column out of existence for EVERY row and commit the narrowed
+      // snapshot — silent, permanent data loss from one malformed CDC
+      // batch. Check coverage against the stored snapshot's actual
+      // schema (one footer read) and fail loudly instead. Widening
+      // batches (new columns) remain legal schema evolution: the stored
+      // side null-pads through the explicit-schema read.
+      val storedCols = spark.read.format(format)
+        .load(livePath(layer, table)).schema.fieldNames
+      val batchLower = batch.columns.map(_.toLowerCase).toSet
+      val dropped = storedCols.filterNot(c => batchLower.contains(c.toLowerCase))
+      require(dropped.isEmpty,
+        s"merge batch for $layer/$table is missing stored column(s) " +
+          s"${dropped.mkString(", ")}; a narrower batch would silently " +
+          "drop them from every row — select the full column set " +
+          "(pad with nulls explicitly if that loss is intended)")
+      // an explicit schema on the stored read keeps partition VALUES
+      // verbatim (no lossy string→numeric inference round trip) with the
+      // batch's types
       val stored = readWithSchema(layer, table, batch.schema)
       val all = batch.withColumn(mergeSrcCol, lit(1))
         .unionByName(stored.withColumn(mergeSrcCol, lit(0)))

@@ -50,6 +50,22 @@ object Scan {
     */
   def cumulativeSum(df: DataFrame, order: Column, value: Column,
       outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // fail up front, not inside percentile_approx's analyzer error: the
+    // bounds sketch only accepts numeric/date/timestamp keys. Merely
+    // orderable keys (string etc.) that the old repartitionByRange design
+    // tolerated need a sortable numeric surrogate from the caller.
+    val keyType = df.select(order).schema.head.dataType
+    val sketchable = keyType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(sketchable,
+      s"cumulativeSum order key must be numeric, date, or timestamp " +
+        s"(percentile-sketchable); got ${keyType.simpleString} — derive a " +
+        "numeric surrogate (e.g. xxhash64 breaks global order; use a " +
+        "monotone encoding of the key instead) and order by that")
+    val isFloating = keyType == DoubleType || keyType == FloatType
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     // 4 buckets per shuffle partition: the window exchange hashes BUCKET
@@ -87,14 +103,23 @@ object Scan {
     // coalesce: a null order key (outside the uniqueness contract, but it
     // must not SILENTLY drop the row through the null-never-equal join)
     // lands in bucket 0, same as the when-chain path evaluates it.
-    val pid: Column = coalesce(
+    val rawPid: Column =
       if (bounds.isEmpty) lit(0)
       else if (bounds.forall(_.isInstanceOf[Number]))
         graft.plans.GraftColumns.bucketBySortedBounds(order.cast("double"),
           bounds.map(_.asInstanceOf[Number].doubleValue).toArray)
       else bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(order > lit(b), 1).otherwise(0)
-      },
+      }
+    // NaN keys: every binary-search comparison is false, which would file
+    // them in bucket 0 — but Spark's sort order places NaN LAST (greater
+    // than any double), so the window inside bucket 0 would accumulate
+    // them at its end while the global offsets assume they sit before
+    // bound(0): wrong running totals. Route NaN to the last bucket, where
+    // bucket-local sort order and global bucket order agree again.
+    val pid: Column = coalesce(
+      if (isFloating) when(isnan(order), lit(buckets - 1)).otherwise(rawPid)
+      else rawPid,
       lit(0))
     // no explicit repartition: the window's own hash exchange on __pid
     // distributes the data, and the offsets aggregation map-side combines

@@ -120,27 +120,7 @@ case class HyperplaneSig(child: Expression, nBits: Int)
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // ±1 weight rows per vector length: weights(n)(b * n + i)
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
-
-  private def weights(n: Int): Array[Byte] =
-    cache.computeIfAbsent(n, { len =>
-      val w = new Array[Byte](nBits * len)
-      var b = 0
-      while (b < nBits) {
-        // seed chain identical to xxhash64(lit(b), i): both int32 inputs
-        val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L)
-        var i = 0
-        while (i < len) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, seed)
-          w(b * len + i) = if ((h & 1L) == 0L) 1 else -1
-          i += 1
-        }
-        b += 1
-      }
-      w
-    })
+  private def weights(n: Int): Array[Byte] = HyperplaneSig.weights(nBits, n)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -179,6 +159,41 @@ case class HyperplaneSig(child: Expression, nBits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneSig {
+  /** Executor-global ±1 weight matrices keyed by (nBits, vector length):
+    * `weights(nBits, n)(b * n + i)`. Lives on the companion (a JVM
+    * singleton per executor), NOT on the expression instance — an
+    * instance-level `@transient lazy val` is rebuilt per task
+    * deserialization, so every task of every stage re-derived the
+    * nBits×dims hash matrix. Here each executor derives each (nBits, n)
+    * row set exactly once for the process lifetime; entries are a few KB
+    * (64 × dims bytes at most) and the key space is the handful of
+    * distinct embedding widths a job touches, so unbounded retention is
+    * the right policy.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+  private[plans] def weights(nBits: Int, n: Int): Array[Byte] =
+    cache.computeIfAbsent((nBits.toLong << 32) | (n.toLong & 0xffffffffL),
+      { _ =>
+        val w = new Array[Byte](nBits * n)
+        var b = 0
+        while (b < nBits) {
+          // seed chain identical to xxhash64(lit(b), i): both int32 inputs
+          val seed = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L)
+          var i = 0
+          while (i < n) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, seed)
+            w(b * n + i) = if ((h & 1L) == 0L) 1 else -1
+            i += 1
+          }
+          b += 1
+        }
+        w
+      })
 }
 
 /** Bucket assignment against a SORTED bounds array: returns the count of

@@ -47,6 +47,33 @@ class ScanPackSplitSpec extends SparkSpec {
     assert(scan === naive)
   }
 
+  test("cumulativeSum: NaN order keys land in the LAST bucket, matching sort order") {
+    // NaN sorts greater than every double in Spark; a binary-search bucket
+    // assignment files it at 0 (all comparisons false) — the fix routes it
+    // to the last bucket so the running total stays consistent with the
+    // window's own ordering. Enough rows that bucket 0 and the last bucket
+    // are genuinely different.
+    val base = (1 to 2000).map(i => (i.toDouble, 1L))
+    val df = (base :+ ((Double.NaN, 5L))).toDF("k", "v")
+    val got = Scan.cumulativeSum(df, col("k"), col("v"), "cum")
+    assert(got.count() === 2001)
+    // the NaN row is last in sort order → its cum is the grand total
+    val nanCum = got.filter(isnan(col("k"))).select("cum").as[Long].head()
+    assert(nanCum === 2005L)
+    // and every real key's total is unaffected by the NaN row
+    val maxReal = got.filter(!isnan(col("k")))
+      .agg(max("cum")).as[Long].head()
+    assert(maxReal === 2000L)
+  }
+
+  test("cumulativeSum: non-sketchable order key type fails up front with a clear message") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Scan.cumulativeSum(df, col("k"), col("v"), "cum")
+    }
+    assert(ex.getMessage.contains("numeric, date, or timestamp"), ex.getMessage)
+  }
+
   test("cumulativeSum does not run a global single-partition window") {
     val df = spark.range(10000L).toDF("k").withColumn("v", lit(1L))
     val plan = Scan.cumulativeSum(df, col("k"), col("v"), "cum")

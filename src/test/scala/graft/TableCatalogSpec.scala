@@ -62,6 +62,33 @@ class TableCatalogSpec extends SparkSpec {
       Seq((1L, "x")))
   }
 
+  test("merge refuses a batch narrower than the stored schema (no silent column drop)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge-narrow"))
+    cat.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "score"),
+      "silver", "m")
+    val ex = intercept[IllegalArgumentException] {
+      cat.merge(Seq((1L, "a2")).toDF("k", "v"), "silver", "m", keys = Seq("k"))
+    }
+    assert(ex.getMessage.contains("score"), ex.getMessage)
+    // nothing committed: the stored snapshot is intact, score column included
+    assert(cat.versions("silver", "m").size === 1)
+    assert(cat.read("silver", "m").select($"k", $"score")
+      .as[(Long, Double)].collect().toMap === Map(1L -> 10.0, 2L -> 20.0))
+  }
+
+  test("merge with a WIDER batch schema-evolves: stored rows null-pad the new column") {
+    val cat = new TableCatalog(spark, tmpDir("cat-merge-widen"))
+    cat.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "silver", "m")
+    cat.merge(Seq((2L, "b2", Some(99.0)), (3L, "c", None))
+        .toDF("k", "v", "score"),
+      "silver", "m", keys = Seq("k"))
+    val got = cat.read("silver", "m").select($"k", $"v", $"score")
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> (("a", None)), 2L -> (("b2", Some(99.0))), 3L -> (("c", None))))
+  }
+
   test("merge with precedence: a late lower-ordered row never clobbers a newer stored row") {
     val cat = new TableCatalog(spark, tmpDir("cat-merge3"))
     cat.overwrite(Seq((1L, 20L, "new"), (2L, 10L, "b")).toDF("k", "ts", "v"),
