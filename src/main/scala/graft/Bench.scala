@@ -47,6 +47,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed queries excluded
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the JSON line goes out IMMEDIATELY after timing — before the file
+    // write, before spark.stop() — and everything after it is silenced
+    // (log level OFF below): round 3 lost one query entry because Spark's
+    // shutdown logging FOLLOWED the line in the driver's combined capture
+    // and ran the fixed-size tail window past the line's head.
+    println(json)
+    System.out.flush()
     // belt and braces vs log truncation: the same line goes to a repo file
     // the driver snapshots with the end-of-round commit. Anchor on the
     // repo root when identifiable (cwd may differ under a launcher); a
@@ -69,7 +76,9 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
     }
-    println(json)
+    // nothing may print after the JSON line: shutdown logs would re-fill
+    // the capture tail that the line must survive in
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }
 }

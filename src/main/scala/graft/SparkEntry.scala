@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DomainQueries, ExtQueries, PipelineQueries}
+import graft.queries.{CoreQueries, DomainQueries, ExtQueries, PipelineQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, DomainQueries, ExtQueries, PipelineQueries}
   */
 object SparkEntry {
   private def inventory: Seq[NamedQuery] =
-    CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all ++
+      PipelineQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full Gold pipeline shape of the reference (window dedup → broadcast

@@ -385,8 +385,36 @@ object DomainQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** OPTIMIZE-style compaction through the driver gate: fragment a
+    * lineitem projection across 64 small files (the accretion shape a
+    * frequent-merge table develops), compact to 4, read the committed
+    * snapshot back — row-identical to the SOURCE table per the oracle, so
+    * a compaction that drops, duplicates, or corrupts any row breaks the
+    * hash. No rounding games: the values round-trip parquet bit-exactly on
+    * both sides. PlanQualitySpec pins the post-compact file count.
+    */
+  private val catalogCompactRoundtrip = NamedQuery(
+    "catalog_compact_roundtrip", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        cat.overwrite(li.repartition(64), "silver", "lineitem_frag")
+        cat.compact("silver", "lineitem_frag", numFiles = 4)
+        cat.read("silver", "lineitem_frag")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      }
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_returnflag
+            FROM lineitem ORDER BY 1, 2"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
-      partitionPrunedScan, catalogMergeUpsert)
+      partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip)
 }

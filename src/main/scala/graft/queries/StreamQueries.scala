@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.{NamedQuery, Tables}
+import graft.streaming.{Sessionize, SilverJob}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-gate evidence for the STREAMING engine (SURVEY.md §2.7): each
+  * query replays the batch corpus through a real Structured Streaming
+  * topology — `MemoryStream` source, micro-batch boundaries, watermarks,
+  * state timeouts, checkpointed `foreachBatch` sinks — and the FINAL table
+  * must hash-match the SAME DuckDB oracle as its batch twin. That makes the
+  * streaming semantics (exactly-once, event-time state, CDC precedence)
+  * driver-checked, not just ScalaTest-pinned: dropped late events, a
+  * session glued across a silence, an unflushed state interval, or a
+  * double-applied micro-batch all turn the oracle hash red.
+  *
+  * The replay buffers the corpus on the driver — that is the HARNESS shape
+  * (MemoryStream is how Spark itself tests streaming), not the production
+  * shape; in production the same topologies read Kafka (reference:
+  * fire_risk_processor.py:49-57) and nothing passes through the driver.
+  */
+object StreamQueries {
+
+  /** Narrow CDC row for the streaming-merge replay: the merge key, the
+    * dimensions the oracle aggregates, and the precedence revision.
+    */
+  final case class OrderRev(o_orderkey: Long, o_orderstatus: String,
+      o_totalprice: Double, rev: Long)
+
+  /** Streaming sessionization driven to the BATCH oracle: the whole events
+    * corpus replays through `Sessionize.sessions` (flatMapGroupsWithState,
+    * event-time timeout, 30-min gap), then two sentinel batches on a
+    * throwaway key push the watermark past every real interval's close so
+    * the timeout pass flushes ALL state — the streaming analogue of "end
+    * of input". Sessions are renumbered 1..n per user by start time, which
+    * is exactly the batch query's cumulative new-session ordinal (sessions
+    * are disjoint and gap-separated, so start order IS session order).
+    * Boundary parity with the batch twin: an event exactly `gap` after the
+    * previous one extends the session in BOTH formulations (batch: strictly
+    *-greater comparison starts a new one; stream: inclusive `<= lastTs +
+    * gap` absorbs it).
+    */
+  private val sessionizeStream = NamedQuery(
+    "events_sessionize_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val ss = s
+      implicit val sq = s.sqlContext
+      val gapMs = 1800000L // 30 min, matching the batch twin's 1800000000 µs
+      val corpus = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("value"))
+        .as[Sessionize.Event].collect()
+      val maxTs = corpus.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[Sessionize.Event]
+      val sink = "graft_sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Sessionize.sessions(mem.toDS(), gapMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // batch 1: the real corpus (initial watermark 0 admits everything)
+        mem.addData(corpus.toIndexedSeq)
+        q.processAllAvailable()
+        // batch 2: sentinel advances the watermark past every real close
+        // (wm becomes maxTs + 2·gap > any lastTs + gap) …
+        mem.addData(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs), 0.0))
+        q.processAllAvailable()
+        // … batch 3: one more event so a timeout pass RUNS at that
+        // watermark (timeouts fire at the start of the next micro-batch)
+        mem.addData(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy(col("key")).orderBy(col("start"))
+      s.table(sink)
+        .filter(col("key") =!= "__flush__")
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("key").cast("bigint").as("user_id"), col("session_id"),
+          col("n_events"),
+          expr("unix_millis(start)").as("start_ms"),
+          expr("unix_millis(end)").as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    // the batch twin's oracle, verbatim — identical result contract
+    Some("""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts,
+                         CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM o),
+            s AS (SELECT user_id, ts,
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Streaming CDC merge driven to the BATCH oracle: micro-batch 1 seeds
+    * the catalog with the base snapshot (rev 1), micro-batch 2 upserts the
+    * correction batch (rev 2, price doubled) through
+    * `SilverJob.startMergeSink` — checkpointed foreachBatch, precedence
+    * merge — and the committed table must aggregate to exactly what the
+    * `catalog_merge_upsert` oracle computes relationally. A replayed or
+    * dropped micro-batch, a stale row surviving the upsert, or a
+    * double-applied correction all break the hash. Fresh catalog root +
+    * checkpoint per invocation: a MemoryStream offset log is not portable
+    * across program runs, and a leftover rev-2 table would invert the
+    * precedence of the rev-1 seed.
+    */
+  private val mergeStream = NamedQuery(
+    "catalog_merge_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = orders.filter(col("o_orderkey") % 10 < 8)
+        .withColumn("rev", lit(1L)).as[OrderRev].collect()
+      val correction = orders.filter(col("o_orderkey") % 10 >= 5)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("rev", lit(2L)).as[OrderRev].collect()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mstream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val cat = new graft.catalog.TableCatalog(s, root)
+      val mem = MemoryStream[OrderRev]
+      // two RUNS over one checkpoint, not two triggers of one run: the
+      // sink's Trigger.AvailableNow drains what exists at start and stops,
+      // so the correction batch arrives through a restart — which is the
+      // stronger claim anyway (offset log + idempotent merge recover
+      // exactly-once across process boundaries, ST2+ST6)
+      mem.addData(base.toIndexedSeq)
+      SilverJob.startMergeSink(mem.toDF(), cat,
+        "silver", "orders_stream", keys = Seq("o_orderkey"),
+        orderCol = "rev", checkpoint = s"$root/_checkpoint")
+        .awaitTermination()
+      mem.addData(correction.toIndexedSeq)
+      SilverJob.startMergeSink(mem.toDF(), cat,
+        "silver", "orders_stream", keys = Seq("o_orderkey"),
+        orderCol = "rev", checkpoint = s"$root/_checkpoint")
+        .awaitTermination()
+      cat.read("silver", "orders_stream")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    // the batch twin's oracle, verbatim — identical result contract
+    Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+            batch AS (SELECT * REPLACE (o_totalprice * 2.0 AS o_totalprice)
+                      FROM orders WHERE o_orderkey % 10 >= 5),
+            merged AS (
+              SELECT * FROM batch
+              UNION ALL
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[NamedQuery] = Seq(sessionizeStream, mergeStream)
+}

@@ -146,6 +146,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("catalog_compact_roundtrip: the committed snapshot is exactly 4 data files") {
+    run("catalog_compact_roundtrip")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val live = new graft.catalog.TableCatalog(spark, root)
+      .livePath("silver", "lineitem_frag").stripPrefix("file:")
+    val files = new java.io.File(live).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // the READ above served from the compacted layout: 64 fragments became 4
+    assert(files.length === 4, files.map(_.getName).mkString(","))
+  }
+
   test("pack_sequences: the corpus-wide window is partitioned (two-phase scan)") {
     val df = graft.operators.Packing.packSequences(
       graft.Tables.documents(spark, sf), capacity = 2048)
