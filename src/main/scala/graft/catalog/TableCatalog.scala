@@ -28,6 +28,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Single-writer per table (the reference's gold job is a single loop);
   * concurrent READERS are the isolation target.
   *
+  * Retention / read-duration contract, precisely: a reader that resolved
+  * `_CURRENT` at version N keeps a valid snapshot while at most
+  * `keepVersions - 1` further commits land; the `keepVersions`-th commit
+  * vacuums N. So size `keepVersions` ≥ ceil(longest plausible read
+  * duration / shortest commit interval) + 1 — e.g. the reference's
+  * 60-second gold cadence with dashboard reads up to 3 min in flight
+  * needs keepVersions ≥ 4. TableCatalogSpec pins both sides of the
+  * boundary with a concurrent reader.
+  *
   * Partitioning: the reference README claims time/spatial partitioning but
   * the code never calls partitionBy (SURVEY.md §1.3) — here it's real:
   * `write(..., partitionBy = Seq("region"))` produces hive-style dirs and

@@ -200,10 +200,14 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm2Fast(col(vecCol)).as("qn")),
       "qv", "probe_cell", nProbe)
+    // no candidate dedup needed (unlike the LSH path, where overlapping
+    // buckets duplicate pairs): every neighbor holds exactly ONE cell
+    // (nTake = 1) and a query's probe cells are distinct (seed ids are
+    // distinct corpus ids), so each (query, neighbor) pair joins at most
+    // once — a dropDuplicates here was a pure extra shuffle
     val scored = probes.join(assigned, col("probe_cell") === col("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("nv")) / (col("qn") * col("cn")))
-      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 

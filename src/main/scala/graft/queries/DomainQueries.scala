@@ -327,8 +327,11 @@ object DomainQueries {
       (s, d) => {
         import graft.catalog.TableCatalog
         // per-sfDir catalog root: bench (sf0.1) and verify (sf0.01) runs
-        // must not clobber each other's versions
+        // must not clobber each other's versions; per-PID so two harness
+        // JVMs (sbt test + a concurrent bench) never co-write one catalog
+        // root — the catalog is single-writer by contract
         val root = s"${System.getProperty("java.io.tmpdir")}/graft_prune_" +
+          s"${ProcessHandle.current().pid()}_" +
           d.replaceAll("[^A-Za-z0-9.]", "_")
         val cat = new TableCatalog(s, root)
         cat.overwrite(Tables.customer(s, d), "silver", "customer_by_segment",
@@ -358,6 +361,7 @@ object DomainQueries {
       (s, d) => {
         import graft.catalog.TableCatalog
         val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+          s"${ProcessHandle.current().pid()}_" +
           d.replaceAll("[^A-Za-z0-9.]", "_")
         val cat = new TableCatalog(s, root)
         val orders = Tables.orders(s, d)
@@ -398,6 +402,7 @@ object DomainQueries {
       (s, d) => {
         import graft.catalog.TableCatalog
         val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+          s"${ProcessHandle.current().pid()}_" +
           d.replaceAll("[^A-Za-z0-9.]", "_")
         val cat = new TableCatalog(s, root)
         val li = Tables.lineitem(s, d)

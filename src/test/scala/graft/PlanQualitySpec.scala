@@ -149,6 +149,7 @@ class PlanQualitySpec extends SparkSpec {
   test("catalog_compact_roundtrip: the committed snapshot is exactly 4 data files") {
     run("catalog_compact_roundtrip")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      s"${ProcessHandle.current().pid()}_" +
       sf.replaceAll("[^A-Za-z0-9.]", "_")
     val live = new graft.catalog.TableCatalog(spark, root)
       .livePath("silver", "lineitem_frag").stripPrefix("file:")

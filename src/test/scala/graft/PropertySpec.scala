@@ -178,6 +178,96 @@ class PropertySpec extends SparkSpec {
     assert(mean > 24 && mean < 40, s"mean unrelated hamming $mean, want ≈ 32")
   }
 
+  // ---- planted-neighbor recall laws for the ANN family (5 seeds each) ----
+
+  /** One planted corpus: `nFill` random unit vectors (ids seed·10⁶+1000…)
+    * plus, per query q (ids seed·10⁶+0…), ONE planted neighbor (id
+    * seed·10⁶+5000+q) at EXACTLY cos = `cosTarget` to it (c·q̂ +
+    * √(1−c²)·r̂⊥ construction). Fillers are i.i.d. Gaussian → cos ≈ 0 to
+    * everything, so the planted vector is the unambiguous true top-1 and
+    * recall@k equals candidate-generation hit rate — the quantity the
+    * OR-amplification bound speaks about.
+    */
+  private def planted(seed: Long, nFill: Int, nQueries: Int, dims: Int,
+      cosTarget: Double): (Seq[(Long, Array[Float])], Seq[(Long, Array[Float])]) = {
+    val rnd = new scala.util.Random(seed)
+    def gauss() = Array.fill(dims)(rnd.nextGaussian())
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = seed * 1000000L
+    val queries = Seq.tabulate(nQueries)(q => (base + q, unit(gauss())))
+    val plantedVecs = queries.map { case (qid, qv) =>
+      val r = gauss()
+      val dot = r.zip(qv).map { case (a, b) => a * b }.sum
+      val perp = unit(r.zip(qv).map { case (a, b) => a - dot * b })
+      val c = cosTarget
+      (qid + 5000L,
+        qv.zip(perp).map { case (a, b) => c * a + math.sqrt(1 - c * c) * b })
+    }
+    val fillers = Seq.tabulate(nFill)(i => (base + 1000L + i, unit(gauss())))
+    def f(v: Seq[(Long, Array[Double])]) =
+      v.map { case (id, a) => (id, a.map(_.toFloat)) }
+    (f(fillers) ++ f(plantedVecs), f(queries.map { case (id, v) => (id, v) }))
+  }
+
+  private def recallOf(top: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    top.select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1 / 1000000L) // seed
+      .view.mapValues(_.count { case (q, n) => n == q + 5000L })
+      .toMap
+
+  test("multi-table hyperplane LSH: OR-amplified recall floor over 5 planted seeds; a narrowed signature fails it") {
+    // cos 0.95 → θ = 0.3176 → per-bit agree p = 1 − θ/π ≈ 0.899. Per 8-bit
+    // table, P[≤2 disagreements] ≈ 0.961; missing ALL 7 OR-amplified
+    // tables ≈ 0.039⁷ ≈ 1.3e-10 per pair — so at the production point
+    // every planted neighbor must surface (floor 48/50 leaves room only
+    // for the Rademacher-vs-Gaussian approximation, not for bugs). The
+    // SAME corpus at a narrowed signature (1 table, exact-bucket probe)
+    // has per-pair hit ≈ p⁸ ≈ 0.43 → 50 pairs concentrate near 21.5
+    // (σ ≈ 3.5), so the ≤ 40 ceiling both proves the floor has teeth and
+    // pins that OR-amplification is genuinely what buys the recall.
+    val seeds = Seq(11L, 12L, 13L, 14L, 15L)
+    val corpora = seeds.map(s => planted(s, nFill = 400, nQueries = 10,
+      dims = 64, cosTarget = 0.95))
+    val corpus = corpora.flatMap(_._1).toDF("vec_id", "embedding")
+    val queries = corpora.flatMap(_._2).toDF("vec_id", "embedding")
+    val full = recallOf(graft.operators.Similarity.lshTopKMulti(
+      corpus, queries, k = 10, nBits = 8, nTables = 7, maxHamming = 2))
+    assert(full.values.sum >= 48, s"per-seed hits: $full")
+    assert(full.values.forall(_ >= 9), s"per-seed hits: $full")
+    val narrowed = recallOf(graft.operators.Similarity.lshTopKMulti(
+      corpus, queries, k = 10, nBits = 8, nTables = 1, maxHamming = 0))
+    assert(narrowed.values.sum <= 40,
+      s"narrowed signature should miss ~57% of pairs, got $narrowed")
+  }
+
+  test("IVF: exhaustive probe is exact on 5 planted seeds; production probe holds its floor") {
+    // nProbe = nCells probes every cell — provably brute force, so every
+    // query's top-1 must be its planted neighbor on every seed (any miss
+    // is machinery, not geometry). The production point (4 of 16 cells)
+    // loses only pairs that straddle a cell boundary AND whose neighbor
+    // cell is outside the query's 4 nearest — rare at cos 0.95; floor set
+    // 4σ under the measured 48-50/50.
+    val seeds = Seq(21L, 22L, 23L, 24L, 25L)
+    var exact = 0; var prod = 0
+    for (s <- seeds) {
+      val (corpus, queries) = planted(s, nFill = 400, nQueries = 10,
+        dims = 64, cosTarget = 0.95)
+      val cdf = corpus.toDF("vec_id", "embedding")
+      val qdf = queries.toDF("vec_id", "embedding")
+      val ex = recallOf(graft.operators.Similarity.ivfTopK(
+        cdf, qdf, k = 10, nCells = 16, nProbe = 16))
+      exact += ex.values.sum
+      val pr = recallOf(graft.operators.Similarity.ivfTopK(
+        cdf, qdf, k = 10, nCells = 16, nProbe = 4))
+      prod += pr.values.sum
+    }
+    assert(exact === 50, s"exhaustive IVF missed planted neighbors: $exact/50")
+    assert(prod >= 40, s"production IVF recall $prod/50 under floor")
+  }
+
   test("tokenBudgetMix: per-source spend covers the budget, overshoot bounded by one doc") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val budgets = Map("src0" -> 300L, "src1" -> 700L)

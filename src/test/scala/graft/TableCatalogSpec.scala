@@ -239,6 +239,48 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.read("gold", "iso").as[Int].collect().sorted.toSeq === Seq(40, 50))
   }
 
+  test("vacuum under a CONCURRENT reader: retention spans keepVersions-1 commits, boundary exact") {
+    val root = tmpDir("cat-vac")
+    val cat = new TableCatalog(spark, root, keepVersions = 3)
+    cat.overwrite((1L to 1000L).toDF("x"), "gold", "vac") // v1
+    // reader thread: resolves _CURRENT (v1), signals, then holds its read
+    // open until the writer has landed every commit the contract allows —
+    // the longest plausible read, by construction
+    val resolved = new java.util.concurrent.CountDownLatch(1)
+    val writerDone = new java.util.concurrent.CountDownLatch(1)
+    val result =
+      new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Long]]()
+    val reader = new Thread(() => {
+      try {
+        val snap = cat.read("gold", "vac") // pointer + file listing pin v1
+        val n = snap.count()
+        resolved.countDown()
+        writerDone.await()
+        val s = snap.agg(sum("x")).head.getLong(0)
+        result.set(if (n == 1000L) Right(s)
+          else Left(new AssertionError(s"resolved $n rows")))
+      } catch {
+        case t: Throwable => resolved.countDown(); result.set(Left(t))
+      }
+    })
+    reader.start()
+    resolved.await()
+    // the maximum churn the contract allows: keepVersions-1 = 2 commits
+    cat.overwrite((1L to 10L).toDF("x"), "gold", "vac") // v2
+    cat.overwrite((11L to 20L).toDF("x"), "gold", "vac") // v3
+    writerDone.countDown()
+    reader.join(120000)
+    // the in-flight reader finished on its ORIGINAL snapshot — no
+    // FileNotFound, no mixed version
+    assert(result.get() === Right(500500L), result.get())
+    val v1dir = new java.io.File(s"$root/gold/vac/_v/00001")
+    assert(v1dir.exists, "v1 must survive keepVersions-1 commits")
+    // the boundary is exact: the NEXT commit ages v1 out
+    cat.overwrite(Seq(9L).toDF("x"), "gold", "vac") // v4
+    assert(!v1dir.exists, "the keepVersions-th commit must vacuum v1")
+    assert(cat.read("gold", "vac").as[Long].collect().toSeq === Seq(9L))
+  }
+
   test("schema evolution on overwrite + time travel to the old schema") {
     val cat = new TableCatalog(spark, tmpDir("cat-evo"))
     cat.overwrite(Seq((1, "a")).toDF("x", "s"), "gold", "evo")
