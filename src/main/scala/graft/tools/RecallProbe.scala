@@ -5,7 +5,15 @@ import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: parameter sweep for the recall-companion queries. */
+/** Scratch: parameter sweep for the recall-companion queries.
+  *
+  * `RecallProbe table` prints the COVERAGE.md recall-vs-probe-cost table:
+  * measured recall@10 against brute force on the sf0.1 driver corpus per
+  * (nBits, nTables, maxHamming) / (nCells, nProbe) point, next to the
+  * ANALYTIC probed fraction of the search space — for multi-table LSH,
+  * nTables · Σ_{i≤h} C(nBits,i) / 2^nBits of the (table, bucket) space;
+  * for IVF, nProbe/nCells of the cells.
+  */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
@@ -13,6 +21,7 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("table")) { costTable(spark); spark.stop(); return }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"
       val emb = Tables.embeddings(spark, d)
@@ -102,5 +111,40 @@ object RecallProbe {
       }
     }
     spark.stop()
+  }
+
+  private def costTable(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    val bfSet = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def choose(n: Int, k: Int): Long =
+      (0 until k).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
+    println("| op | parameters | probed fraction | recall@10 |")
+    println("|---|---|---|---|")
+    for {
+      nBits <- Seq(8, 12)
+      nTables <- Seq(1, 4, 7) if nBits * nTables <= 63
+      mh <- Seq(0, 1, 2)
+    } {
+      val probed = math.min(1.0,
+        (0 to mh).map(choose(nBits, _)).sum.toDouble / (1L << nBits))
+      val hits = Similarity.lshTopKMulti(emb, q, k = 10, nBits = nBits,
+          nTables = nTables, maxHamming = mh)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(bfSet).size
+      println(f"| lshTopKMulti | nBits=$nBits nTables=$nTables maxHamming=$mh " +
+        f"| ${probed * 100}%.1f%% per table × $nTables | $hits/30 |")
+    }
+    for (np <- Seq(1, 2, 4, 8, 12, 16)) {
+      val hits = Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(bfSet).size
+      println(f"| ivfTopK | nCells=16 nProbe=$np | ${np * 100.0 / 16}%.1f%% of cells | $hits/30 |")
+    }
   }
 }
