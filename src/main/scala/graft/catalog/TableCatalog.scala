@@ -160,7 +160,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     * snapshot always outlives in-flight readers of it.
     */
   def overwrite(df: DataFrame, layer: String, table: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
     val prevCommitted = currentVersion(layer, table)
     val next = prevCommitted.getOrElse(
       versions(layer, table).lastOption.getOrElse(0)) + 1
@@ -168,6 +168,13 @@ final class TableCatalog(spark: SparkSession, root: String,
     val w = df.write.mode(SaveMode.Overwrite).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(target.toString)
+    // File-level min/max stats land INSIDE the version dir BEFORE the
+    // pointer swap: stats are part of the committed snapshot (a reader can
+    // never resolve a version whose stats are still being written), and
+    // vacuum reclaims them with their version. The `_stats` name keeps the
+    // sidecar invisible to every normal read (Spark's listing filters
+    // underscore-prefixed paths).
+    if (statsCols.nonEmpty) writeFileStats(target, statsCols)
     // atomic pointer swap
     val ptr = pointerPath(layer, table)
     val tmp = new Path(ptr.toString + ".__tmp")
@@ -403,5 +410,99 @@ final class TableCatalog(spark: SparkSession, root: String,
       if (cached.isEmpty) false
       else { overwrite(cached, layer, table, partitionBy); true }
     } finally cached.unpersist()
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  private val statsFileCol = "__file"
+
+  /** Per-data-file min/max sidecar (`<version>/_stats/`, parquet): one row
+    * per file, columns `min_<c>`/`max_<c>` in the column's own type. This
+    * is the Delta/Iceberg file-statistics capability: at 100 TB the
+    * planning-time win over parquet's own row-group stats is that pruning
+    * needs ONE tiny sidecar read instead of opening a million file footers
+    * — the footer can only prune a file you already scheduled. The post-
+    * write pass costs one scan of the snapshot's stat columns (what Delta
+    * folds into its writer); pair with `Layout.zorderBy` so the min/max
+    * ranges are actually narrow per file.
+    */
+  private def writeFileStats(target: Path, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val written = spark.read.format(format).load(target.toString)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    written
+      .select(input_file_name().as(statsFileCol) +: statsCols.map(col): _*)
+      // basename only: the sidecar must not pin an absolute URI (catalog
+      // roots move; file:/ vs file:/// spellings differ by entry point).
+      // Task-UUID part names are unique across partition subdirs.
+      .withColumn(statsFileCol,
+        element_at(split(col(statsFileCol), "/"), -1))
+      .groupBy(col(statsFileCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).format(format)
+      .save(new Path(target, "_stats").toString)
+  }
+
+  /** The live snapshot's file-stats sidecar, if the committing overwrite
+    * recorded one (`statsCols` non-empty).
+    */
+  def fileStats(layer: String, table: String): Option[DataFrame] = {
+    val statsPath = new Path(livePath(layer, table), "_stats")
+    if (!hadoopFs(statsPath).exists(statsPath)) None
+    else Some(spark.read.format(format).load(statsPath.toString))
+  }
+
+  /** Data-skipping range read: prune the live snapshot's files against the
+    * stats sidecar (keep a file iff every requested `[lo, hi]` interval
+    * intersects its `[min, max]` — all-null stats keep the file,
+    * conservatively), schedule ONLY the survivors, and re-apply the exact
+    * predicate on the residual rows. Semantically identical to
+    * `read(...).filter(between…)` for every range list; the difference is
+    * the scan never plans the pruned files at all. Falls back to the plain
+    * filtered read when the snapshot has no sidecar. Bounds are inclusive;
+    * rows with NULL in a ranged column never qualify (SQL BETWEEN).
+    */
+  def readRange(layer: String, table: String,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ranges.nonEmpty, "readRange needs at least one (col, lo, hi)")
+    def residual(df: DataFrame): DataFrame =
+      ranges.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
+    fileStats(layer, table) match {
+      case None => residual(read(layer, table))
+      case Some(stats) =>
+        val live = new Path(livePath(layer, table))
+        val keep = ranges.foldLeft(stats) { case (sdf, (c, lo, hi)) =>
+          sdf.filter(col(s"min_$c").isNull ||
+            (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
+        }
+        // the sidecar is one row per file — this collect is the same
+        // driver-side file-list pruning a Delta log replay does
+        val names = keep.select(col(statsFileCol)).collect()
+          .map(_.getString(0)).toSet
+        if (names.isEmpty) {
+          val schema = spark.read.format(format).load(live.toString).schema
+          residual(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        } else {
+          val fs = hadoopFs(live)
+          val files = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = fs.listFiles(live, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (names.contains(f.getPath.getName) &&
+                !f.getPath.toString.contains("/_stats/"))
+              files += f.getPath.toString
+          }
+          // basePath keeps hive partition columns of a partitioned layout
+          residual(spark.read.format(format)
+            .option("basePath", live.toString)
+            .load(files.toSeq: _*))
+        }
+    }
   }
 }

@@ -21,14 +21,27 @@ object Layout {
 
   /** Morton interleave of two pre-normalized integer columns in
     * [0, 2^bits): bit i of `x` → bit 2i, bit i of `y` → bit 2i+1.
+    *
+    * Implemented as the magic-mask bit spread (5 shift-AND steps per
+    * dimension), not a per-bit fold: the fold's 2×`bits` terms each embed
+    * the full input expression, and a non-trivial input (zorderBy's
+    * min-max scale) blows the projection past codegen's method limits —
+    * interpreted eval made a 600k-row rewrite ~15× slower. The spread is
+    * a linear chain of ~12 cheap ops regardless of `bits`, identical
+    * output for any input < 2^bits.
     */
   def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(y.cast("long").bitwiseAND(lit(1L << i)), i + 1))
+    def spread(c: Column): Column = {
+      val masked = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+        1 -> 0x5555555555555555L)
+        .foldLeft(masked) { case (v, (sh, mask)) =>
+          v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(mask))
+        }
     }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
   /** Rewrite `df` clustered on the Morton curve of (`xCol`, `yCol`) into
@@ -46,13 +59,15 @@ object Layout {
     def scale(c: Column, lo: Column, hi: Column): Column =
       when(hi === lo, lit(0L)).otherwise(
         floor((c.cast("double") - lo) / (hi - lo) * top).cast("long"))
-    val z = zvalue(
-      scale(xCol, col("__xlo"), col("__xhi")),
-      scale(yCol, col("__ylo"), col("__yhi")), bits)
+    // scaled dims land in their own projection so the interleave references
+    // plain attributes — CollapseProject keeps non-cheap aliases that are
+    // referenced more than once, so the div/floor runs once per row
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", z)
+      .withColumn("__zx", scale(xCol, col("__xlo"), col("__xhi")))
+      .withColumn("__zy", scale(yCol, col("__ylo"), col("__yhi")))
+      .withColumn("__z", zvalue(col("__zx"), col("__zy"), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+      .drop("__z", "__zx", "__zy", "__xlo", "__xhi", "__ylo", "__yhi")
   }
 }

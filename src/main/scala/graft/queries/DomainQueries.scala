@@ -418,8 +418,86 @@ object DomainQueries {
                    l_extendedprice, l_returnflag
             FROM lineitem ORDER BY 1, 2"""))
 
+  /** File-stats data skipping through the driver gate: Z-order lineitem on
+    * (l_orderkey, l_partkey) into 16 files, commit with a min/max sidecar
+    * on both dimensions, then `readRange` a two-dimensional slice — the
+    * scan schedules only the files whose stats intersect the ranges
+    * (DataSkippingSpec pins the pruned file count; at 100 TB this is the
+    * planning-time prune that spares a million footer opens). The oracle
+    * is the plain relational filter, so a pruned file that actually held a
+    * qualifying row — or a kept file's rows leaking past the residual
+    * filter — breaks the hash.
+    */
+  private val catalogStatsSkipping = NamedQuery(
+    "catalog_stats_skipping", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        import graft.operators.Layout
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        cat.overwrite(
+          Layout.zorderBy(li, col("l_orderkey"), col("l_partkey"),
+            numFiles = 16),
+          "silver", "lineitem_skip",
+          statsCols = Seq("l_orderkey", "l_partkey"))
+        cat.readRange("silver", "lineitem_skip",
+          Seq(("l_orderkey", 1000L, 5000L), ("l_partkey", 1L, 1000L)))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      }
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                   l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 5000
+              AND l_partkey BETWEEN 1 AND 1000
+            ORDER BY 1, 2"""))
+
+  /** Bucketed co-located join through the driver gate: both sides written
+    * bucketed+sorted on the join key (the write-once shuffle), then joined
+    * with zero exchanges on either side — at 100 TB this converts every
+    * recurring orders⋈lineitem from a full two-sided shuffle into a local
+    * zip of pre-sorted buckets (BucketedJoinSpec pins the exchange-free
+    * plan). The merge hint forces the shuffle-join code path the large
+    * case hits — a broadcast at this SF would hide the bucketing.
+    */
+  private val catalogBucketedJoin = NamedQuery(
+    "catalog_bucketed_join", {
+      (s, d) => {
+        val tag = s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$tag"
+        val oTbl = s"graft_orders_b_$tag"
+        val lTbl = s"graft_lineitem_b_$tag"
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/$oTbl").saveAsTable(oTbl)
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/$lTbl").saveAsTable(lTbl)
+        s.table(oTbl).hint("merge")
+          .join(s.table(lTbl).hint("merge"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
-      partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip)
+      partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
+      catalogStatsSkipping, catalogBucketedJoin)
 }

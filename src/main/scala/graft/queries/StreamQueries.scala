@@ -58,6 +58,16 @@ object StreamQueries {
       val maxTs = corpus.iterator.map(_.ts.getTime).max
       val mem = MemoryStream[Sessionize.Event]
       val sink = "graft_sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // The replay's cost is dominated by per-partition-per-micro-batch
+      // state-store machinery (init + commit + snapshot), a FIXED floor of
+      // partitions × 3 batches stores regardless of data volume. 8
+      // partitions keep the replay's few hundred thousand rows fully
+      // parallel while cutting that floor 4× vs the session's 32. The
+      // result is partition-count independent (the whole inventory is
+      // green at 7 shuffle partitions in the suite); production topologies
+      // size this to cluster cores, the replay sizes it to the corpus.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = Sessionize.sessions(mem.toDS(), gapMs)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
@@ -75,7 +85,12 @@ object StreamQueries {
         mem.addData(Sessionize.Event("__flush__",
           new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // restore BEFORE the batch renumber below plans: only the
+        // streaming replay itself runs narrow
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
       s.table(sink)
         .filter(col("key") =!= "__flush__")
@@ -138,15 +153,23 @@ object StreamQueries {
       // stronger claim anyway (offset log + idempotent merge recover
       // exactly-once across process boundaries, ST2+ST6)
       mem.addData(base.toIndexedSeq)
-      SilverJob.startMergeSink(mem.toDF(), cat,
-        "silver", "orders_stream", keys = Seq("o_orderkey"),
-        orderCol = "rev", checkpoint = s"$root/_checkpoint")
-        .awaitTermination()
-      mem.addData(correction.toIndexedSeq)
-      SilverJob.startMergeSink(mem.toDF(), cat,
-        "silver", "orders_stream", keys = Seq("o_orderkey"),
-        orderCol = "rev", checkpoint = s"$root/_checkpoint")
-        .awaitTermination()
+      // same fixed-floor trim as the sessionize replay: the per-batch merge
+      // over tens of thousands of rows gains nothing from 32-way shuffles,
+      // and the checkpoint/offset-log machinery is per-partition. Restored
+      // before the final aggregate plans.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        SilverJob.startMergeSink(mem.toDF(), cat,
+          "silver", "orders_stream", keys = Seq("o_orderkey"),
+          orderCol = "rev", checkpoint = s"$root/_checkpoint")
+          .awaitTermination()
+        mem.addData(correction.toIndexedSeq)
+        SilverJob.startMergeSink(mem.toDF(), cat,
+          "silver", "orders_stream", keys = Seq("o_orderkey"),
+          orderCol = "rev", checkpoint = s"$root/_checkpoint")
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       cat.read("silver", "orders_stream")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
