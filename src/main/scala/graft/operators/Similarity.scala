@@ -211,6 +211,107 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization ANN (PQ-ADC with exact re-rank) — the
+    * memory-bounded rung of the scale ladder (brute force → LSH → IVF →
+    * PQ). At 100 TB of embeddings the corpus can't be re-scanned as raw
+    * vectors; PQ stores each vector as `m` small codes (m bytes/row vs
+    * 4·dims), so the candidate scan reads a table ~`4·dims/m`× smaller
+    * and the full-precision vectors are touched only for the
+    * `rerank`-sized candidate set per query.
+    *
+    *  - codebook: the vector is split into `m` subvectors of `dims/m`;
+    *    each subspace's `ksub` centroids are the subvectors of the ksub
+    *    corpus rows with smallest xxhash64(id) — the same deterministic
+    *    sample-seeding as `ivfTopK` (no trained model state, reproducible
+    *    on any cluster). Broadcast as ONE array row: m·ksub·dims/m floats.
+    *  - encode: per corpus row, code[j] = argmin over centroids of
+    *    ||x_j − c||² — a NARROW per-row expression (argmin by the same
+    *    array_sort trick as IVF cell assignment). One-time cost; at scale
+    *    the (id, codes, norm) table is written once and re-scanned per
+    *    query batch.
+    *  - ADC scan: per query, a lookup table qlut[j][i] = q_j · c_{j,i} is
+    *    computed ONCE (narrow, m·ksub dots of length dims/m), then every
+    *    candidate costs m array lookups + adds instead of a dims-long dot:
+    *    approx_dot = Σ_j qlut[j][codes[j]].
+    *  - re-rank: the top-`rerank` candidates by approximate cosine
+    *    (approx_dot over EXACT stored norms) fetch their raw vectors via a
+    *    broadcast semi-join fetch and are re-scored exactly; top-k of the
+    *    exact scores is returned through the shared `rankTopK` tail.
+    *
+    * `rerank >= corpus size` makes the candidate stage lossless, so the
+    * result provably equals `bruteForceTopK` whatever the codebook quality
+    * — that is the driver-oracled parameter point (sim_ann_pq_exhaustive);
+    * production points trade `rerank` against recall (recall floor pinned
+    * in SimilaritySpec).
+    *
+    * Sizing `rerank`: ADC cannot order vectors that share identical codes,
+    * and a tight cluster quantizes to ONE code per subspace — so `rerank`
+    * must cover the largest expected quantization-tie set (≥ the densest
+    * cluster's size, or raise `m`/`ksub` for finer codes). The SimilaritySpec
+    * clustered-corpus case pins exactly this contract.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) equal subvectors")
+    require(ksub >= 1 && rerank >= k,
+      s"need ksub >= 1 and rerank ($rerank) >= k ($k)")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    // codebook: ksub deterministic seed rows, ordered by their hash so the
+    // array POSITION is the stable centroid index shared by encode and LUT
+    val seedArr = corpus
+      .select(xxhash64(col(idCol)).as("h"), col(vecCol).as("v"))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .agg(array_sort(collect_list(struct(col("h"), col("v")))).as("cb"))
+    val js = sequence(lit(0), lit(m - 1))
+    // encode: ||c||² − 2·x_j·c ranks centroids identically to ||x_j − c||²
+    // (||x_j||² is constant per (row, subspace)); (d2, idx) struct sort
+    // makes the argmin deterministic under ties
+    def codesFor(vec: Column): Column =
+      transform(js, j =>
+        element_at(array_sort(transform(col("cb"), (c, i) =>
+          struct((dotFast(subv(c("v"), j), subv(c("v"), j)) -
+                    lit(2.0) * dotFast(subv(vec, j), subv(c("v"), j))).as("d2"),
+                 i.as("i")))), 1)("i"))
+    val encoded = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(seedArr))
+      .select(col("neighbor_id"), codesFor(col("cv")).as("codes"),
+              norm2Fast(col("cv")).as("cn"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(seedArr))
+      .select(col("query_id"), col("qv"), norm2Fast(col("qv")).as("qn"),
+        transform(js, j =>
+          transform(col("cb"), c => dotFast(subv(col("qv"), j),
+            subv(c("v"), j)))).as("qlut"))
+    // ADC scan: m lookups per (query, code-row) pair
+    val approx = encoded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        aggregate(
+          zip_with(col("codes"), col("qlut"),
+            (cd, lj) => element_at(lj, cd + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("cn")))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    // exact re-rank: fetch raw vectors for the candidate set only
+    val orig = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm2Fast(col(vecCol)).as("cn"))
+    val scored = orig.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** Per-group vector centroid via posexplode + partial-aggregating groupBy
     * (dimension-parallel, no buffer object churn). Output: one row per
     * (group, dim) — the layout that feeds IVF cell assignment.

@@ -304,6 +304,45 @@ object ExtQueries {
     },
     Some(topkOracle))
 
+  /** Production PQ point: 8 subspaces × 32 sample centroids, 100-candidate
+    * exact re-rank — 29/30 recall@10 on the driver corpus family (PqProbe
+    * sweep; random vectors are the adversarial case, no cluster structure
+    * to exploit) while the codes table is 32× smaller than the raw vectors
+    * (8 bytes vs 256), which is what makes the candidate scan affordable
+    * when the corpus no longer fits as full-precision floats. Rows-only
+    * (the hash-sampled codebook isn't SQL-expressible); machinery is
+    * hash-gated by sim_ann_pq_exhaustive below and the recall floor is
+    * spec-pinned in SimilaritySpec.
+    */
+  private val simPq = NamedQuery(
+    "sim_ann_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          dims = 64, m = 8, ksub = 32, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Lossless PQ parameter point: `rerank` ≥ any corpus size means the
+    * approximate (ADC) stage can only ORDER candidates, never drop one, so
+    * the exact re-rank must reproduce brute force top-k bit-for-bit no
+    * matter how lossy the 8-byte codes are. Hash-gates the whole PQ
+    * machinery (codebook determinism, encode argmin, LUT scoring, re-rank
+    * fetch) against DuckDB's independently-computed top-k.
+    */
+  private val simPqExhaustive = NamedQuery(
+    "sim_ann_pq_exhaustive",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          dims = 64, m = 8, ksub = 16, rerank = 1000000)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(topkOracle))
+
   private val centroid = NamedQuery(
     "vector_centroid",
     (s, d) =>
@@ -462,7 +501,8 @@ object ExtQueries {
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simAnn, simIvf, simLshExhaustive, simIvfExhaustive,
+    simTopK, simAnn, simIvf, simPq, simLshExhaustive, simIvfExhaustive,
+    simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats)
 }

@@ -30,6 +30,11 @@ class PlanAuditSpec extends SparkSpec {
       "same 1-row seed-array attach as sim_ann_ivf, at the all-cells probe point"),
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "brute force = broadcast queries x corpus scan by definition"),
+    "sim_ann_pq" -> (Set("BroadcastNestedLoopJoin"),
+      "1-row codebook attach + ADC scan = broadcast queries x CODES scan " +
+        "(m lookups/pair over a 32x-smaller table; the re-rank join is hash equi)"),
+    "sim_ann_pq_exhaustive" -> (Set("BroadcastNestedLoopJoin"),
+      "same codebook attach + ADC scan as sim_ann_pq, at the lossless rerank point"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row corpus-count broadcast attach + its global count combine"))
 

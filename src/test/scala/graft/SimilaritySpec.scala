@@ -89,6 +89,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("PQ ANN: exhaustive rerank == brute force exactly") {
+    // rerank ≥ corpus size makes the ADC stage lossless (it can only order
+    // candidates, never drop one), so the exact re-rank must reproduce
+    // brute-force top-k through the whole codebook/encode/LUT pipeline
+    val got = Similarity.pqTopK(
+        corpus, corpus.filter($"vec_id" === 0L), k = 3,
+        dims = 2, m = 2, ksub = 4, rerank = 100)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("PQ ANN: recall vs brute force on clustered corpus (seeded)") {
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 40L, 80L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // production-shaped point: 4-byte codes (4× sub-vectors of dim 4),
+    // sample codebook, exact re-rank. rerank must cover the quantization
+    // TIE SET: every member of a tight cluster encodes to the same codes
+    // (ADC can't order within it), so rerank ≥ cluster size (40) is the
+    // contract for full recall here — the scaladoc's sizing rule
+    val pq = Similarity.pqTopK(emb, queries, k = 5,
+        dims = 16, m = 4, ksub = 8, rerank = 45)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("centroid by group: dimension-wise mean") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
