@@ -113,6 +113,51 @@ final class TableCatalog(spark: SparkSession, root: String,
   def readVersion(layer: String, table: String, version: Int): DataFrame =
     spark.read.format(format).load(versionDir(layer, table, version).toString)
 
+  /** Delta-CDF-style change feed between two retained snapshot versions:
+    * one output row per change — `_change_type` ∈ `insert` / `delete` /
+    * `update_preimage` / `update_postimage` (an updated key emits its pre
+    * AND post rows, the Delta `readChangeFeed` contract) plus
+    * `_commit_version` = `toVersion`. Snapshots must be key-unique on
+    * `keys` (what `merge` commits) and share a column set; diff a chain of
+    * versions pairwise when the schema evolves mid-chain.
+    *
+    * Scale: ONE full-outer sort-merge join, shuffling each snapshot once
+    * on the key. Payload columns ride in a struct compared null-safely in
+    * place — never the all-column shuffle an EXCEPT ALL diff would plan —
+    * and each joined row explodes to its 0–2 change rows in the same
+    * stage, so the join is built once, not once per change type.
+    */
+  def changesByKey(layer: String, table: String, keys: Seq[String],
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(keys.nonEmpty, "change feed needs at least one key column")
+    import org.apache.spark.sql.functions._
+    val before = readVersion(layer, table, fromVersion)
+    val after = readVersion(layer, table, toVersion)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"change feed across a schema change (${before.columns.mkString(",")} " +
+        s"vs ${after.columns.mkString(",")}); diff adjacent versions instead")
+    val cols = before.columns.toSeq
+    val payload = cols.filterNot(keys.contains)
+    // presence marker keeps the struct non-empty when every column is a key
+    def pack(df: DataFrame, side: String) =
+      df.select(keys.map(col) :+
+        struct((lit(1).as("__present") +: payload.map(col)): _*).as(side): _*)
+    val j = pack(before, "_pre").join(pack(after, "_post"), keys, "full_outer")
+    val kinds =
+      when(col("_pre").isNull, array(lit("insert")))
+        .when(col("_post").isNull, array(lit("delete")))
+        .when(!(col("_pre") <=> col("_post")),
+          array(lit("update_preimage"), lit("update_postimage")))
+        .otherwise(array().cast("array<string>"))
+    val fromPost = Seq("insert", "update_postimage")
+    j.select((keys.map(col) :+ explode(kinds).as("_change_type")) ++
+        Seq(col("_pre"), col("_post")): _*)
+      .select((keys.map(col) ++ payload.map(p =>
+        when(col("_change_type").isin(fromPost: _*), col("_post")(p))
+          .otherwise(col("_pre")(p)).as(p))) ++
+        Seq(col("_change_type"), lit(toVersion).as("_commit_version")): _*)
+  }
+
   def exists(layer: String, table: String): Boolean = {
     val p = new Path(path(layer, table))
     hadoopFs(p).exists(p)

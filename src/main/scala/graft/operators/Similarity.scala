@@ -260,35 +260,44 @@ object Similarity {
     graft.plans.GraftFunctions.ensure(corpus.sparkSession)
     val sub = dims / m
     def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
     // codebook: ksub deterministic seed rows, ordered by their hash so the
-    // array POSITION is the stable centroid index shared by encode and LUT
+    // array POSITION is the stable centroid index shared by encode and LUT.
+    // Everything that depends only on the codebook — the per-subspace
+    // centroid slices and their squared norms — is computed HERE, in this
+    // one-row plan, so the per-corpus-row encode below never re-slices or
+    // re-norms a centroid: cbs[j][i] = (sv: centroid subvector, n2: ‖c‖²).
     val seedArr = corpus
       .select(xxhash64(col(idCol)).as("h"), col(vecCol).as("v"))
       .orderBy(col("h"))
       .limit(ksub)
       .agg(array_sort(collect_list(struct(col("h"), col("v")))).as("cb"))
-    val js = sequence(lit(0), lit(m - 1))
-    // encode: ||c||² − 2·x_j·c ranks centroids identically to ||x_j − c||²
-    // (||x_j||² is constant per (row, subspace)); (d2, idx) struct sort
-    // makes the argmin deterministic under ties
+      .select(transform(js, j => transform(col("cb"), c =>
+        struct(subv(c("v"), j).as("sv"),
+               dotFast(subv(c("v"), j), subv(c("v"), j)).as("n2"))))
+        .as("cbs"))
+    // encode: ‖c‖² − 2·x_j·c ranks centroids identically to ‖x_j − c‖²
+    // (‖x_j‖² is constant per (row, subspace)); (d2, idx) struct sort
+    // makes the argmin deterministic under ties. zip_with binds each
+    // corpus subvector ONCE (m slices per row, not m·ksub).
     def codesFor(vec: Column): Column =
-      transform(js, j =>
-        element_at(array_sort(transform(col("cb"), (c, i) =>
-          struct((dotFast(subv(c("v"), j), subv(c("v"), j)) -
-                    lit(2.0) * dotFast(subv(vec, j), subv(c("v"), j))).as("d2"),
+      zip_with(transform(js, j => subv(vec, j)), col("cbs"),
+        (xj, cj) => element_at(array_sort(transform(cj, (c, i) =>
+          struct((c("n2") - lit(2.0) * dotFast(xj, c("sv"))).as("d2"),
                  i.as("i")))), 1)("i"))
     val encoded = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(seedArr))
       .select(col("neighbor_id"), codesFor(col("cv")).as("codes"),
               norm2Fast(col("cv")).as("cn"))
+    // the ADC side needs only (id, norm, LUT) — the raw query vector stays
+    // out of the broadcast and is re-attached at the k-row re-rank below
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(seedArr))
-      .select(col("query_id"), col("qv"), norm2Fast(col("qv")).as("qn"),
-        transform(js, j =>
-          transform(col("cb"), c => dotFast(subv(col("qv"), j),
-            subv(c("v"), j)))).as("qlut"))
+      .select(col("query_id"), norm2Fast(col("qv")).as("qn"),
+        zip_with(transform(js, j => subv(col("qv"), j)), col("cbs"),
+          (qj, cj) => transform(cj, c => dotFast(qj, c("sv")))).as("qlut"))
     // ADC scan: m lookups per (query, code-row) pair
     val approx = encoded.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -300,14 +309,20 @@ object Similarity {
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    // candidate set is ID PAIRS only (16 bytes/row in the broadcast, not
+    // the 64-float query vector per candidate)
     val cand = approx
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
-    // exact re-rank: fetch raw vectors for the candidate set only
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: fetch raw vectors for the candidate set only; query
+    // vectors re-attached by a tiny broadcast keyed on query_id
+    val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2Fast(col(vecCol)).as("qn"))
     val orig = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), norm2Fast(col(vecCol)).as("cn"))
     val scored = orig.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }

@@ -47,4 +47,27 @@ object TfIdf {
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("score"), 4).as("tfidf"), col("rank"))
   }
+
+  /** Corpus vocabulary: the `maxVocab` most frequent tokens with dense
+    * frequency-ranked ids (0-based; ties broken by token, so the table is
+    * deterministic under any layout) — the id assignment step before
+    * integer-encoding a corpus.
+    *
+    * Scale: token counts shuffle once with map-side partial aggregation;
+    * the top-`maxVocab` cut is TakeOrderedAndProject (per-partition heaps,
+    * never a global sort of the full vocabulary), and only the ≤ maxVocab
+    * surviving rows pass through the id-assigning window — the same
+    * bounded-by-construction pattern as the broadcast df above.
+    */
+  def vocabulary(docs: DataFrame, maxVocab: Int,
+      textCol: String = "text"): DataFrame = {
+    require(maxVocab >= 1, "maxVocab must be >= 1")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(maxVocab)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("token_id", row_number().over(w).cast("long") - 1)
+  }
 }

@@ -495,9 +495,110 @@ object DomainQueries {
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Delta-CDF-style change feed through the driver gate: commit two
+    * snapshots of an orders projection (v2 drops keys %10∈{0..4}, keeps
+    * {5..7} with doubled price, adds {8,9}), then `changesByKey` between
+    * them must produce exactly the relational diff — inserts, deletes, and
+    * update pre/post image pairs. A missed delete, a phantom change on an
+    * untouched key, or a pre/post image swap all break the hash.
+    */
+  private val catalogChangeFeed = NamedQuery(
+    "catalog_change_feed", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders.filter(col("o_orderkey") % 10 < 8),
+          "silver", "orders_cdf")
+        cat.overwrite(orders.filter(col("o_orderkey") % 10 >= 5)
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+          "silver", "orders_cdf")
+        val vs = cat.versions("silver", "orders_cdf")
+        cat.changesByKey("silver", "orders_cdf", Seq("o_orderkey"),
+            vs.head, vs.last)
+          .drop("_commit_version")
+          .orderBy(col("o_orderkey"), col("_change_type"))
+      }
+    },
+    Some("""WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 10 < 8),
+            a AS (SELECT o_orderkey, o_orderstatus,
+                         o_totalprice * 2.0 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 10 >= 5),
+            j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS k,
+                         b.o_orderkey IS NOT NULL AS inb,
+                         a.o_orderkey IS NOT NULL AS ina,
+                         b.o_orderstatus AS bs, b.o_totalprice AS bp,
+                         a.o_orderstatus AS xs, a.o_totalprice AS xp
+                  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+            SELECT k AS o_orderkey, xs AS o_orderstatus,
+                   xp AS o_totalprice, 'insert' AS _change_type
+            FROM j WHERE NOT inb
+            UNION ALL
+            SELECT k, bs, bp, 'delete' FROM j WHERE NOT ina
+            UNION ALL
+            SELECT k, bs, bp, 'update_preimage' FROM j
+            WHERE inb AND ina AND (bs IS DISTINCT FROM xs
+                                   OR bp IS DISTINCT FROM xp)
+            UNION ALL
+            SELECT k, xs, xp, 'update_postimage' FROM j
+            WHERE inb AND ina AND (bs IS DISTINCT FROM xs
+                                   OR bp IS DISTINCT FROM xp)
+            ORDER BY 1, 4"""))
+
+  /** Incremental materialized-view maintenance through the driver gate:
+    * the gold aggregate of snapshot v1 is advanced to v2 by applying ONLY
+    * the change feed between them (`Incremental.applyCountSumDelta` — the
+    * reason a lakehouse records CDC), and the result must hash-match the
+    * oracle's FULL RECOMPUTE over v2. A missed delete, a double-counted
+    * update, or a sign slip on a preimage all break the hash; the churn
+    * here rewrites most of the table, which maximally stresses the signed
+    * arithmetic.
+    */
+  private val catalogIncrementalGold = NamedQuery(
+    "catalog_incremental_gold", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        import graft.operators.Incremental
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivm_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders.filter(col("o_orderkey") % 10 < 8),
+          "silver", "orders_ivm")
+        val gold1 = cat.read("silver", "orders_ivm")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice")).as("total_price"))
+        cat.overwrite(orders.filter(col("o_orderkey") % 10 >= 5)
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+          "silver", "orders_ivm")
+        val vs = cat.versions("silver", "orders_ivm")
+        val cdf = cat.changesByKey("silver", "orders_ivm",
+          Seq("o_orderkey"), vs.head, vs.last)
+        Incremental.applyCountSumDelta(gold1, cdf, Seq("o_orderstatus"),
+            "n_orders", "total_price", "o_totalprice")
+          .select(col("o_orderstatus"), col("n_orders"),
+                  round(col("total_price"), 2).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    // full recompute over the v2 snapshot — what the delta apply must equal
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice * 2.0), 2) AS total_price
+            FROM orders WHERE o_orderkey % 10 >= 5
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
-      catalogStatsSkipping, catalogBucketedJoin)
+      catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
+      catalogIncrementalGold)
 }

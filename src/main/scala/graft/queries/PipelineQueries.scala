@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Splits, TfIdf}
+import graft.operators.{Chunking, Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -516,9 +516,61 @@ object PipelineQueries {
                     round(top_n * 1.0 / n_bigrams, 4) AS top_frac
              FROM st ORDER BY doc_id"""))
 
+  /** Overlapping token-window chunking (16-token windows, 4-token
+    * overlap): the context-window prep of an LLM pipeline, all narrow
+    * codegen HOFs — no shuffle, no UDF. The oracle recomputes every
+    * window with list_slice over the same raw-space tokenization, so an
+    * off-by-one stride, a lost short tail, or a dropped empty doc all
+    * break the hash.
+    */
+  private val chunkWindows = NamedQuery(
+    "text_chunk_windows",
+    (s, d) =>
+      Chunking.chunkTokens(Tables.documents(s, d), chunkSize = 16,
+          overlap = 4)
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 c AS (SELECT doc_id, toks,
+                              greatest(1, CAST(ceil((len(toks) - 4) / 12.0)
+                                               AS INT)) AS nc
+                       FROM t),
+                 e AS (SELECT doc_id, toks,
+                              CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+                       FROM c)
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id*12 + 1,
+                                              chunk_id*12 + 16),
+                                   ' ') AS chunk_text,
+                   len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16))
+                     AS n_tokens
+            FROM e ORDER BY doc_id, chunk_id"""))
+
+  /** Frequency-ranked vocabulary with dense 0-based ids — the id
+    * assignment before integer-encoding a corpus. The top-maxVocab cut is
+    * TakeOrderedAndProject (per-partition heaps); only the surviving ≤
+    * maxVocab rows pass the id window. maxVocab = 20 < the corpus
+    * vocabulary (31), so the boundary cut (deterministic under the
+    * (n, token) order) is exercised.
+    */
+  private val vocabTopK = NamedQuery(
+    "text_vocab_topk",
+    (s, d) =>
+      TfIdf.vocabulary(Tables.documents(s, d), maxVocab = 20)
+        .orderBy(col("token_id")),
+    Some(s"""WITH tok AS (SELECT unnest(string_split($normSql, ' ')) AS token
+                          FROM documents),
+                  c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1
+                        ORDER BY n DESC, token LIMIT 20)
+             SELECT token, n,
+                    CAST(row_number() OVER (ORDER BY n DESC, token)
+                         AS BIGINT) - 1 AS token_id
+             FROM c ORDER BY 3"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
-        decontaminate, decontaminateBloom, mixBudget, repetition)
+        decontaminate, decontaminateBloom, mixBudget, repetition,
+        chunkWindows, vocabTopK)
 }

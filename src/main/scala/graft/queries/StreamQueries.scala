@@ -119,6 +119,68 @@ object StreamQueries {
                    epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
             FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Narrow event row for the windowed-aggregation replay. */
+  final case class Evt(ts: Timestamp, event_type: String, value: Double)
+
+  /** Watermarked event-time windowed aggregation (ST5) driven to the BATCH
+    * oracle: the events corpus replays through `withWatermark` + a tumbling
+    * 1-hour `window()` aggregation in APPEND mode — so a window's row is
+    * emitted exactly once, only after the watermark passes its close — and
+    * the collected emissions must hash-match `q22_time_bucket`'s DuckDB
+    * oracle. Tumbling windows are epoch-aligned, so `window.start` equals
+    * the batch twin's `date_trunc('hour', ts)` bucket. Two sentinel batches
+    * on a throwaway event type close every real window (watermarks update
+    * at micro-batch END and take effect the NEXT batch): the first advances
+    * event time past every real close + delay, the second runs the eviction
+    * pass at that watermark. A window emitted early (watermark bug), late
+    * (never evicted), or twice (append violation) all turn the hash red.
+    */
+  private val windowStream = NamedQuery(
+    "events_window_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
+      val maxTs = corpus.iterator.map(_.ts.getTime).max
+      val hourMs = 3600000L
+      val mem = MemoryStream[Evt]
+      val sink = "graft_win_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // same fixed-floor trim as the sessionize replay: state-store cost is
+      // per partition × per micro-batch; results are partition-independent
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus.toIndexedSeq)
+        q.processAllAvailable()
+        // sentinel 1: event time jumps 3 h past the last real event, so the
+        // watermark computed at this batch's end clears every real window
+        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__", 0.0))
+        q.processAllAvailable()
+        // sentinel 2: a batch RUNNING at that watermark evicts + emits
+        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L), "__flush__", 0.0))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "__flush__")
+        .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
+          col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    // the batch twin's (q22_time_bucket) oracle, verbatim
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                   count(*) AS n, round(sum(value),2) AS sum_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
   /** Streaming CDC merge driven to the BATCH oracle: micro-batch 1 seeds
     * the catalog with the base snapshot (rev 1), micro-batch 2 upserts the
     * correction batch (rev 2, price doubled) through
@@ -189,5 +251,5 @@ object StreamQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[NamedQuery] = Seq(sessionizeStream, mergeStream)
+  val all: Seq[NamedQuery] = Seq(sessionizeStream, windowStream, mergeStream)
 }

@@ -354,6 +354,53 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.read("gold", "c").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("changesByKey: insert/delete/update pre+post images, untouched keys silent") {
+    val cat = new TableCatalog(spark, tmpDir("cat-cdf"))
+    cat.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v"), "silver", "t")
+    cat.overwrite(Seq((2L, "b", 20.0), (3L, "c", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v"), "silver", "t")
+    val ch = cat.changesByKey("silver", "t", Seq("k"), 1, 2)
+    val got = ch.select($"k", $"s", $"v", $"_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 10.0, "delete"),
+      (3L, "c", 30.0, "update_preimage"),
+      (3L, "c", 99.0, "update_postimage"),
+      (4L, "d", 40.0, "insert"))) // key 2 unchanged → absent
+    assert(ch.select("_commit_version").distinct()
+      .as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("changesByKey: null payload transitions and all-key schema edge") {
+    val cat = new TableCatalog(spark, tmpDir("cat-cdf2"))
+    cat.overwrite(Seq((1L, Some("x")), (2L, None: Option[String]))
+      .toDF("k", "s"), "silver", "n")
+    cat.overwrite(Seq((1L, None: Option[String]), (2L, None: Option[String]))
+      .toDF("k", "s"), "silver", "n")
+    val got = cat.changesByKey("silver", "n", Seq("k"), 1, 2)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    // x→null is an update; null→null is NOT a phantom change
+    assert(got === Set((1L, "update_preimage"), (1L, "update_postimage")))
+    // every column a key: presence marker keeps the diff well-defined
+    val catK = new TableCatalog(spark, tmpDir("cat-cdf3"))
+    catK.overwrite(Seq(Tuple1(1L), Tuple1(2L)).toDF("k"), "silver", "ko")
+    catK.overwrite(Seq(Tuple1(2L), Tuple1(3L)).toDF("k"), "silver", "ko")
+    val gotK = catK.changesByKey("silver", "ko", Seq("k"), 1, 2)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(gotK === Set((1L, "delete"), (3L, "insert")))
+  }
+
+  test("changesByKey refuses a cross-schema-change diff") {
+    val cat = new TableCatalog(spark, tmpDir("cat-cdf4"))
+    cat.overwrite(Seq((1L, "a")).toDF("k", "s"), "silver", "e")
+    cat.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), "silver", "e")
+    val ex = intercept[IllegalArgumentException] {
+      cat.changesByKey("silver", "e", Seq("k"), 1, 2)
+    }
+    assert(ex.getMessage.contains("schema change"))
+  }
+
   test("non-parquet catalog format roundtrips through append/overwrite") {
     val cat = new TableCatalog(spark, tmpDir("cat-json"), format = "json")
     cat.append(Seq((1L, "a")).toDF("id", "v"), "silver", "j")
