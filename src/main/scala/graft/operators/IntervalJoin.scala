@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic interval-overlap join — each side carries VARIABLE-length
+  * `[start, end]` intervals and a pair matches when they overlap
+  * (`lStart ≤ rEnd ∧ rStart ≤ lEnd`). The general form of the engine's
+  * range-join family: the banded theta join (gold_alerts) is the
+  * fixed-width special case, the as-of join (q26) the point-probe one.
+  *
+  * Scale design: both sides explode to the coarse grid buckets their
+  * interval covers (`sequence(floor(start/w), floor(end/w))`) and meet in
+  * ONE equi join on the bucket id — never a BroadcastNestedLoopJoin theta
+  * join. A pair spanning several shared buckets would match once per
+  * bucket; instead of a distinct-shuffle to dedup, each pair is KEPT ONLY
+  * in the bucket containing its overlap's start
+  * (`floor(greatest(lStart, rStart)/w)`), which exists and is unique per
+  * pair — so the join output is exact with zero post-join exchanges.
+  * `maxBucketsPerInterval` bounds the explode fan-out (an interval longer
+  * than `w·max` fails loudly rather than silently flooding the shuffle;
+  * raise `bucketWidth` for long intervals).
+  */
+object IntervalJoin {
+
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Double, maxBucketsPerInterval: Int = 64): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(s: String, e: String): Column =
+      sequence(floor(col(s) / bucketWidth).cast("long"),
+               floor(col(e) / bucketWidth).cast("long"))
+    def guarded(df: DataFrame, s: String, e: String, side: String) = {
+      val nb = (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth) + 1)
+        .cast("long")
+      df.withColumn("__nb", nb)
+        .withColumn("__chk",
+          when(col(s) <= col(e) && col("__nb") <= maxBucketsPerInterval,
+            lit(true))
+            .otherwise(raise_error(concat(lit(
+              s"$side interval invalid or spans > $maxBucketsPerInterval " +
+                s"buckets at width $bucketWidth: start="), col(s),
+              lit(" end="), col(e)))))
+        .filter(col("__chk")).drop("__nb", "__chk")
+    }
+    val l = guarded(left, lStart, lEnd, "left")
+      .withColumn("__bucket", explode(buckets(lStart, lEnd)))
+    val r = guarded(right, rStart, rEnd, "right")
+      .withColumn("__bucket", explode(buckets(rStart, rEnd)))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // keep each pair only in its overlap-start bucket: exact dedup with
+      // no distinct shuffle
+      .filter(col("__bucket") ===
+        floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
+}

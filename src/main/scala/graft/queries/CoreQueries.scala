@@ -552,6 +552,99 @@ object CoreQueries {
                    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q28
+  // Generic interval-overlap join (the variable-length completion of the
+  // range-join family: banded theta = fixed width, as-of = point probe).
+  // Two event samples carry [value, value + 1 + f(id)]-length intervals;
+  // IntervalJoin grid-buckets both sides and meets them in ONE equi join,
+  // deduping multi-bucket pairs by the overlap-start-bucket trick (no
+  // distinct shuffle, no BNLJ). Oracle = the plain theta join.
+  private val q28 = NamedQuery(
+    "q28_interval_overlap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def side(m: Int, mod: Int, p: String) = ev
+        .filter(col("event_id") % 100 === m)
+        .select(col("event_id").as(s"${p}_id"),
+          col("value").as(s"${p}_start"),
+          (col("value") + lit(1) +
+            expr(s"CAST((event_id DIV 100) % $mod AS DOUBLE)"))
+            .as(s"${p}_end"))
+      graft.operators.IntervalJoin.overlapJoin(
+          side(0, 9, "a"), "a_start", "a_end",
+          side(1, 7, "b"), "b_start", "b_end", bucketWidth = 8.0)
+        .select(col("a_id"), col("b_id"),
+          greatest(col("a_start"), col("b_start")).as("overlap_start"),
+          least(col("a_end"), col("b_end")).as("overlap_end"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH a AS (SELECT event_id AS a_id, value AS a_start,
+                              value + 1 + (event_id // 100) % 9 AS a_end
+                       FROM events WHERE event_id % 100 = 0),
+                 b AS (SELECT event_id AS b_id, value AS b_start,
+                              value + 1 + (event_id // 100) % 7 AS b_end
+                       FROM events WHERE event_id % 100 = 1)
+            SELECT a_id, b_id,
+                   greatest(a_start, b_start) AS overlap_start,
+                   least(a_end, b_end) AS overlap_end
+            FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+            ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q29
+  // RANGE-frame window (time-based moving aggregate): trailing-1-hour
+  // count + sum per user. Both engines order by INTEGER microseconds
+  // (Spark floors parquet nanos to µs; epoch_us mirrors that floor in the
+  // oracle) so frame membership is bit-identical by construction — a
+  // timestamp-typed RANGE frame would disagree on ns-boundary pairs.
+  private val q29 = NamedQuery(
+    "q29_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", r2(sum(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 2) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q30
+  // NTILE decile bucketing WITHIN partitions (per order status): equal-
+  // count buckets with the remainder spread over the leading tiles — the
+  // histogram/equi-depth binning idiom. Partitioned, so the sort shuffles
+  // on o_orderstatus instead of collapsing to one task the way a global
+  // NTILE would; the (price, key) order key makes tiles deterministic.
+  private val q30 = NamedQuery(
+    "q30_ntile_buckets",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("o_orderstatus"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+             r2(min(col("o_totalprice"))).as("min_price"),
+             r2(max(col("o_totalprice"))).as("max_price"))
+        .orderBy(col("o_orderstatus"), col("decile"))
+    },
+    Some("""WITH t AS (SELECT o_orderstatus, o_totalprice,
+                              ntile(10) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS decile
+                       FROM orders)
+            SELECT o_orderstatus, decile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------- gold
   // Flagship: the reference's entire Gold pipeline re-expressed over the
   // events table (gold_batch_job.py:22-90 / SURVEY §3.2): latest reading
@@ -625,5 +718,6 @@ object CoreQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, gold)
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    gold)
 }

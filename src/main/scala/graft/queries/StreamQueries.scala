@@ -181,6 +181,57 @@ object StreamQueries {
                    count(*) AS n, round(sum(value),2) AS sum_value
             FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  /** Keyed event row for the streaming-dedup replay. */
+  final case class DupEvt(event_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
+
+  /** Streaming deduplication (ST5 — the README-claimed "Deduplication" the
+    * reference never implemented) driven to the BATCH oracle: micro-batch 1
+    * replays the events corpus, micro-batch 2 replays every key AGAIN with
+    * poisoned payloads (value·3+7) that `dropDuplicatesWithinWatermark`
+    * must drop on key state alone — the watermark delay (60 d) exceeds the
+    * corpus span (30 d), so nothing is evicted or late-dropped and every
+    * duplicate is a genuine state hit, not a late-arrival discard. The
+    * final table aggregates to exactly the batch oracle over the ONCE-seen
+    * corpus: a single surviving duplicate poisons the sum, a dropped
+    * original breaks the count.
+    */
+  private val dedupStream = NamedQuery(
+    "events_dedup_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[DupEvt].collect()
+      val poisoned = corpus.map(e => e.copy(value = e.value * 3 + 7))
+      val mem = MemoryStream[DupEvt]
+      val sink = "graft_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDS()
+        .withWatermark("ts", "1440 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(poisoned.toIndexedSeq)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    // the once-seen corpus, aggregated — duplicates must contribute nothing
+    Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Streaming CDC merge driven to the BATCH oracle: micro-batch 1 seeds
     * the catalog with the base snapshot (rev 1), micro-batch 2 upserts the
     * correction batch (rev 2, price doubled) through
@@ -251,5 +302,6 @@ object StreamQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[NamedQuery] = Seq(sessionizeStream, windowStream, mergeStream)
+  val all: Seq[NamedQuery] =
+    Seq(sessionizeStream, windowStream, dedupStream, mergeStream)
 }
