@@ -113,6 +113,39 @@ final class TableCatalog(spark: SparkSession, root: String,
   def readVersion(layer: String, table: String, version: Int): DataFrame =
     spark.read.format(format).load(versionDir(layer, table, version).toString)
 
+  /** Retained versions with their commit instants (epoch ms) — the
+    * version directory's modification time, i.e. the snapshot's
+    * write-completion instant, immediately before the `_CURRENT` pointer
+    * swap made it live. Ascending by version.
+    */
+  def versionsWithTimes(layer: String, table: String): Seq[(Int, Long)] = {
+    val vRoot = new Path(path(layer, table), "_v")
+    val fs = hadoopFs(vRoot)
+    if (!fs.exists(vRoot)) Nil
+    else fs.listStatus(vRoot).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(
+        (s.getPath.getName.toInt, s.getModificationTime)).toOption)
+      .sortBy(_._1)
+  }
+
+  /** Timestamp time travel (the Delta `timestampAsOf` surface): the newest
+    * RETAINED version committed at or before `epochMs`. Fails loudly when
+    * the instant predates every retained snapshot (the version that was
+    * live then has been vacuumed — returning a newer one would silently
+    * lie) and when the table has no versions at all.
+    */
+  def readAsOf(layer: String, table: String, epochMs: Long): DataFrame = {
+    val vs = versionsWithTimes(layer, table)
+    require(vs.nonEmpty, s"$layer/$table has no versioned snapshots")
+    val live = vs.filter(_._2 <= epochMs)
+    require(live.nonEmpty,
+      s"no retained snapshot of $layer/$table at or before $epochMs " +
+        s"(earliest retained commit: ${vs.head._2}); the snapshot live " +
+        "then has aged out of the keepVersions retention window")
+    readVersion(layer, table, live.last._1)
+  }
+
   /** Delta-CDF-style change feed between two retained snapshot versions:
     * one output row per change — `_change_type` ∈ `insert` / `delete` /
     * `update_preimage` / `update_postimage` (an updated key emits its pre

@@ -107,6 +107,58 @@ object SilverJob {
       }
       .start()
 
+  /** CDC merge sink WITH incremental gold maintenance: each micro-batch
+    * (a) merges into the silver table exactly like `startMergeSink`, then
+    * (b) reads the change feed between the pre- and post-merge versions
+    * (`TableCatalog.changesByKey`) and advances a (count, sum) gold
+    * aggregate by that delta alone (`Incremental.applyCountSumDelta`) —
+    * the full CDC → MERGE → CDF → incremental-view pipeline in one
+    * topology. Per-trigger gold cost is ∝ the batch's CHURN, never the
+    * silver table size (the merge itself still rewrites its snapshot —
+    * see `startMergeSink`'s scaladoc for that contract); recompute-equality
+    * after every batch is pinned in StreamingSpec.
+    *
+    * The gold table is seeded from the FIRST batch's full aggregate (no
+    * prior version exists to diff) and must not pre-exist: a leftover gold
+    * from an earlier run would double-count the seed. `keepVersions ≥ 2`
+    * on the catalog is required so the pre-merge version is still readable
+    * when the feed is computed — same-thread sequencing guarantees it
+    * within one batch.
+    */
+  def startIncrementalGoldSink(stream: DataFrame,
+      catalog: graft.catalog.TableCatalog,
+      layer: String, table: String, keys: Seq[String], orderCol: String,
+      goldLayer: String, goldTable: String, groupCols: Seq[String],
+      valueCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val preV = catalog.currentVersion(layer, table)
+          catalog.merge(batch, layer, table, keys,
+            precedence = Some(orderCol))
+          val postV = catalog.currentVersion(layer, table).get
+          val gold = preV match {
+            case None =>
+              catalog.read(layer, table)
+                .groupBy(groupCols.map(col): _*)
+                .agg(count(lit(1)).as("n"),
+                     sum(col(valueCol)).as("total"))
+            case Some(v) =>
+              graft.operators.Incremental.applyCountSumDelta(
+                catalog.read(goldLayer, goldTable),
+                catalog.changesByKey(layer, table, keys, v, postV),
+                groupCols, "n", "total", valueCol)
+          }
+          catalog.overwrite(gold, goldLayer, goldTable)
+        }
+      }
+      .start()
+
   /** Scheduled Gold refresh as a streaming job (ST6): instead of the
     * reference's sleep-60 loop, a `foreachBatch` on a trigger recomputes
     * the Gold materialized view each interval — idiomatic replacement with

@@ -164,6 +164,47 @@ class StreamingSpec extends SparkSpec {
       Map(1L -> "c", 2L -> "b", 3L -> "d"))
   }
 
+  test("incremental gold sink: gold equals full recompute after every CDC batch") {
+    implicit val sq = spark.sqlContext
+    val cat = new graft.catalog.TableCatalog(spark, tmpDir("ivm-sink"))
+    val chk = tmpDir("ivm-sink-chk")
+    val mem = MemoryStream[(Long, String, Double, Long)] // (key, group, value, rev)
+
+    def run(): Unit = SilverJob.startIncrementalGoldSink(
+      mem.toDF().toDF("k", "g", "v", "rev"), cat, "silver", "facts",
+      keys = Seq("k"), orderCol = "rev",
+      goldLayer = "gold", goldTable = "facts_agg", groupCols = Seq("g"),
+      valueCol = "v", checkpoint = chk).awaitTermination()
+
+    def goldNow = cat.read("gold", "facts_agg")
+      .select($"g", $"n", round($"total", 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    def recompute = cat.read("silver", "facts")
+      .groupBy($"g").agg(count(lit(1)).as("n"),
+        round(sum($"v"), 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+
+    // batch 1 seeds silver AND gold from the full aggregate
+    mem.addData((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "b", 5.0, 1L))
+    run()
+    assert(goldNow === Set(("a", 2L, 30.0), ("b", 1L, 5.0)))
+    assert(goldNow === recompute)
+
+    // batch 2 (new run, same checkpoint — restart path): update k=2,
+    // insert k=4 into a NEW group, plus an intra-batch stale duplicate
+    mem.addData((2L, "a", 25.0, 2L), (4L, "c", 7.0, 2L), (4L, "c", 99.0, 1L))
+    run()
+    assert(goldNow === Set(("a", 2L, 35.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
+    assert(goldNow === recompute)
+
+    // batch 3: update that MOVES a row across groups (b → a): the delta
+    // must subtract from b (emptying it) and add to a
+    mem.addData((3L, "a", 6.0, 3L))
+    run()
+    assert(goldNow === Set(("a", 3L, 41.0), ("c", 1L, 7.0))) // b vanished
+    assert(goldNow === recompute)
+  }
+
   test("ST3: two concurrent queries coordinated via awaitAnyTermination") {
     implicit val sq = spark.sqlContext
     spark.streams.resetTerminated()

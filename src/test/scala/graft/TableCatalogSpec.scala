@@ -401,6 +401,22 @@ class TableCatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("schema change"))
   }
 
+  test("readAsOf: timestamp time travel resolves the version live at that instant") {
+    val cat = new TableCatalog(spark, tmpDir("cat-asof"))
+    cat.overwrite(Seq(1).toDF("x"), "gold", "t")
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20) // commit instants are ms-granular; separate them
+    cat.overwrite(Seq(2).toDF("x"), "gold", "t")
+    assert(cat.readAsOf("gold", "t", afterV1).as[Int].collect().toSeq === Seq(1))
+    assert(cat.readAsOf("gold", "t", System.currentTimeMillis())
+      .as[Int].collect().toSeq === Seq(2))
+    // an instant before every retained commit fails loudly, never lies
+    val ex = intercept[IllegalArgumentException] {
+      cat.readAsOf("gold", "t", 0L)
+    }
+    assert(ex.getMessage.contains("retained"))
+  }
+
   test("non-parquet catalog format roundtrips through append/overwrite") {
     val cat = new TableCatalog(spark, tmpDir("cat-json"), format = "json")
     cat.append(Seq((1L, "a")).toDF("id", "v"), "silver", "j")
