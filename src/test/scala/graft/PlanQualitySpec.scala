@@ -166,4 +166,42 @@ class PlanQualitySpec extends SparkSpec {
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("__pid"), opt)
   }
+
+  test("chunkTokens: pure narrow HOF pipeline — zero shuffles, no join") {
+    val df = graft.operators.Chunking.chunkTokens(
+      graft.Tables.documents(spark, sf), chunkSize = 16, overlap = 4)
+    df.collect()
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("changesByKey: one keyed join, never an all-column EXCEPT shuffle or BNLJ") {
+    val cat = new graft.catalog.TableCatalog(spark, tmpDir("pq-cdf"))
+    val orders = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+    cat.overwrite(orders.limit(500), "s", "t")
+    cat.overwrite(orders.limit(400), "s", "t")
+    val df = cat.changesByKey("s", "t", Seq("o_orderkey"), 1, 2)
+    df.collect()
+    val plan = planString(df)
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(plan).isDefined ||
+      "ShuffledHashJoin.*FullOuter".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one join: the diff never plans per-change-type re-joins
+    assert("Join".r.findAllIn(
+      plan.replace("SortMergeJoin", "Join")
+          .replace("ShuffledHashJoin", "Join")
+          .replace("BroadcastHashJoin", "Join")).size === 1, plan)
+  }
+
+  test("q28_interval_overlap: grid equi join — no BNLJ, no cartesian, no distinct dedup") {
+    val plan = planString(run("q28_interval_overlap"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // dedup is the overlap-start-bucket filter, never a distinct aggregate
+    assert(!plan.toLowerCase.contains("distinct"), plan)
+  }
 }

@@ -17,6 +17,9 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[List[A]]): List[A] =
     g.apply(Gen.Parameters.default, Seed(42L)).get
 
+  private def sample2[A](g: Gen[List[A]], seed: Long): List[A] =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
   private val weatherRows = sample(Gen.listOfN(400, for {
     conf <- Gen.oneOf("h", "n", "l")
     wind <- Gen.choose(0.0, 80.0)
@@ -266,6 +269,56 @@ class PropertySpec extends SparkSpec {
     }
     assert(exact === 50, s"exhaustive IVF missed planted neighbors: $exact/50")
     assert(prod >= 40, s"production IVF recall $prod/50 under floor")
+  }
+
+  test("intervalJoin law: equals the brute-force theta join on random intervals") {
+    // 3 seeded corpora × 2 bucket widths: the grid explode + overlap-start
+    // dedup must reproduce the quadratic truth exactly — including touching
+    // endpoints, containment, negative coordinates, and zero-length points
+    for (seed <- Seq(7L, 19L, 31L)) {
+      val rows = sample2(Gen.listOfN(120, for {
+        s <- Gen.choose(-50.0, 50.0)
+        len <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.0, 12.0))
+      } yield (s, s + len)), seed)
+      val (as, bs) = rows.splitAt(60)
+      val a = as.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("a_id", "a_start", "a_end")
+      val b = bs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("b_id", "b_start", "b_end")
+      val truth = (for {
+        ((s1, e1), i) <- as.zipWithIndex
+        ((s2, e2), j) <- bs.zipWithIndex
+        if s1 <= e2 && s2 <= e1
+      } yield (i.toLong, j.toLong)).toSet
+      val got = graft.operators.IntervalJoin.overlapJoin(
+          a, "a_start", "a_end", b, "b_start", "b_end", bucketWidth = 5.0)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(got === truth, s"seed=$seed")
+    }
+  }
+
+  test("chunking laws: full coverage, overlap sharing, lossless reconstruction") {
+    val texts = sample(Gen.listOfN(60,
+      Gen.choose(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd")).map(_.mkString(" ")))))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (size, ov) = (6, 2)
+    val chunks = graft.operators.Chunking.chunkTokens(docs, size, ov)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2).map(_._3) }
+    for ((t, i) <- texts.zipWithIndex) {
+      val toks = t.split(" ").toSeq
+      val cs = chunks(i.toLong)
+      // reconstruction: first chunk + each later chunk minus its overlap
+      // prefix re-joins to the original token stream (nothing lost/dup'd)
+      val rebuilt = cs.head.split(" ").toSeq ++
+        cs.tail.flatMap(_.split(" ").toSeq.drop(ov))
+      assert(rebuilt === toks, s"doc $i")
+      // every chunk except the last is full-size
+      cs.init.foreach(c => assert(c.split(" ").length === size, s"doc $i"))
+    }
   }
 
   test("tokenBudgetMix: per-source spend covers the budget, overshoot bounded by one doc") {
