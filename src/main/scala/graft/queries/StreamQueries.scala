@@ -302,6 +302,66 @@ object StreamQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** The whole CDC pipeline — streaming merge → per-batch change feed →
+    * incremental gold — driven to the BATCH oracle: two checkpointed runs
+    * replay the base snapshot (rev 1) and the correction batch (rev 2,
+    * price doubled) through `SilverJob.startIncrementalGoldSink`; batch 1
+    * seeds gold from the full aggregate, batch 2 must advance it by the
+    * change-feed delta ALONE, and the committed gold table must equal what
+    * the `catalog_merge_upsert` oracle computes by full relational
+    * recompute. A sign slip in the delta, a missed update image, or a
+    * double-applied batch all break the hash — end-to-end, through real
+    * micro-batch boundaries and a process-restart-shaped checkpoint
+    * recovery.
+    */
+  private val incrementalGoldStream = NamedQuery(
+    "catalog_incremental_gold_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = orders.filter(col("o_orderkey") % 10 < 8)
+        .withColumn("rev", lit(1L)).as[OrderRev].collect()
+      val correction = orders.filter(col("o_orderkey") % 10 >= 5)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("rev", lit(2L)).as[OrderRev].collect()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivmstream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val cat = new graft.catalog.TableCatalog(s, root)
+      val mem = MemoryStream[OrderRev]
+      def run(): Unit = SilverJob.startIncrementalGoldSink(
+        mem.toDF(), cat, "silver", "orders_ivm",
+        keys = Seq("o_orderkey"), orderCol = "rev",
+        goldLayer = "gold", goldTable = "orders_agg",
+        groupCols = Seq("o_orderstatus"), valueCol = "o_totalprice",
+        checkpoint = s"$root/_checkpoint").awaitTermination()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        mem.addData(base.toIndexedSeq); run()
+        mem.addData(correction.toIndexedSeq); run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      cat.read("gold", "orders_agg")
+        .select(col("o_orderstatus"), col("n").as("n_orders"),
+                round(col("total"), 2).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    // the catalog_merge_upsert oracle, verbatim — the incremental path
+    // must equal the relational full recompute
+    Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+            batch AS (SELECT * REPLACE (o_totalprice * 2.0 AS o_totalprice)
+                      FROM orders WHERE o_orderkey % 10 >= 5),
+            merged AS (
+              SELECT * FROM batch
+              UNION ALL
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM merged GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
-    Seq(sessionizeStream, windowStream, dedupStream, mergeStream)
+    Seq(sessionizeStream, windowStream, dedupStream, mergeStream,
+        incrementalGoldStream)
 }
