@@ -282,9 +282,49 @@ final class TableCatalog(spark: SparkSession, root: String,
       val tableDir = new Path(path(layer, table))
       fs.listStatus(tableDir).foreach { st =>
         val nm = st.getPath.getName
-        if (nm != "_v" && !nm.startsWith("_CURRENT"))
+        if (nm != "_v" && !nm.startsWith("_CURRENT") && !nm.startsWith("_TAG_"))
           fs.delete(st.getPath, true)
       }
+    }
+  }
+
+  /** Atomic per-table metadata tag (same fsync + single-rename commit as
+    * the `_CURRENT` pointer): small key→string facts that must survive
+    * overwrite vacuums — e.g. the applied-source-version watermark that
+    * makes `startIncrementalGoldSink` exactly-once across crashes. Tags
+    * live beside `_CURRENT` (underscore-prefixed: invisible to reads) and
+    * are never vacuumed.
+    */
+  def writeTag(layer: String, table: String, key: String,
+      value: String): Unit = {
+    require(key.matches("[A-Za-z0-9_.-]+"), s"tag key '$key' not filename-safe")
+    val tag = new Path(path(layer, table), s"_TAG_$key")
+    val tmp = new Path(tag.toString + ".__tmp")
+    val fs = hadoopFs(tag)
+    val out = fs.create(tmp, true)
+    try {
+      out.write(value.getBytes(StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tag.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, tag, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read a tag written by `writeTag`; None when absent. */
+  def readTag(layer: String, table: String, key: String): Option[String] = {
+    val tag = new Path(path(layer, table), s"_TAG_$key")
+    val fs = hadoopFs(tag)
+    if (!fs.exists(tag)) None
+    else {
+      val in = fs.open(tag)
+      try {
+        val bos = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
     }
   }
 

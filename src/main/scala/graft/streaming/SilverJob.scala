@@ -120,10 +120,19 @@ object SilverJob {
     *
     * The gold table is seeded from the FIRST batch's full aggregate (no
     * prior version exists to diff) and must not pre-exist: a leftover gold
-    * from an earlier run would double-count the seed. `keepVersions ≥ 2`
-    * on the catalog is required so the pre-merge version is still readable
-    * when the feed is computed — same-thread sequencing guarantees it
-    * within one batch.
+    * from an earlier run would double-count the seed.
+    *
+    * Crash-exactly-once: the delta is computed from the silver version
+    * gold last APPLIED (an atomic `_TAG_` watermark on the gold table,
+    * advanced only after the gold commit) — NOT from this batch's
+    * pre-merge version. A crash between the silver merge and the gold
+    * write replays the batch: the merge re-commits idempotently and the
+    * feed then spans BOTH commits from the stale watermark, so the delta
+    * is applied exactly once; a crash after the gold write but before the
+    * offset-log commit replays too, finds an up-to-date watermark, and
+    * applies the (empty) feed as a no-op. Size `keepVersions` to cover
+    * the largest plausible replay gap (≥ 2; one extra version per crash
+    * between merge and gold-commit).
     */
   def startIncrementalGoldSink(stream: DataFrame,
       catalog: graft.catalog.TableCatalog,
@@ -138,11 +147,12 @@ object SilverJob {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions._
-          val preV = catalog.currentVersion(layer, table)
+          val appliedV = catalog.readTag(goldLayer, goldTable, "applied_src_version")
+            .map(_.toInt)
           catalog.merge(batch, layer, table, keys,
             precedence = Some(orderCol))
           val postV = catalog.currentVersion(layer, table).get
-          val gold = preV match {
+          val gold = appliedV match {
             case None =>
               catalog.read(layer, table)
                 .groupBy(groupCols.map(col): _*)
@@ -155,6 +165,8 @@ object SilverJob {
                 groupCols, "n", "total", valueCol)
           }
           catalog.overwrite(gold, goldLayer, goldTable)
+          catalog.writeTag(goldLayer, goldTable, "applied_src_version",
+            postV.toString)
         }
       }
       .start()

@@ -205,6 +205,49 @@ class StreamingSpec extends SparkSpec {
     assert(goldNow === recompute)
   }
 
+  test("incremental gold sink: crash between merge and gold apply recovers exactly-once") {
+    implicit val sq = spark.sqlContext
+    // extra retention: recovery diffs from the APPLIED watermark, which can
+    // trail the head by the crashed commit plus its replay
+    val cat = new graft.catalog.TableCatalog(spark, tmpDir("ivm-crash"),
+      keepVersions = 4)
+    val chk = tmpDir("ivm-crash-chk")
+    val mem = MemoryStream[(Long, String, Double, Long)]
+    def run(): Unit = SilverJob.startIncrementalGoldSink(
+      mem.toDF().toDF("k", "g", "v", "rev"), cat, "silver", "facts",
+      keys = Seq("k"), orderCol = "rev",
+      goldLayer = "gold", goldTable = "agg", groupCols = Seq("g"),
+      valueCol = "v", checkpoint = chk).awaitTermination()
+
+    mem.addData((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+    run() // seed: silver v1, gold applied_src_version = 1
+
+    // CRASH SIMULATION: the batch's merge committed to silver but the
+    // process died before the gold apply — silver advances, gold and its
+    // watermark stay stale
+    val batch2 = Seq((2L, "b", 25.0, 2L), (3L, "c", 7.0, 2L))
+    cat.merge(batch2.toDF("k", "g", "v", "rev"), "silver", "facts",
+      keys = Seq("k"), precedence = Some("rev"))
+    assert(cat.readTag("gold", "agg", "applied_src_version") === Some("1"))
+
+    // recovery: the offset log replays the same batch; the sink's merge
+    // re-commits idempotently and the feed spans BOTH commits from the
+    // stale watermark — the delta lands exactly once
+    mem.addData(batch2: _*)
+    run()
+    val gold = cat.read("gold", "agg")
+      .select($"g", $"n", round($"total", 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    val recompute = cat.read("silver", "facts")
+      .groupBy($"g").agg(count(lit(1)).as("n"), round(sum($"v"), 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(gold === recompute)
+    assert(gold === Set(("a", 1L, 10.0), ("b", 1L, 25.0), ("c", 1L, 7.0)))
+    // watermark caught up to the silver head
+    assert(cat.readTag("gold", "agg", "applied_src_version") ===
+      Some(cat.currentVersion("silver", "facts").get.toString))
+  }
+
   test("ST3: two concurrent queries coordinated via awaitAnyTermination") {
     implicit val sq = spark.sqlContext
     spark.streams.resetTerminated()
