@@ -322,4 +322,40 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Exact-substring duplication stats, the span-level complement of the
+    * document-level near-dup family (the "dedupe any n-token window that
+    * appears elsewhere in the corpus" signal of LLM data curation):
+    * per document, how many of its n-token windows ALSO occur in at least
+    * one OTHER document. Documents shorter than n contribute their full
+    * text as one window.
+    *
+    * Unlike `ngramJaccardPairs` this keeps every window OCCURRENCE (a doc
+    * repeating a shared window counts it each time), so `dup_frac` is the
+    * fraction of the document's token stream sitting in cross-document
+    * duplicated spans — the quantity a span-excision pass would remove.
+    *
+    * Scale: windows travel as 8-byte xxhash64 values (equality-only use;
+    * 2⁻⁶⁴ collisions, same contract as the shingle family). Three
+    * bounded exchanges: distinct (doc, window), window → distinct-doc
+    * count, and the occurrence join back on the window hash. The shared-
+    * window table is corpus-sized in the worst case, so it stays on the
+    * shuffle-join path — no broadcast assumption.
+    */
+  def dupWindowStats(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(shingleHashesFromTokens(col("toks"), n)).as("h"))
+    val shared = occ.distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    occ.join(shared, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("n_docs")).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows") * 1.0 / col("n_windows"), 4))
+  }
 }

@@ -70,4 +70,30 @@ object TfIdf {
     val w = Window.orderBy(col("n").desc, col("token").asc)
     counts.withColumn("token_id", row_number().over(w).cast("long") - 1)
   }
+
+  /** Per-document out-of-vocabulary ratio against the corpus's own
+    * top-`maxVocab` vocabulary — the tokenizer-coverage filter of a
+    * training pipeline (documents whose token mass falls mostly outside
+    * the model vocabulary train badly and are cut or routed to a byte-
+    * level fallback). Counts token OCCURRENCES, not types: a doc spamming
+    * one rare token is as OOV-heavy as one using many.
+    *
+    * Scale: the vocabulary is ≤ maxVocab rows by construction, so the
+    * membership probe is a broadcast left join on the exploded token
+    * stream — one corpus-sized exchange for the per-doc aggregate, and
+    * the vocabulary pipeline's own bounded shape (see `vocabulary`).
+    */
+  def oovStats(docs: DataFrame, maxVocab: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = vocabulary(docs, maxVocab, textCol)
+      .select(col("token").as("w"), lit(true).as("in_vocab"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov") * 1.0 / col("n_tokens"), 4))
+  }
 }

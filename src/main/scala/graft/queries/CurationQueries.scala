@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.operators.{Dedup, Export, LmScore, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation additions: bigram-LM quality scoring (the CCNet-style
+  * perplexity proxy), exact-substring duplicated-window stats (span-level
+  * dedup signal), deterministic shard export manifests, and vocabulary
+  * OOV-coverage ratios. All four carry full DuckDB oracles.
+  */
+object CurationQueries {
+
+  private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  /** Mean bigram negative log-likelihood per document under the corpus's
+    * own add-one-smoothed bigram model. The oracle rebuilds the identical
+    * model in SQL (zipped unnest for the bigram stream), so a smoothing
+    * constant, a miscounted context, or a wrong vocabulary size all break
+    * the hash.
+    */
+  private val lmScore = NamedQuery(
+    "text_lm_score",
+    (s, d) =>
+      LmScore.bigramLogLoss(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                          FROM documents),
+             e AS (SELECT doc_id,
+                          unnest(l[1:len(l) - 1]) AS w1,
+                          unnest(l[2:len(l)]) AS w2
+                   FROM tok WHERE len(l) >= 2),
+             cb AS (SELECT w1, w2, count(*) AS c_bg FROM e GROUP BY 1, 2),
+             cc AS (SELECT w1, count(*) AS c_ctx FROM e GROUP BY 1),
+             v AS (SELECT count(DISTINCT t) AS v_size
+                   FROM (SELECT unnest(l) AS t FROM tok)),
+             sc AS (SELECT e.doc_id,
+                           -ln((cb.c_bg + 1.0) / (cc.c_ctx + v.v_size)) AS nll
+                    FROM e JOIN cb USING (w1, w2)
+                           JOIN cc USING (w1) CROSS JOIN v)
+             SELECT doc_id, count(*) AS n_bigrams,
+                    round(avg(nll), 4) AS lm_score
+             FROM sc GROUP BY 1 ORDER BY 1"""))
+
+  /** Exact-substring duplication: per document, the count and fraction of
+    * its 8-token windows that also occur in at least one other document.
+    * The oracle recomputes every window as a string (the engine side runs
+    * on xxhash64 window hashes), so the window stride, the short-doc arm,
+    * and the distinct-doc threshold are all hash-checked.
+    */
+  private val dupSpans = NamedQuery(
+    "text_dup_spans",
+    (s, d) =>
+      Dedup.dupWindowStats(Tables.documents(s, d), n = 8)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                          FROM documents),
+             w AS (SELECT doc_id,
+                          CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+                               ELSE [array_to_string(l[i:i+7], ' ')
+                                     FOR i IN range(1, len(l) - 6)]
+                          END AS ws
+                   FROM tok),
+             occ AS (SELECT doc_id, unnest(ws) AS w FROM w),
+             dw AS (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS nd
+                                   FROM occ GROUP BY 1)
+                    WHERE nd >= 2)
+             SELECT o.doc_id, count(*) AS n_windows,
+                    count(d.w) AS n_dup_windows,
+                    round(count(d.w) * 1.0 / count(*), 4) AS dup_frac
+             FROM occ o LEFT JOIN dw d USING (w)
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** Deterministic 16-shard export manifest over documents, weighted by
+    * token count. sum/min/max over doc_id pin the exact membership of
+    * every shard, so a single row landing in the wrong shard breaks the
+    * hash — this oracles the assignment function itself; the physical
+    * write path (file caps, per-file ordering) is pinned in
+    * CurationOpsSpec.
+    */
+  private val exportShards = NamedQuery(
+    "export_shards",
+    (s, d) =>
+      Export.shardSummary(
+          Tables.documents(s, d).withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+          col("doc_id"), col("n_tokens"), nShards = 16)
+        .orderBy(col("shard_id")),
+    Some(s"""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split($normSql, ' ')) AS BIGINT)
+                                 AS n_tokens,
+                               list_reduce(list_transform(
+                                   string_split(substr(md5(CAST(doc_id AS VARCHAR)),
+                                                       1, 6), ''),
+                                   c -> strpos('0123456789abcdef', c) - 1),
+                                 (a, b) -> a * 16 + b) AS hv
+                        FROM documents)
+             SELECT CAST(hv % 16 AS INT) AS shard_id,
+                    count(*) AS n_rows,
+                    CAST(sum(n_tokens) AS BIGINT) AS total_weight,
+                    CAST(sum(doc_id) AS BIGINT) AS sum_key,
+                    min(doc_id) AS min_key, max(doc_id) AS max_key
+             FROM t GROUP BY 1 ORDER BY 1"""))
+
+  /** Out-of-vocabulary token ratio per document against the corpus's
+    * top-20 vocabulary — reuses the exact vocabulary cut that
+    * text_vocab_topk pins (n DESC, token tiebreak, boundary exercised).
+    */
+  private val oovRatio = NamedQuery(
+    "text_oov_ratio",
+    (s, d) =>
+      TfIdf.oovStats(Tables.documents(s, d), maxVocab = 20)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id,
+                                 unnest(string_split($normSql, ' ')) AS w
+                          FROM documents),
+             v AS (SELECT w AS token FROM (SELECT w, count(*) AS n FROM tok
+                                           GROUP BY 1
+                                           ORDER BY n DESC, w LIMIT 20))
+             SELECT t.doc_id, count(*) AS n_tokens,
+                    count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+                    round(count(CASE WHEN v.token IS NULL THEN 1 END) * 1.0
+                          / count(*), 4) AS oov_ratio
+             FROM tok t LEFT JOIN v ON t.w = v.token
+             GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, oovRatio)
+}

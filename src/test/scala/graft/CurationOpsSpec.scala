@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Privacy, Profile, Repetition}
+import graft.operators.{Dedup, Export, LmScore, Privacy, Profile, Repetition, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Planted-fixture checks for the round-2 curation additions: repetition
@@ -63,5 +63,100 @@ class CurationOpsSpec extends SparkSpec {
       ("id", 3L, 0L, 3L, "1", "3"),
       ("s", 3L, 1L, 2L, "a", "c"),
       ("v", 3L, 0L, 2L, "1.5", "9.0")))
+  }
+
+  test("LmScore.bigramLogLoss: hand-computed Laplace bigram NLL") {
+    // corpus: c(a b)=3, c(b a)=1, c(b c)=1; c_ctx(a)=3, c_ctx(b)=2; V=3
+    // P(b|a)=(3+1)/(3+3)=2/3, P(a|b)=P(c|b)=(1+1)/(2+3)=2/5
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab → mean(-ln 2/3, -ln 2/5, -ln 2/3)
+      (2L, "a b c"),   // ab, bc → mean(-ln 2/3, -ln 2/5)
+      (3L, "a")        // < 2 tokens → no row
+    ).toDF("doc_id", "text")
+    val got = LmScore.bigramLogLoss(docs).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 3L, 0.5757), (2L, 2L, 0.6609)))
+  }
+
+  test("LmScore: shuffle-join model path matches the broadcast path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps under the warm sun"),
+      (3L, "pack my box with five dozen liquor jugs today")
+    ).toDF("doc_id", "text")
+    val a = LmScore.bigramLogLoss(docs).orderBy($"doc_id").collect().toSeq
+    val b = LmScore.bigramLogLoss(docs, broadcastModel = false)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("Dedup.dupWindowStats: occurrence-level shared-window counts") {
+    val docs = Seq(
+      (1L, "x y z w q"),       // windows: xyz, yzw, zwq — all shared with 5
+      (2L, "a b x y z"),       // abx, bxy, xyz — one shared
+      (3L, "p q r"),           // exactly n tokens → 1 unique window
+      (4L, "m n"),             // < n tokens → full text is the window
+      (5L, "x y z w q"),       // exact dup of 1
+      (6L, "x y z x y z")      // xyz, yzx, zxy, xyz — xyz TWICE, both count
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupWindowStats(docs, n = 3).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 0.3333),
+      (3L, 1L, 0L, 0.0),
+      (4L, 1L, 0L, 0.0),
+      (5L, 3L, 3L, 1.0),
+      (6L, 4L, 2L, 0.5)))
+  }
+
+  test("Export.shardId is layout-independent and writeShards round-trips") {
+    val docs = (0L until 100L).map(i => (i, s"doc number $i payload"))
+      .toDF("doc_id", "text")
+    // pure function of the key: same assignment at any partition count
+    val a1 = Export.withShard(docs, $"doc_id", 16)
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Export.withShard(docs.repartition(7), $"doc_id", 16)
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    assert(a1.values.toSet.subsetOf((0 until 16).toSet))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Export.writeShards(docs, $"doc_id", nShards = 16, out, maxRecordsPerFile = 4)
+      // hive layout: one dir per non-empty shard, matching the assignment
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard_id=")).toSet
+      assert(dirs === a1.values.toSet.map((s: Int) => s"shard_id=$s"))
+      // round trip: content identical, shard column restored from the path
+      val back = spark.read.parquet(out)
+      assert(back.count() === 100)
+      val got = back.select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === a1)
+      // per-file contract: ≤ maxRecordsPerFile rows, sorted by key
+      val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(ids.length <= 4, s"${f.getName}: ${ids.length} rows > cap")
+        assert(ids === ids.sorted, s"${f.getName} not key-sorted")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("TfIdf.oovStats: occurrence-counted OOV against the vocab cut") {
+    // counts: a=3, b=2, c=2 → top-2 is {a, b} (tie b/c broken by token)
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a b c c")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.oovStats(docs, maxVocab = 2).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 3L, 0L, 0.0), (2L, 4L, 2L, 0.5)))
   }
 }

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_pq_exhaustive" -> (Set("BroadcastNestedLoopJoin"),
       "same codebook attach + ADC scan as sim_ann_pq, at the lossless rerank point"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
-      "1-row corpus-count broadcast attach + its global count combine"))
+      "1-row corpus-count broadcast attach + its global count combine"),
+    "text_lm_score" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row vocabulary-size broadcast attach + its global distinct-count combine " +
+        "(same pattern as text_tfidf_topk); the model joins are hash equi"))
 
   test("no driver query carries an unaccepted scale-hostile plan shape") {
     val results = PlanAudit.audit(spark, "/root/testdata/sf0.001")
