@@ -316,9 +316,12 @@ object Dedup {
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
       norm2Fast(col(vecCol)).as("nrm2"),
       blockCol.map(col).getOrElse(lit(0)).as("blk2"))
+    // zero-norm vectors have no direction: cosine is undefined, the pair
+    // is null and drops at the threshold filter instead of raising a
+    // DIVIDE_BY_ZERO under ANSI mode.
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
-      .withColumn("cos",
-        dotFast(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+      .withColumn("cos", when(col("nrm1") * col("nrm2") =!= 0.0,
+        dotFast(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }

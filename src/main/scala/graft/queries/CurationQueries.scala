@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Dedup, Export, LmScore, TfIdf}
+import graft.operators.{Dedup, Export, KMeans, LmScore, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Round-4 curation additions: bigram-LM quality scoring (the CCNet-style
@@ -124,5 +124,73 @@ object CurationQueries {
              FROM tok t LEFT JOIN v ON t.w = v.token
              GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, oovRatio)
+  /** Shared DuckDB fragment: label centroids (dims rounded to 6, exactly
+    * like KMeans.labelCentroids) and the argmin Lloyd assignment, ranked
+    * by round(d2, 6) with cluster-id tiebreak — the same deterministic
+    * order the engine's array_sort uses.
+    */
+  private val assignOracleFrag =
+    """cents AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
+                        round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                 FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+       dist AS (SELECT e.vec_id, c.cl,
+                       sum((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.cv)
+                           * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.cv))
+                         AS d2
+                FROM embeddings e, cents c GROUP BY 1, 2),
+       best AS (SELECT vec_id, cl, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY round(d2, 6), cl) AS rn
+                FROM dist)"""
+
+  /** One Lloyd assignment step from the per-label centroids — the
+    * SQL-provable parameter point of the k-means family (the iterative
+    * fit is spec-pinned in KMeansSpec; its assignment kernel is THIS
+    * expression). A wrong distance fold, a wrong tie-break, or
+    * un-rounded centroids all break the hash.
+    */
+  private val kmeansAssign = NamedQuery(
+    "cluster_kmeans_assign",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      KMeans.assignStep(emb, KMeans.labelCentroids(emb, "label"))
+        .select(col("vec_id"), col("label"),
+          col("cluster").as("cluster_label"), round(col("d2"), 4).as("d2"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $assignOracleFrag
+             SELECT e.vec_id, e.label, b.cl AS cluster_label,
+                    round(b.d2, 4) AS d2
+             FROM embeddings e JOIN best b
+               ON e.vec_id = b.vec_id AND b.rn = 1
+             ORDER BY 1"""))
+
+  /** SemDeDup at the provable parameter point: near-dup cosine pairs
+    * blocked by the one-step Lloyd assignment above (the full iterative
+    * path is `KMeans.semanticDedupPairs`, spec-pinned). Same 0.4
+    * threshold as dedup_embedding_cosine, so the two queries differ only
+    * in the blocking: metadata label vs learned cluster.
+    */
+  private val semanticDedup = NamedQuery(
+    "dedup_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingCosinePairs(
+          KMeans.assignStep(emb, KMeans.labelCentroids(emb, "label")),
+          threshold = 0.4, blockCol = Some("cluster"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH $assignOracleFrag,
+             a AS (SELECT e.vec_id, e.embedding, b.cl
+                   FROM embeddings e JOIN best b
+                     ON e.vec_id = b.vec_id AND b.rn = 1)
+             SELECT x.vec_id AS id1, y.vec_id AS id2,
+                    round(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                               AS DOUBLE), 4) AS cos
+             FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+             ORDER BY 1, 2"""))
+
+  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, oovRatio,
+    kmeansAssign, semanticDedup)
 }

@@ -116,4 +116,15 @@ class DedupSpec extends SparkSpec {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("embedding cosine: zero-norm vectors drop instead of DIVIDE_BY_ZERO") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f), 0)) // no direction — undefined cosine
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(emb, threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // ANSI mode: would throw before the guard
+  }
 }

@@ -39,7 +39,13 @@ class PlanAuditSpec extends SparkSpec {
       "1-row corpus-count broadcast attach + its global count combine"),
     "text_lm_score" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row vocabulary-size broadcast attach + its global distinct-count combine " +
-        "(same pattern as text_tfidf_topk); the model joins are hash equi"))
+        "(same pattern as text_tfidf_topk); the model joins are hash equi"),
+    "cluster_kmeans_assign" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row centroid-array broadcast attach (k·dims doubles) + its global " +
+        "collect combine — the ivfTopK seed pattern; the corpus never shuffles"),
+    "dedup_semantic" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "same 1-row centroid-array attach as cluster_kmeans_assign feeding the " +
+        "blocked pair join (hash equi on the learned cluster)"))
 
   test("no driver query carries an unaccepted scale-hostile plan shape") {
     val results = PlanAudit.audit(spark, "/root/testdata/sf0.001")
