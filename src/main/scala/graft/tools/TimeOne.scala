@@ -14,11 +14,14 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
-    for (r <- 1 to reps) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[timeone] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    // comma-separated names time each in sequence (shared warm JVM)
+    for (nm <- name.split(",")) {
+      val fn = graft.SparkEntry.queries(nm)
+      for (r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[timeone] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
     }
     spark.stop()
   }
