@@ -130,6 +130,62 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric shingle-containment pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|.
+    * Catches doc-in-doc inclusion — a quoted article inside a page wrapper,
+    * a file concatenated into a bundle — where symmetric Jaccard is blind:
+    * 100 shingles fully embedded in 10,000 give J ≈ 0.01 but C = 1.0.
+    * (Broder's containment measure, the resemblance/containment split of
+    * the original shingling paper; cf. the reference's dedup stage, which
+    * only covers the symmetric case.)
+    *
+    * Candidates come from the same df-capped inverted index as
+    * `ngramJaccardPairsCapped`, then are exact-verified on the full shingle
+    * sets, so reported containment values are exact and false positives
+    * impossible. One structural difference from the Jaccard op: the
+    * size-ratio prune is UNSOUND here — containment is precisely the
+    * regime where |S(A)| ≪ |S(B)| must survive — so the df cap is the only
+    * fan-out bound, which is why it is not optional in this signature. At
+    * 100 TB that is the right trade: boilerplate shingles are the skew
+    * hazard; genuinely rare shared shingles are the signal.
+    *
+    * Output is one directed row per qualifying pair: `contained` is the
+    * smaller-set side (ties → lower doc id), `containment` = C(contained →
+    * container), since C of the larger side in the smaller is ≤ it and
+    * rarely of interest.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleDf: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleSets(docs, n, idCol, textCol)
+    val ex = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    // rare-shingle inverted index (df cap bounds per-key join fan-out);
+    // barrier'd for the same double-execution reason as the Jaccard op
+    val rare = ex.join(
+      ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s"),
+      "s").localCheckpoint(eager = false)
+    val candidates = rare.as("a")
+      .join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    candidates
+      .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
+      .withColumn("common",
+        graft.plans.GraftColumns.sortedIntersectSize(col("ss1"), col("ss2")))
+      .withColumn("n1", size(col("ss1"))).withColumn("n2", size(col("ss2")))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
+          .as("contained"),
+        when(col("n1") <= col("n2"), col("doc2")).otherwise(col("doc1"))
+          .as("container"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash signature column: `numHashes` permutations via
     * Kirsch-Mitzenmacher double hashing — slot_i = min over shingles of
     * (h1 + i·h2) with h1,h2 = seeded xxhash64 reduced mod 1e9+7. Native

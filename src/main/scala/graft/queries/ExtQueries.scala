@@ -96,6 +96,43 @@ object ExtQueries {
              FROM v WHERE common * 1.0 / (n1 + n2 - common) >= 0.8
              ORDER BY doc1, doc2"""))
 
+  /** Asymmetric containment near-dup (Broder): |S(A)∩S(B)|/|S(A)| ≥ 0.9
+    * with A the smaller shingle-set side — flags doc-in-doc inclusion the
+    * symmetric Jaccard ops are blind to. Exact-verified on full shingle
+    * sets (df-capped candidates), so the oracle reproduces it
+    * value-for-value.
+    */
+  private val dedupContainment = NamedQuery(
+    "dedup_containment",
+    (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), n = 3,
+          threshold = 0.9, maxShingleDf = 20)
+        .orderBy(col("contained"), col("container")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id)
+             SELECT CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS contained,
+                    CASE WHEN n1 <= n2 THEN doc2 ELSE doc1 END AS container,
+                    round(common * 1.0 / least(n1, n2), 4) AS containment
+             FROM v WHERE common * 1.0 / least(n1, n2) >= 0.9
+             ORDER BY contained, container"""))
+
   /** MinHash+LSH, hash-gated against the exact-Jaccard oracle: emitted
     * pairs are exact-verified (so false positives are impossible and the
     * jaccard values are bit-identical to the oracle's), and at b=32/r=2 the
@@ -499,7 +536,8 @@ object ExtQueries {
             FROM nz ORDER BY media_id, frame_idx"""))
 
   val all: Seq[NamedQuery] = Seq(
-    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
+    dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
+    dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
     simTopK, simAnn, simIvf, simPq, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,

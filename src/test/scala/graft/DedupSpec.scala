@@ -59,6 +59,32 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("containment finds doc-in-doc inclusion that Jaccard misses") {
+    // doc 8 = doc 3's text embedded in a much larger wrapper: J is tiny
+    // (|S(3)| ≪ |S(8)|) but C(3→8) = 1.0 — the asymmetric case
+    // unique filler tokens (repetition would dedupe to a handful of
+    // distinct shingles and leave J large)
+    val wrapper = (1 to 120).map(i => s"header$i").mkString(" ") + " " +
+      "large scale data processing with spark requires careful partitioning design " +
+      "because shuffle volume dominates the cost of every join and aggregation " +
+      "when the cluster reads terabytes from object storage every single hour " +
+      (1 to 120).map(i => s"footer$i").mkString(" ")
+    val corpus = docs.union(Seq((8L, wrapper)).toDF("doc_id", "text"))
+    val jacc = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(!jacc.contains((3L, 8L))) // symmetric measure is blind to it
+    val cont = Dedup.containmentPairs(corpus, n = 3, threshold = 0.9,
+      maxShingleDf = 6)
+    val hit = cont.filter($"contained" === 3L && $"container" === 8L)
+      .select("containment").as[Double].collect()
+    assert(hit.length === 1 && hit(0) === 1.0)
+    // distractors (5: pasta, 6: german) are contained in nothing
+    assert(cont.filter($"contained".isin(5L, 6L)).count() === 0)
+    // direction: the smaller-set side is always reported as contained
+    val rows = cont.select("contained", "container").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+  }
+
   test("minhash LSH recall = 1.0 vs exact Jaccard on the planted corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
