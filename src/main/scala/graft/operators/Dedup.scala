@@ -152,22 +152,62 @@ object Dedup {
     * smaller-set side (ties → lower doc id), `containment` = C(contained →
     * container), since C of the larger side in the smaller is ≤ it and
     * rarely of interest.
+    *
+    * Candidate volume is bounded by a PPJoin-family PREFIX FILTER (Chaudhuri
+    * et al.'s prefix-filtering principle, specialized to containment): the
+    * probe side indexes only each doc's first L = n_A − ⌈t·n_A⌉ + 1 rare
+    * shingles in ascending hash order (n_A = FULL distinct-shingle count).
+    * Lossless w.r.t. the df-capped semantics, by this lemma: if C(A→B) ≥ t
+    * and the pair shares ≥ 1 rare shingle, then A has at most
+    * n_A − ⌈t·n_A⌉ = L − 1 shingles outside B, so among A's first
+    * min(L, |R_A|) rare shingles at least one is shared with B when
+    * |R_A| ≥ L — and when |R_A| < L the prefix is ALL of A's rare shingles,
+    * which contain every shared rare shingle by definition. Either way the
+    * shared rare shingle also appears on B's (un-prefixed) rare side, since
+    * document frequency is a global property of the shingle. A pair missed
+    * by the prefix join therefore cannot appear in the verified output, and
+    * every pair the df-capped oracle emits is generated. The filter cuts
+    * candidates ≈ |prefix|/|R_A| ≈ (1−t)× (10× at t = 0.9) — the fix for
+    * this operator having been the inventory's most expensive (no sound
+    * size-ratio prune exists for containment, so before the prefix filter
+    * the df cap was the only bound).
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingleSets(docs, n, idCol, textCol)
-    val ex = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    val ex = sh.select(col("doc_id"), size(col("ss")).as("ns"),
+      explode(col("ss")).as("s"))
     // rare-shingle inverted index (df cap bounds per-key join fan-out);
     // barrier'd for the same double-execution reason as the Jaccard op
     val rare = ex.join(
       ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("s"),
       "s").localCheckpoint(eager = false)
-    val candidates = rare.as("a")
+    // prefix side: first L rare shingles per doc, ascending hash order.
+    // The 1e-9 guard keeps ceil() exact when t·ns is a true integer that
+    // floating point represents as 27.000000000000004 — without it L would
+    // come out one SHORT and the filter would turn lossy; when t·ns is
+    // genuinely fractional the guard cannot cross the integer below, so
+    // L never shrinks below the lemma's bound.
+    val prefixLen = col("ns") - ceil(col("ns") * lit(threshold) - lit(1e-9)) + 1
+    val pref = rare
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("s")))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("ns"), col("s"))
+    // the prefix lemma is stated for A = the eventually-contained side
+    // (smaller full set; ties → lower id), so the join orients a = that
+    // side; output pairs are re-normalized to doc1 < doc2 for the verify
+    // joins, which re-derive direction from the full set sizes.
+    val candidates = pref.as("a")
       .join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        col("a.s") === col("b.s") &&
+          (col("a.ns") < col("b.ns") ||
+            (col("a.ns") === col("b.ns") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"))
       .dropDuplicates("doc1", "doc2")
     candidates
       .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")

@@ -80,9 +80,75 @@ class DedupSpec extends SparkSpec {
     assert(hit.length === 1 && hit(0) === 1.0)
     // distractors (5: pasta, 6: german) are contained in nothing
     assert(cont.filter($"contained".isin(5L, 6L)).count() === 0)
-    // direction: the smaller-set side is always reported as contained
-    val rows = cont.select("contained", "container").as[(Long, Long)].collect()
-    assert(rows.nonEmpty)
+    // the FULL expected pair set, directed: 1⊆7 (exact dup, tie → lower id
+    // contained), 3⊆4 (prefix of it), 3⊆8 (the planted inclusion), and
+    // 4⊆8 (doc 4 = doc 3 + one appended token, so all but one of its
+    // shingles sit inside the wrapper: C = k/(k+1) ≈ 0.97 ≥ 0.9). The
+    // (1,2)/(2,7) near-dups sit at C = 0.7 and must NOT appear.
+    val got = cont.select("contained", "container").as[(Long, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 7L), (3L, 4L), (3L, 8L), (4L, 8L)))
+    // direction invariant: the contained side's shingle set is never larger
+    // than the container's, for EVERY emitted row
+    val shSizes = corpus.select($"doc_id",
+      size(graft.plans.GraftColumns.shingleHashSet(
+        graft.functions.TextFunctions.tokens($"text"), 3)).as("nsh"))
+    val dir = cont
+      .join(shSizes.select($"doc_id".as("contained"), $"nsh".as("n_in")), "contained")
+      .join(shSizes.select($"doc_id".as("container"), $"nsh".as("n_out")), "container")
+      .filter($"n_in" > $"n_out")
+    assert(dir.count() === 0)
+  }
+
+  test("containment prefix filter is lossless vs brute force across thresholds") {
+    // 24-doc corpus: 8 base docs of distinct content, for each a ~90%
+    // prefix-truncated copy (containment just above/below 0.9 depending on
+    // rounding) and a wrapped copy (full inclusion) — plus the boundary
+    // cases the prefix length formula must survive: tiny docs (prefix
+    // length 1) and exact duplicates (threshold 1.0).
+    val base = (0 until 8).map { i =>
+      val toks = (0 until 40).map(j => s"w${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val truncated = base.map { case (id, text) =>
+      (id + 100L, text.split(" ").take(36).mkString(" "))
+    }
+    val wrapped = base.map { case (id, text) =>
+      (id + 200L, s"pre${id}a pre${id}b pre${id}c " + text + s" post${id}a post${id}b")
+    }
+    val corpus = (base ++ truncated ++ wrapped).toDF("doc_id", "text")
+
+    // brute-force reference: every pair sharing >= 1 rare shingle, C
+    // computed on FULL sets — the operator's contract, sans prefix filter
+    def brute(t: Double, cap: Int): Set[(Long, Long, Double)] = {
+      val sh = corpus.select($"doc_id",
+        graft.plans.GraftColumns.shingleHashSet(
+          graft.functions.TextFunctions.tokens($"text"), 3).as("ss"))
+      val ex = sh.select($"doc_id", explode($"ss").as("s"))
+      val rareS = ex.groupBy("s").count().filter($"count" <= cap).select("s")
+      val rarePairs = ex.join(rareS, "s").as("x")
+        .join(ex.join(rareS, "s").as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+      rarePairs
+        .join(sh.select($"doc_id".as("doc1"), $"ss".as("ss1")), "doc1")
+        .join(sh.select($"doc_id".as("doc2"), $"ss".as("ss2")), "doc2")
+        .withColumn("common", size(array_intersect($"ss1", $"ss2")))
+        .withColumn("c", $"common".cast("double") / least(size($"ss1"), size($"ss2")))
+        .filter($"c" >= t)
+        .select(
+          when(size($"ss1") <= size($"ss2"), $"doc1").otherwise($"doc2"),
+          when(size($"ss1") <= size($"ss2"), $"doc2").otherwise($"doc1"),
+          round($"c", 4))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (t <- Seq(0.8, 0.9, 1.0)) {
+      val fast = Dedup.containmentPairs(corpus, n = 3, threshold = t,
+          maxShingleDf = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === brute(t, 10), s"prefix filter lost/invented pairs at t=$t")
+    }
   }
 
   test("minhash LSH recall = 1.0 vs exact Jaccard on the planted corpus") {
