@@ -186,12 +186,18 @@ object Dedup {
         .filter(col("df") <= maxShingleDf).select("s"),
       "s").localCheckpoint(eager = false)
     // prefix side: first L rare shingles per doc, ascending hash order.
-    // The 1e-9 guard keeps ceil() exact when t·ns is a true integer that
+    // The epsilon guard keeps ceil() exact when t·ns is a true integer that
     // floating point represents as 27.000000000000004 — without it L would
-    // come out one SHORT and the filter would turn lossy; when t·ns is
-    // genuinely fractional the guard cannot cross the integer below, so
-    // L never shrinks below the lemma's bound.
-    val prefixLen = col("ns") - ceil(col("ns") * lit(threshold) - lit(1e-9)) + 1
+    // come out one SHORT and the filter would turn lossy. The guard is
+    // RELATIVE (t scaled by 1−1e-12), not an absolute 1e-9 subtraction: an
+    // absolute epsilon falls below the double half-ulp once t·ns passes
+    // ~1e7 (ulp(2^24) ≈ 4e-9), silently re-opening the lossy case for
+    // documents with ~10M+ distinct shingles, while 1e-12 relative stays an
+    // order of magnitude above ulp-scale (2^-52 ≈ 2e-16) at every
+    // magnitude; when t·ns is genuinely fractional a 1e-12 relative nudge
+    // cannot cross the integer below, so L never shrinks under the lemma's
+    // bound.
+    val prefixLen = col("ns") - ceil(col("ns") * lit(threshold * (1 - 1e-12))) + 1
     val pref = rare
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy("s")))
@@ -360,18 +366,37 @@ object Dedup {
     * into `blocks` chunks; pairs within hamming k must agree on ≥1 chunk
     * when blocks > k), so again no O(n²) scan.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, blocks: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(blocks > maxHamming, "need blocks > maxHamming for exact block-trick recall")
-    val bitsPerBlock = 64 / blocks
-    // Signature: sign of per-bit weighted sum over distinct shingle hashes,
-    // computed by the native SimHashSig kernel (one compiled loop per row;
-    // the shingle hash itself — uniform xxhash64 output — is the bit
-    // source). The HOF predecessor cost one interpreted dispatch per
-    // (shingle × bit).
-    val s = shingleSets(docs, 3, idCol, textCol)
+  /** (doc_id, sig): the 64-bit SimHash signature table `simhashPairs` pairs
+    * over. Signature: sign of per-bit weighted sum over distinct 3-gram
+    * shingle hashes, computed by the native SimHashSig kernel (one compiled
+    * loop per row; the shingle hash itself — uniform xxhash64 output — is
+    * the bit source). Public so the driver gate can MATERIALIZE it and have
+    * DuckDB recompute the whole pair stage brute-force in SQL
+    * (`bit_count(xor(s1, s2)) <= k` over the stored longs) — the seeded
+    * kernel itself is not SQL-expressible, but everything downstream of the
+    * signatures is, which turns the former rows-only check into a full
+    * hash gate on the block-trick join, hamming filter, and dedup.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    shingleSets(docs, 3, idCol, textCol)
       .select(col("doc_id"),
         graft.plans.GraftColumns.simhashSig(col("ss")).as("sig"))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, blocks: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs, idCol, textCol),
+      maxHamming, blocks)
+
+  /** Pair stage of `simhashPairs` over a precomputed (doc_id, sig) table —
+    * split out so the driver query can share ONE signature scan between the
+    * oracle materialization and the pair join.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 6,
+      blocks: Int = 8): DataFrame = {
+    require(blocks > maxHamming, "need blocks > maxHamming for exact block-trick recall")
+    val bitsPerBlock = 64 / blocks
+    val s = sigs
 
     val blocked = s.select(col("doc_id"), col("sig"),
       explode(array((0 until blocks).map { blk =>

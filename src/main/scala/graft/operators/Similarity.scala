@@ -164,16 +164,28 @@ object Similarity {
     *
     * Recall is governed by nProbe (cluster-boundary misses only).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+  /** The deterministic IVF seed table (cell_id, cv, cn2 = ‖cv‖²): the
+    * nCells corpus rows with smallest xxhash64(id). Public so the driver
+    * gate can materialize it and have DuckDB re-derive cell assignment,
+    * probe selection, and scoring from the seeds alone — everything in
+    * `ivfTopK` downstream of seed selection is plain relational algebra.
+    */
+  def ivfSeeds(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.plans.GraftFunctions.ensure(corpus.sparkSession)
-    val seeds = corpus
+    corpus
       .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
       .orderBy(xxhash64(col("cell_id")))
       .limit(nCells)
       .select(col("cell_id"), col("cv"),
         dotFast(col("cv"), col("cv")).as("cn2"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val seeds = ivfSeeds(corpus, nCells, idCol, vecCol)
     // ALL seeds as one array-of-structs row, broadcast to every partition:
     // nearest cells are then a NARROW per-row array expression (sort the
     // per-seed scores, slice the head) — no window, no exchange; the corpus
