@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes STRAIGHT to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which broke the bench driver's "last line is bare JSON" protocol four
+// rounds running (BENCH_r02..r05 all "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

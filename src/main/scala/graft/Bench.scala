@@ -16,6 +16,22 @@ object Bench {
     // produced three rounds of false >2× regression alarms. Sorted order
     // makes run N comparable to run N-1 query-by-query.
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Every execution leaves its lazy localCheckpoint RDDs (dedup rare
+    // index, cluster edges/labels, …) persisted with no owner; across 4
+    // passes × 100+ queries they pile into the storage pool until eviction
+    // pressure forces recompute of LIVE blocks mid-measurement — the r5
+    // driver file's uniform ~3-5× inflation (e.g. dedup_ngram_capped 8.3s
+    // driver vs 1.65s warm-isolated) is exactly that signature. Dropping
+    // them between executions keeps the pool empty; the NEXT run of the
+    // same query rebuilds its own checkpoints from scratch either way, so
+    // timings measure the query, not the cache history.
+    def dropStaleCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      try fn(spark, dir).count()
+      catch { case _: Throwable => () }
+      finally dropStaleCaches()
     // Warm-up pass 1 (sf0.001): JIT/codegen/regex-compile/classloading land
     // here, cheaply. Falls back to the target dir if no sf0.001 sibling.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -23,28 +39,28 @@ object Bench {
       val w = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
       if (w != sfDir && new java.io.File(w).isDirectory) w else sfDir
     }
-    inventory.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
+    inventory.foreach { case (_, fn) => runOnce(fn, warmDir) }
     // Warm-up pass 2 (TARGET sf, untimed): the sf0.001 pass compiles the
     // code paths but not the target-scale plan family — first execution at
     // the target still pays parquet footer reads, AQE stats, and fresh
     // codegen for stat-dependent plans (measured 3-7× on whichever query
     // ran first). With this pass BOTH timed reps below are fully warm.
-    inventory.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
+    inventory.foreach { case (_, fn) => runOnce(fn, sfDir) }
     // min of two fully-warm timed runs: single-shot numbers on a shared box
     // swing 2-3× from GC/scheduler noise; the min is the reproducible
     // throughput figure. A failing query must NOT masquerade as a fast
-    // success: it reports -1 and the error goes to stderr.
+    // success: it reports -1 and the error goes to stderr. The cache drop
+    // runs AFTER the timer stops: it is bookkeeping between measurements,
+    // not part of any query's cost.
     val results = inventory.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: $e"); None
         }
+        dropStaleCaches()
+        t
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
@@ -64,9 +80,37 @@ object Bench {
     //      capture window: same metric/value/unit/sf plus the slowest
     //      queries that fit the budget — the ones a perf reviewer needs.
     println(fullJson)
+    // BENCH_LOCAL.json is written BEFORE the compact line is built so the
+    // compact "full" pointer can tell the truth about whether it exists.
+    val wroteFull =
+      try {
+        val cwd = java.nio.file.Paths.get("").toAbsolutePath
+        val root =
+          // exists, not isDirectory: in worktrees/submodules .git is a file
+          if (java.nio.file.Files.exists(cwd.resolve(".git"))) cwd
+          else {
+            val repo = java.nio.file.Paths.get(
+              sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+            if (java.nio.file.Files.exists(repo.resolve(".git"))) repo else cwd
+          }
+        java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),
+          (fullJson + "\n").getBytes("UTF-8"))
+        true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+          false
+      }
     val compactJson = {
       val budget = 1500 // bytes for the queries map; window is ~2000 total
-      val bySlow = results.sortBy { case (_, v) => -v }
+      // FAILED queries (-1.0) pin to the FRONT of the fill: a failure is
+      // the first thing a reviewer of a truncated log must see, and under
+      // plain slowest-first ordering its -1 sorted LAST and was elided
+      // first. Then slowest-first, the perf-review order.
+      val bySlow = results.sortBy { case (_, v) =>
+        if (v < 0) Double.NegativeInfinity else -v
+      }
+      val nFailed = results.count(_._2 < 0)
       val picked = scala.collection.mutable.ListBuffer.empty[String]
       var used = 2
       var elided = 0
@@ -76,23 +120,8 @@ object Bench {
         else elided += 1
       }
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
-        s""""n_queries":${results.size},"elided":$elided,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    }
-    try {
-      val cwd = java.nio.file.Paths.get("").toAbsolutePath
-      val root =
-        // exists, not isDirectory: in worktrees/submodules .git is a file
-        if (java.nio.file.Files.exists(cwd.resolve(".git"))) cwd
-        else {
-          val repo = java.nio.file.Paths.get(
-            sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-          if (java.nio.file.Files.exists(repo.resolve(".git"))) repo else cwd
-        }
-      java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+        s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
+        s""""full":${if (wroteFull) "\"BENCH_LOCAL.json\"" else "null"},"sf":"$sfDir"}"""
     }
     // the compact line is the FINAL print; logs are silenced first so no
     // shutdown chatter can push it out of the driver's capture window (sbt

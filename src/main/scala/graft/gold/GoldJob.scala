@@ -69,12 +69,38 @@ object GoldJob {
     * fire joins only stations in its 3×3 neighbor cells (cell = radius), an
     * equi join on the cell key that shuffles both sides once — no cross
     * product, no broadcast requirement, same result set.
+    *
+    * `maxPairsPerCell` is the output-quadratic guard for DENSE regions: a
+    * cell holding f fires × s stations emits up to f·s alert rows, so one
+    * urban cell can dominate the whole job's output at continent scale.
+    * With the cap set, cells whose f·s product (f counted over the
+    * exploded 3×3 probes landing in the cell) exceeds it are SKIPPED —
+    * stations in a skipped cell emit no alerts (each pair lives in exactly
+    * ONE cell, the station's, so surviving cells stay exact). The decision
+    * is made BEFORE the join from two narrow per-cell counts and the dense
+    * list is count-bounded → broadcast anti join; the quadratic work is
+    * never performed. Default None = exact, zero extra cost — the
+    * production response to a tripped cap is per-cell pre-aggregation
+    * (serve "n stations alerting, max risk" for the dense cell) rather
+    * than f·s raw alert rows.
     */
-  def goldAlertsGrid(fires: DataFrame, weather: DataFrame): DataFrame = {
-    val lw = latestWeather(weather)
+  def goldAlertsGrid(fires: DataFrame, weather: DataFrame,
+      maxPairsPerCell: Option[Long] = None): DataFrame = {
+    require(maxPairsPerCell.forall(_ > 0), "maxPairsPerCell must be positive")
+    val lw0 = latestWeather(weather)
       .withColumn("cell", gridCell(col("station_lat"), col("station_lon"), radiusDeg))
-    val fx = fires.withColumn("cell",
+    val fx0 = fires.withColumn("cell",
       explode(gridCellNeighbors(col("lat"), col("lon"), radiusDeg)))
+    val (fx, lw) = maxPairsPerCell match {
+      case None => (fx0, lw0)
+      case Some(cap) =>
+        val dense = fx0.groupBy("cell").agg(count(lit(1)).as("__nf"))
+          .join(lw0.groupBy("cell").agg(count(lit(1)).as("__ns")), "cell")
+          .filter(col("__nf") * col("__ns") > cap)
+          .select("cell")
+        (fx0.join(broadcast(dense), Seq("cell"), "left_anti"),
+         lw0.join(broadcast(dense), Seq("cell"), "left_anti"))
+    }
     val dist = euclideanDeg(col("lat"), col("lon"),
       col("station_lat"), col("station_lon"))
     fx.join(lw, Seq("cell"))

@@ -23,10 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** `maxPairsPerBucket`: the output-quadratic guard. A bucket holding n_L
+    * left × n_R right rows contributes up to n_L·n_R join rows — one hot
+    * bucket (every interval overlapping one popular hour) can dominate the
+    * whole job's output at corpus scale. With the cap set, buckets whose
+    * n_L·n_R product exceeds it are SKIPPED: pairs whose overlap STARTS in
+    * a skipped bucket are dropped (pairs starting in any surviving bucket
+    * are emitted exactly — both rows still explode into that bucket, and
+    * pair attribution is by unique overlap-start bucket). Same bounded-
+    * recall trade as the dedup family's df cap / LSH maxBucket: the dense
+    * buckets are precisely the template-echo matches a curation pipeline
+    * caps anyway, and the guard is decided BEFORE the join from two narrow
+    * per-bucket counts, so the quadratic work is never performed. Default
+    * None = exact join, zero extra cost.
+    */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      bucketWidth: Double, maxBucketsPerInterval: Int = 64): DataFrame = {
+      bucketWidth: Double, maxBucketsPerInterval: Int = 64,
+      maxPairsPerBucket: Option[Long] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxPairsPerBucket.forall(_ > 0), "maxPairsPerBucket must be positive")
     def buckets(s: String, e: String): Column =
       sequence(floor(col(s) / bucketWidth).cast("long"),
                floor(col(e) / bucketWidth).cast("long"))
@@ -43,10 +59,23 @@ object IntervalJoin {
               lit(" end="), col(e)))))
         .filter(col("__chk")).drop("__nb", "__chk")
     }
-    val l = guarded(left, lStart, lEnd, "left")
+    val l0 = guarded(left, lStart, lEnd, "left")
       .withColumn("__bucket", explode(buckets(lStart, lEnd)))
-    val r = guarded(right, rStart, rEnd, "right")
+    val r0 = guarded(right, rStart, rEnd, "right")
       .withColumn("__bucket", explode(buckets(rStart, rEnd)))
+    val (l, r) = maxPairsPerBucket match {
+      case None => (l0, r0)
+      case Some(cap) =>
+        // dense-bucket list: count-bounded (one row per over-cap bucket),
+        // so it broadcasts; the anti joins stay shuffle-free
+        val dense = l0.groupBy("__bucket").agg(count(lit(1)).as("__nl"))
+          .join(r0.groupBy("__bucket").agg(count(lit(1)).as("__nr")),
+            "__bucket")
+          .filter(col("__nl") * col("__nr") > cap)
+          .select("__bucket")
+        (l0.join(broadcast(dense), Seq("__bucket"), "left_anti"),
+         r0.join(broadcast(dense), Seq("__bucket"), "left_anti"))
+    }
     l.join(r, Seq("__bucket"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       // keep each pair only in its overlap-start bucket: exact dedup with

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{NamedQuery, Tables}
+import graft.gold.GoldJob
+import graft.serving.ServingQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate entries for the SERVING surface (SURVEY §3.3; reference
+  * app.py:43-196) — the last spec-only user surface, now hash-gated: the
+  * four dashboard queries run over a REAL Gold table built by
+  * `GoldJob.goldAlertsGrid` from fires/weather frames synthesized
+  * deterministically out of `events` (the same fmod coordinate-synthesis
+  * idiom as DomainQueries, so every double is bit-equal across engines),
+  * and each oracle restates the full chain — latest-weather window dedup,
+  * distance join, 30-30-30 risk classify, then the serving post-processing
+  * itself — relationally in DuckDB.
+  *
+  * Determinism notes pinned by these gates: `uniqueFires` breaks
+  * (rank, distance) ties on weather_station (a distributed engine has no
+  * pandas input order to fall back on), `topWind`'s k-row cut breaks wind
+  * ties on (station, level), and the latest-weather ordering key is the
+  * globally-unique event_id, so no window in the chain has an ambiguous
+  * winner. The 32-station cap (user_id % 32) mirrors the reference's fixed
+  * station fleet AND keeps the distance join's output linear in fires —
+  * the broadcast-side cardinality is constant at any corpus scale.
+  */
+object ServingGateQueries {
+
+  /** Gold table from the driver corpus: 32 pseudo-stations (latest reading
+    * per station, ordered by unique event_id), fires = error events at
+    * value-derived coordinates, joined within 20° by the grid-bucketed
+    * equi join (`goldAlertsGrid`, the scale-default path `runCycle` uses).
+    */
+  private def goldFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val station = col("user_id") % 32
+    val weather = ev.select(
+      station.as("location_id"),
+      col("event_id").as("timestamp"),
+      (station * 37.0 % 170.0 - 85.0).as("lat"),
+      (station * 73.0 % 350.0 - 175.0).as("lon"),
+      (col("value") % 60.0).as("wind_speed"),
+      (col("value") % 100.0).as("humidity"),
+      (col("value") % 45.0 + 273.15).as("temperature"))
+    val fires = ev.filter(col("event_type") === "error").select(
+      unix_millis(col("ts")).as("timestamp"),
+      (col("value") % 170.0 - 85.0).as("lat"),
+      ((col("value") * 2.0) % 350.0 - 175.0).as("lon"),
+      when(col("event_id") % 4 < 3, "h").otherwise("n").as("confidence"))
+    GoldJob.goldAlertsGrid(fires, weather)
+  }
+
+  /** Shared oracle prefix: the gold table, relationally. The naive
+    * cross-join distance filter here is the ORACLE's restatement — the
+    * Spark side goes through the grid-bucketed equi join, so the gate also
+    * re-pins grid/broadcast equivalence on real data. `uf` adds the
+    * unique-fires window; the per-query SELECTs build on these.
+    */
+  private val goldSql =
+    """WITH ev AS (SELECT event_id, user_id, event_type, value, ts FROM events),
+       wsrc AS (SELECT user_id % 32 AS weather_station, event_id,
+                       fmod(value, 60.0) AS wind_speed,
+                       fmod(value, 100.0) AS humidity,
+                       fmod(value, 45.0) + 273.15 AS temperature
+                FROM ev),
+       lw AS (SELECT weather_station,
+                     fmod(weather_station * 37.0, 170.0) - 85.0 AS station_lat,
+                     fmod(weather_station * 73.0, 350.0) - 175.0 AS station_lon,
+                     wind_speed, humidity, temperature
+              FROM (SELECT *, row_number() OVER (PARTITION BY weather_station
+                      ORDER BY event_id DESC) AS rn FROM wsrc)
+              WHERE rn = 1),
+       fires AS (SELECT fmod(value, 170.0) - 85.0 AS fire_lat,
+                        fmod(value * 2.0, 350.0) - 175.0 AS fire_lon,
+                        CASE WHEN event_id % 4 < 3 THEN 'h' ELSE 'n' END AS confidence
+                 FROM ev WHERE event_type = 'error'),
+       gold AS (SELECT f.fire_lat, f.fire_lon, l.weather_station,
+                       l.wind_speed, l.humidity, l.temperature,
+                       CASE WHEN f.confidence = 'h' AND l.wind_speed >= 30.0
+                                 AND l.temperature >= 303.15
+                                 AND l.humidity <= 30.0 THEN 'EXTREME'
+                            WHEN f.confidence = 'h' AND l.wind_speed >= 30.0 THEN 'VERY_HIGH'
+                            WHEN f.confidence = 'h' AND l.wind_speed >= 20.0 THEN 'HIGH'
+                            WHEN f.confidence = 'h' THEN 'MODERATE'
+                            ELSE 'LOW' END AS risk_level,
+                       sqrt(pow(f.fire_lat - l.station_lat, 2)
+                          + pow(f.fire_lon - l.station_lon, 2)) AS distance_deg
+                FROM fires f JOIN lw l
+                  ON sqrt(pow(f.fire_lat - l.station_lat, 2)
+                        + pow(f.fire_lon - l.station_lon, 2)) < 20.0),
+       uf AS (SELECT * FROM (
+                SELECT g.*,
+                       CASE risk_level WHEN 'EXTREME' THEN 0
+                            WHEN 'VERY_HIGH' THEN 1 WHEN 'HIGH' THEN 2
+                            WHEN 'MODERATE' THEN 3 ELSE 4 END AS risk_rank,
+                       row_number() OVER (PARTITION BY fire_lat, fire_lon
+                         ORDER BY CASE risk_level WHEN 'EXTREME' THEN 0
+                                       WHEN 'VERY_HIGH' THEN 1
+                                       WHEN 'HIGH' THEN 2
+                                       WHEN 'MODERATE' THEN 3 ELSE 4 END,
+                                  distance_deg, weather_station) AS rn
+                FROM gold g) WHERE rn = 1)"""
+
+  /** Best alert per fire (pandas sort+drop_duplicates, app.py:61-67). The
+    * Spark side partitions by the string fire_id = "lat_lon"; the oracle by
+    * the (lat, lon) pair — equivalent, since Java's shortest-round-trip
+    * double formatting is injective.
+    */
+  private val servingUniqueFires = NamedQuery(
+    "serving_unique_fires",
+    (s, d) =>
+      ServingQueries.uniqueFires(goldFrame(s, d))
+        .select(round(col("fire_lat"), 4).as("fire_lat"),
+                round(col("fire_lon"), 4).as("fire_lon"),
+                col("weather_station"),
+                round(col("wind_speed"), 4).as("wind_speed"),
+                round(col("humidity"), 4).as("humidity"),
+                round(col("temperature"), 4).as("temperature"),
+                col("risk_level"), col("risk_rank"),
+                round(col("distance_deg"), 4).as("distance_deg"))
+        .orderBy(col("fire_lat"), col("fire_lon")),
+    Some(s"""$goldSql
+             SELECT round(fire_lat, 4) AS fire_lat,
+                    round(fire_lon, 4) AS fire_lon, weather_station,
+                    round(wind_speed, 4) AS wind_speed,
+                    round(humidity, 4) AS humidity,
+                    round(temperature, 4) AS temperature,
+                    risk_level, risk_rank,
+                    round(distance_deg, 4) AS distance_deg
+             FROM uf ORDER BY fire_lat, fire_lon"""))
+
+  /** KPI row (app.py:113-123): one conditional-aggregation pass. */
+  private val servingKpis = NamedQuery(
+    "serving_kpis",
+    (s, d) =>
+      ServingQueries.kpis(ServingQueries.uniqueFires(goldFrame(s, d)))
+        .select(col("n_fires"), col("n_extreme"), col("n_high"),
+                round(col("avg_temp_c"), 4).as("avg_temp_c")),
+    Some(s"""$goldSql
+             SELECT count(*) AS n_fires,
+                    count(CASE WHEN risk_level = 'EXTREME' THEN 1 END) AS n_extreme,
+                    count(CASE WHEN risk_level IN ('HIGH', 'VERY_HIGH') THEN 1 END) AS n_high,
+                    round(avg(temperature) - 273.15, 4) AS avg_temp_c
+             FROM uf"""))
+
+  /** Pie-chart distribution (app.py:178-185) over the FULL gold table. */
+  private val servingRiskDistribution = NamedQuery(
+    "serving_risk_distribution",
+    (s, d) =>
+      ServingQueries.riskDistribution(goldFrame(s, d))
+        .withColumnRenamed("count", "n_alerts")
+        .orderBy(col("risk_level")),
+    Some(s"""$goldSql
+             SELECT risk_level, count(*) AS n_alerts
+             FROM gold GROUP BY 1 ORDER BY 1"""))
+
+  /** Top-5 by wind speed (app.py:190-196). */
+  private val servingTopWind = NamedQuery(
+    "serving_top_wind",
+    (s, d) =>
+      ServingQueries.topWind(ServingQueries.uniqueFires(goldFrame(s, d)), k = 5)
+        .select(col("weather_station"),
+                round(col("wind_speed"), 4).as("wind_speed"),
+                col("risk_level"), col("color")),
+    Some(s"""$goldSql,
+             tw AS (SELECT weather_station, wind_speed, risk_level,
+                           CASE risk_level WHEN 'EXTREME' THEN '#FF0000'
+                                WHEN 'VERY_HIGH' THEN '#FF4500'
+                                WHEN 'HIGH' THEN '#FF8C00'
+                                WHEN 'MODERATE' THEN '#FFD700'
+                                ELSE '#00FF00' END AS color,
+                           row_number() OVER (ORDER BY wind_speed DESC,
+                             weather_station, risk_level) AS rn
+                    FROM uf)
+             SELECT weather_station, round(wind_speed, 4) AS wind_speed,
+                    risk_level, color
+             FROM tw WHERE rn <= 5"""))
+
+  val all: Seq[NamedQuery] = Seq(
+    servingUniqueFires, servingKpis, servingRiskDistribution, servingTopWind)
+}

@@ -208,7 +208,37 @@ object StreamQueries {
       val mem = MemoryStream[DupEvt]
       val sink = "graft_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // Partition count scales with the corpus instead of the fixed 8 of
+      // the other replays: dedup state is one entry PER KEY (nothing
+      // expires inside the replay, by design), so at 10× corpus the
+      // per-partition store does 10× the inserts — the fixed-floor trim
+      // that is right for the window/session replays starves this one at
+      // sf1 (8 of 32 cores). 250k keys per partition keeps the sf0.01/
+      // sf0.1 floors identical (still 8) and opens to 32 at sf1.
+      val nParts = math.max(8, math.min(32, corpus.length / 250000))
+      s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+      // RocksDB state store: dedup state is one entry PER DISTINCT KEY with
+      // no eviction until the watermark passes (60 d delay > corpus span, by
+      // design), so state volume grows linearly in corpus size — the
+      // HDFS-backed default holds all of it as JVM-heap objects per
+      // partition and its per-batch maintenance (snapshot + GC pressure)
+      // was the replay's 7.7× sf1 slope. RocksDB keeps the key set
+      // off-heap/on-disk with incremental compaction — the provider Spark
+      // itself ships for exactly this large-keyed-state shape. Changelog
+      // checkpointing uploads per-batch DELTAS instead of a full SST
+      // snapshot per commit — with a keep-everything key space the
+      // snapshot is the whole store, so without it each micro-batch
+      // re-uploads all previously-seen keys. Confs are picked up at query
+      // START, so set-and-restore brackets the replay the same way the
+      // shuffle-partition trim does.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val changelogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevProvider = s.conf.getOption(providerKey)
+      val prevChangelog = s.conf.getOption(changelogKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(changelogKey, "true")
       val q = mem.toDS()
         .withWatermark("ts", "1440 hours")
         .dropDuplicatesWithinWatermark("event_id")
@@ -222,6 +252,14 @@ object StreamQueries {
       } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None    => s.conf.unset(providerKey)
+        }
+        prevChangelog match {
+          case Some(p) => s.conf.set(changelogKey, p)
+          case None    => s.conf.unset(changelogKey)
+        }
       }
       s.table(sink)
         .groupBy(col("event_type"))

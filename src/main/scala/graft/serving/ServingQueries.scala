@@ -20,8 +20,13 @@ object ServingQueries {
     val keyed = gold
       .withColumn("fire_id", concat_ws("_", col("fire_lat"), col("fire_lon")))
       .withColumn("risk_rank", RiskPolicy.riskRank(col("risk_level")))
+    // weather_station tiebreak: pandas sort_values is stable so the
+    // reference's pick under a (rank, distance) tie is input-order-
+    // dependent; a distributed engine has no input order, so the tie must
+    // break on a data column or the kept row is partition-layout-dependent.
     val w = Window.partitionBy(col("fire_id"))
-      .orderBy(col("risk_rank").asc, col("distance_deg").asc)
+      .orderBy(col("risk_rank").asc, col("distance_deg").asc,
+               col("weather_station").asc)
     keyed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
@@ -54,6 +59,10 @@ object ServingQueries {
     uniqueFires
       .select(col("weather_station"), col("wind_speed"), col("risk_level"),
               RiskPolicy.riskColor(col("risk_level")).as("color"))
-      .orderBy(col("wind_speed").desc)
+      // station/level tiebreaks make the k-row cut deterministic under
+      // equal wind speeds (rows tying on ALL THREE are interchangeable);
+      // Catalyst still plans TakeOrderedAndProject.
+      .orderBy(col("wind_speed").desc, col("weather_station").asc,
+               col("risk_level").asc)
       .limit(k)
 }

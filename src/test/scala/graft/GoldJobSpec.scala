@@ -48,6 +48,26 @@ class GoldJobSpec extends SparkSpec {
       canon(GoldJob.goldAlerts(fires, weather)))
   }
 
+  test("maxPairsPerCell skips dense cells, keeps sparse cells exact") {
+    // cell (0,0): 2 fires × 2 stations = 4 pair-cost; far cell: 1 × 1.
+    // cap 3 → the dense cell's alerts vanish, the sparse cell's survive
+    // untouched; cap ≥ 4 (and the None default) → exact everywhere.
+    val f = Seq((1L, 0.3, 0.3, "h"), (2L, 0.4, 0.4, "h"),
+        (3L, 50.2, 120.2, "h"))
+      .toDF("timestamp", "lat", "lon", "confidence")
+    val w = Seq(
+        (101L, 1L, 0.1, 0.1, 10.0, 50.0, 20.0),
+        (102L, 1L, 0.2, 0.2, 10.0, 50.0, 20.0),
+        (103L, 1L, 50.1, 120.1, 10.0, 50.0, 20.0))
+      .toDF("location_id", "timestamp", "lat", "lon", "wind_speed",
+        "humidity", "temperature")
+    assert(GoldJob.goldAlertsGrid(f, w).count() === 5)
+    assert(GoldJob.goldAlertsGrid(f, w, maxPairsPerCell = Some(100L)).count() === 5)
+    val capped = GoldJob.goldAlertsGrid(f, w, maxPairsPerCell = Some(3L))
+      .select($"fire_lat", $"weather_station").as[(Double, Long)].collect()
+    assert(capped.toSet === Set((50.2, 103L)))
+  }
+
   test("serving queries over gold") {
     val gold = GoldJob.goldAlerts(fires, weather).cache()
     val uf = ServingQueries.uniqueFires(gold)

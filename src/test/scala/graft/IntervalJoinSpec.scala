@@ -48,6 +48,27 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === Set(2L)) // [-10,-8] × [-7.5,-6] do NOT overlap
   }
 
+  test("maxPairsPerBucket: pairs starting in over-cap buckets drop; the rest stay exact") {
+    val a = Seq((1L, 0.0, 5.0), (2L, 1.0, 6.0), (3L, 2.0, 25.0), (4L, 20.0, 26.0))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, 0.0, 9.0), (11L, 3.0, 8.0), (12L, 4.0, 30.0), (13L, 21.0, 27.0))
+      .toDF("b_id", "b_start", "b_end")
+    def run(cap: Option[Long]) =
+      IntervalJoin.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end",
+        bucketWidth = 10.0, maxPairsPerBucket = cap)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val truth = Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L), (4L, 12L),
+      (4L, 13L))
+    assert(run(None) === truth)
+    // bucket 0 carries 3 left × 3 right rows = 9 > 8 → skipped: every pair
+    // whose overlap STARTS in [0,10) vanishes — including a3's, even though
+    // a3 also lives in surviving buckets — while pairs starting in bucket 2
+    // (a3×b13, a4×b12, a4×b13) survive exactly.
+    assert(run(Some(8L)) === Set((3L, 13L), (4L, 12L), (4L, 13L)))
+    assert(run(Some(9L)) === truth) // cap not exceeded anywhere → exact
+  }
+
   test("an interval spanning more than maxBucketsPerInterval fails loudly") {
     val a = Seq((1L, 0.0, 1000.0)).toDF("a_id", "a_start", "a_end")
     val b = Seq((2L, 1.0, 2.0)).toDF("b_id", "b_start", "b_end")

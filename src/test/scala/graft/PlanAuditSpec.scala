@@ -20,6 +20,9 @@ class PlanAuditSpec extends SparkSpec {
       "cube is defined by grouping-set Expand"),
     "q25_conditional_kpi" -> (Set("SinglePartitionExchange"),
       "global one-row aggregate: the final combine of partials is one tiny partition"),
+    "serving_kpis" -> (Set("SinglePartitionExchange"),
+      "the KPI row is a global one-row aggregate by definition (app.py:113-123): " +
+        "final combine of per-partition partials, one row each"),
     "pack_sequences" -> (Set("SinglePartitionExchange"),
       "two-phase scan: the offsets window runs over ONE ROW PER PARTITION, not the data"),
     "profile_lineitem" -> (Set("SinglePartitionExchange"),

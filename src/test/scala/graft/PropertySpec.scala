@@ -271,6 +271,39 @@ class PropertySpec extends SparkSpec {
     assert(prod >= 40, s"production IVF recall $prod/50 under floor")
   }
 
+  test("PQ: planted-neighbor recall floor over 5 seeds; a one-centroid codebook fails it") {
+    // Production point (m=8, ksub=32, rerank=100): the ADC scan only has
+    // to put the planted cos-0.95 neighbor (fillers: i.i.d. cos ≈ 0)
+    // inside the top-100-of-~450 candidate cut for the exact re-rank to
+    // surface it — sample-seeded codebook quantization error is an order
+    // of magnitude below that separation, so the floor matches the IVF
+    // law's 40/50. The SAME corpora through a ksub = 1 codebook collapse
+    // every subspace to its single centroid: approx_dot is the same
+    // constant for every candidate, approx_cos degenerates to
+    // const/(qn·cn) — ranking by float-noise in the stored norms of unit
+    // vectors, uncorrelated with the planted pair — so the candidate cut
+    // admits each planted neighbor w.p. ≈ 100/450 and recall concentrates
+    // near 11/50 (σ ≈ 2.9). The ≤ 25 ceiling (≈ +4.8σ) is what gives the
+    // floor teeth: a codebook too coarse to rank candidates CANNOT pass
+    // this law, which is exactly the regression the rows-only driver
+    // check could never catch.
+    val seeds = Seq(31L, 32L, 33L, 34L, 35L)
+    var prod = 0; var coarse = 0
+    for (s <- seeds) {
+      val (corpus, queries) = planted(s, nFill = 400, nQueries = 10,
+        dims = 64, cosTarget = 0.95)
+      val cdf = corpus.toDF("vec_id", "embedding")
+      val qdf = queries.toDF("vec_id", "embedding")
+      prod += recallOf(graft.operators.Similarity.pqTopK(
+        cdf, qdf, k = 10, dims = 64, m = 8, ksub = 32, rerank = 100)).values.sum
+      coarse += recallOf(graft.operators.Similarity.pqTopK(
+        cdf, qdf, k = 10, dims = 64, m = 8, ksub = 1, rerank = 100)).values.sum
+    }
+    assert(prod >= 40, s"production PQ recall $prod/50 under floor")
+    assert(coarse <= 25,
+      s"one-centroid codebook should be candidate-blind, got $coarse/50")
+  }
+
   test("intervalJoin law: equals the brute-force theta join on random intervals") {
     // 3 seeded corpora × 2 bucket widths: the grid explode + overlap-start
     // dedup must reproduce the quadratic truth exactly — including touching
