@@ -273,21 +273,7 @@ object Similarity {
     val sub = dims / m
     def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
     val js = sequence(lit(0), lit(m - 1))
-    // codebook: ksub deterministic seed rows, ordered by their hash so the
-    // array POSITION is the stable centroid index shared by encode and LUT.
-    // Everything that depends only on the codebook — the per-subspace
-    // centroid slices and their squared norms — is computed HERE, in this
-    // one-row plan, so the per-corpus-row encode below never re-slices or
-    // re-norms a centroid: cbs[j][i] = (sv: centroid subvector, n2: ‖c‖²).
-    val seedArr = corpus
-      .select(xxhash64(col(idCol)).as("h"), col(vecCol).as("v"))
-      .orderBy(col("h"))
-      .limit(ksub)
-      .agg(array_sort(collect_list(struct(col("h"), col("v")))).as("cb"))
-      .select(transform(js, j => transform(col("cb"), c =>
-        struct(subv(c("v"), j).as("sv"),
-               dotFast(subv(c("v"), j), subv(c("v"), j)).as("n2"))))
-        .as("cbs"))
+    val seedArr = pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
     // encode: ‖c‖² − 2·x_j·c ranks centroids identically to ‖x_j − c‖²
     // (‖x_j‖² is constant per (row, subspace)); (d2, idx) struct sort
     // makes the argmin deterministic under ties. zip_with binds each
@@ -338,6 +324,47 @@ object Similarity {
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }
+
+  /** The PQ codebook as ONE nested row, the shape `pqTopK` broadcasts:
+    * cbs[j][i] = (sv: centroid subvector j of seed i, n2: ‖sv‖²), seeds
+    * being the `ksub` corpus rows with smallest xxhash64(id) ordered by
+    * that hash (array POSITION is the stable centroid index shared by
+    * encode and LUT).
+    */
+  private def pqCodebookNested(corpus: DataFrame, dims: Int, m: Int,
+      ksub: Int, idCol: String, vecCol: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
+    corpus
+      .select(xxhash64(col(idCol)).as("h"), col(vecCol).as("v"))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .agg(array_sort(collect_list(struct(col("h"), col("v")))).as("cb"))
+      .select(transform(js, j => transform(col("cb"), c =>
+        struct(subv(c("v"), j).as("sv"),
+               dotFast(subv(c("v"), j), subv(c("v"), j)).as("n2"))))
+        .as("cbs"))
+  }
+
+  /** Flat (j, i, sv, n2) view of the PQ codebook for oracle
+    * materialization — exploded from the SAME one-row plan `pqTopK`
+    * broadcasts, so the values an external engine reads back are
+    * bit-identical to what encode/LUT consume by construction (seed
+    * selection by xxhash64 is the only non-SQL-expressible step of the
+    * whole PQ cascade; everything downstream — per-subspace argmin encode,
+    * query LUTs, ADC scoring, rerank cut, exact re-score — is plain
+    * relational algebra over this table).
+    */
+  def pqCodebook(corpus: DataFrame, dims: Int = 64, m: Int = 8,
+      ksub: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
+      .select(posexplode(col("cbs")).as(Seq("j", "cj")))
+      .select(col("j"), posexplode(col("cj")).as(Seq("i", "c")))
+      .select(col("j").cast("int").as("j"), col("i").cast("int").as("i"),
+              col("c")("sv").as("sv"), col("c")("n2").as("n2"))
 
   /** Per-group vector centroid via posexplode + partial-aggregating groupBy
     * (dimension-parallel, no buffer object churn). Output: one row per

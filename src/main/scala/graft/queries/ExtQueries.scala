@@ -13,13 +13,11 @@ import org.apache.spark.sql.functions._
   * fingerprints), and multimodal binary-column plumbing.
   *
   * Queries whose algorithm is SQL-expressible carry a DuckDB oracle that
-  * mirrors the exact same computation. Seeded-hash ops (simhash, LSH, IVF)
-  * materialize their deterministic signature/seed tables as a query step so
-  * the oracle can recompute everything downstream of the seeded kernel in
-  * plain SQL — see `materializeForOracle`. Only PQ's production point stays
-  * rows-only (its codebook-encode-ADC cascade isn't worth a half-circular
-  * SQL restatement); it is bracketed by the lossless-rerank exhaustive gate
-  * and the PropertySpec recall law instead.
+  * mirrors the exact same computation. Seeded-hash ops (simhash, LSH, IVF,
+  * PQ) materialize their deterministic signature/seed/codebook tables as a
+  * query step so the oracle can recompute everything downstream of the
+  * seeded kernel in plain SQL — see `materializeForOracle`. Every entry in
+  * this file is hash-gated.
   */
 object ExtQueries {
 
@@ -468,21 +466,78 @@ object ExtQueries {
     * sweep; random vectors are the adversarial case, no cluster structure
     * to exploit) while the codes table is 32× smaller than the raw vectors
     * (8 bytes vs 256), which is what makes the candidate scan affordable
-    * when the corpus no longer fits as full-precision floats. Rows-only
-    * (the hash-sampled codebook isn't SQL-expressible); machinery is
-    * hash-gated by sim_ann_pq_exhaustive below and the recall floor is
-    * spec-pinned in SimilaritySpec.
+    * when the corpus no longer fits as full-precision floats. Fully
+    * hash-gated via the materialized codebook: seed SELECTION (smallest
+    * xxhash64(id)) is the one non-SQL-expressible step, so the query
+    * materializes the flat (j, i, sv, n2) codebook and the oracle
+    * re-derives EVERYTHING downstream in DuckDB — per-subspace argmin
+    * encode (rank by n2 − 2·⟨x_j,c⟩ with the same (d2, i) tie order), the
+    * query LUTs, the ADC approximate-cosine scan, the rerank-100 candidate
+    * cut, and the exact re-score + top-k. A bug in encode, LUT indexing,
+    * ADC accumulation, candidate ranking, or re-rank breaks the hash; the
+    * recall floor stays spec-pinned in SimilaritySpec/PropertySpec.
     */
   private val simPq = NamedQuery(
     "sim_ann_pq",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      materializeForOracle(
+        Similarity.pqCodebook(emb, dims = 64, m = 8, ksub = 32),
+        d, "pq_codebook")
       Similarity.pqTopK(
           emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
           dims = 64, m = 8, ksub = 32, rerank = 100)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some(s"""WITH cb AS (SELECT j, i, CAST(sv AS DOUBLE[]) AS sv, n2
+                         FROM read_parquet('${oraclePath("pq_codebook")}')),
+             codes AS (
+               SELECT neighbor_id, j, i AS code FROM (
+                 SELECT e.vec_id AS neighbor_id, c.j, c.i,
+                        row_number() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY c.n2 - 2 * list_inner_product(
+                            CAST(e.embedding[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                            c.sv), c.i) AS rn
+                 FROM embeddings e, cb c) WHERE rn = 1),
+             cn AS (SELECT vec_id AS neighbor_id,
+                           sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS cn
+                    FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS qn
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             lut AS (SELECT q.query_id, c.j, c.i,
+                            list_inner_product(
+                              CAST(q.qv[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                              c.sv) AS d
+                     FROM q, cb c),
+             adc AS (SELECT l.query_id, cd.neighbor_id, sum(l.d) AS adot
+                     FROM codes cd
+                     JOIN lut l ON l.j = cd.j AND l.i = cd.code
+                     WHERE cd.neighbor_id <> l.query_id
+                     GROUP BY 1, 2),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                        SELECT a.query_id, a.neighbor_id,
+                               row_number() OVER (PARTITION BY a.query_id
+                                 ORDER BY a.adot / (q.qn * cn.cn) DESC,
+                                          a.neighbor_id) AS arank
+                        FROM adc a
+                        JOIN q ON q.query_id = a.query_id
+                        JOIN cn ON cn.neighbor_id = a.neighbor_id)
+                      WHERE arank <= 100),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS cos
+                    FROM cand c
+                    JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             SELECT query_id, neighbor_id,
+                    round(CAST(cos AS DOUBLE), 4) AS cos, rank
+             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
   /** Lossless PQ parameter point: `rerank` ≥ any corpus size means the
     * approximate (ADC) stage can only ORDER candidates, never drop one, so
