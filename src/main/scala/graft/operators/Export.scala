@@ -46,6 +46,32 @@ object Export {
         min(key).as("min_key"),
         max(key).as("max_key"))
 
+  /** Epoch-seeded deterministic training order: shard membership stays a
+    * pure function of the UNSEEDED key (loaders can pin shard → worker
+    * maps across epochs), while the ORDER inside each shard is the
+    * lexicographic rank of md5(key ":" seed) — a full reshuffle per epoch
+    * from nothing but a seed string, reproducible on any cluster layout
+    * (same engine-independent md5 contract as the Sampling family; a
+    * training run is re-creatable byte-for-byte from (corpus, seed)).
+    *
+    * Scale: ONE exchange (hash on shard_id) feeds both the routing and
+    * the per-shard row_number window; the sort is per-shard, never
+    * global. nShards is the parallelism knob — at 100 TB, thousands of
+    * shards keep every sort partition-sized, and positions are contiguous
+    * 1..n within each shard, which is exactly the (shard, offset)
+    * addressing a data loader resumes from mid-epoch.
+    */
+  def trainingOrder(df: DataFrame, key: Column, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val epochRank = md5(concat(key.cast("string"), lit(":" + seed)))
+    withShard(df, key, nShards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard_id")).orderBy(epochRank, key))
+        .cast("long"))
+  }
+
   /** Materialize the shards: hive-partitioned by shard_id, each shard's
     * rows sorted by key, files capped at `maxRecordsPerFile` rows. The
     * single exchange routes rows to `nShards` write tasks; within a task,

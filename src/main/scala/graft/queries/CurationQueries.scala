@@ -102,6 +102,37 @@ object CurationQueries {
                     min(doc_id) AS min_key, max(doc_id) AS max_key
              FROM t GROUP BY 1 ORDER BY 1"""))
 
+  /** Epoch-seeded deterministic training order (the step between curation
+    * and the data loader): shard membership by unseeded md5(doc_id) —
+    * stable across epochs, same assignment export_shards oracles — and
+    * intra-shard position by the rank of md5(doc_id ":ep7"), a full
+    * reshuffle recomputable from nothing but the seed. The oracle
+    * re-derives BOTH hashes in DuckDB, so a row in the wrong shard, a
+    * non-contiguous position, or an order drift between engines all break
+    * the hash. One exchange (shard routing + per-shard window share it);
+    * positions are the (shard, offset) addressing a loader resumes from.
+    */
+  private val exportOrder = NamedQuery(
+    "export_training_order",
+    (s, d) =>
+      Export.trainingOrder(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), nShards = 16, seed = "ep7")
+        .select(col("doc_id"), col("shard_id"), col("pos"))
+        .orderBy(col("shard_id"), col("pos")),
+    Some("""WITH t AS (SELECT doc_id,
+                              list_reduce(list_transform(
+                                  string_split(substr(md5(CAST(doc_id AS VARCHAR)),
+                                                      1, 6), ''),
+                                  c -> strpos('0123456789abcdef', c) - 1),
+                                (a, b) -> a * 16 + b) AS hv,
+                              md5(CAST(doc_id AS VARCHAR) || ':ep7') AS rk
+                       FROM documents)
+            SELECT doc_id, CAST(hv % 16 AS INT) AS shard_id,
+                   row_number() OVER (PARTITION BY hv % 16
+                                      ORDER BY rk, doc_id) AS pos
+            FROM t ORDER BY 2, 3"""))
+
   /** Out-of-vocabulary token ratio per document against the corpus's
     * top-20 vocabulary — reuses the exact vocabulary cut that
     * text_vocab_topk pins (n DESC, token tiebreak, boundary exercised).
@@ -191,6 +222,6 @@ object CurationQueries {
              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
              ORDER BY 1, 2"""))
 
-  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, oovRatio,
-    kmeansAssign, semanticDedup)
+  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, exportOrder,
+    oovRatio, kmeansAssign, semanticDedup)
 }

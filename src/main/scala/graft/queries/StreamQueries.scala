@@ -399,7 +399,153 @@ object StreamQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** Click-side row for the stream-stream join replay. */
+  final case class Click(click_id: Long, c_ts: Timestamp, c_user: Long)
+  /** Purchase-side row for the stream-stream join replay. */
+  final case class Buy(buy_id: Long, b_ts: Timestamp, b_user: Long)
+
+  /** Watermarked stream-STREAM interval join (ST5 extended — the one
+    * streaming surface the inventory lacked): clicks and purchases replay
+    * as TWO independent MemoryStreams joined on user + a 6-hour time bound
+    * (`b_ts ∈ (c_ts, c_ts + 6h]`), the attribution-window shape. Both
+    * sides are watermarked, so Spark derives per-side state retention from
+    * the join condition and EVICTS click state older than watermark − 6h —
+    * at 100 TB/day this is what makes the join runnable at all: state is
+    * bounded by the time window, not the stream length.
+    *
+    * The replay feeds each side in TWO micro-batches split at the corpus
+    * midpoint by event time (batch 2 strictly later, so nothing is late):
+    * a click in batch 1 whose purchase arrives in batch 2 can only pair if
+    * its state survived the inter-batch watermark advance. The retention
+    * math makes that lossless — after batch 1 the watermark is
+    * splitTs − 1h, eviction cuts at watermark − 6h, and a batch-2 purchase
+    * (ts > splitTs) can only match clicks within its trailing 6h window,
+    * all of which sit above the cut. Premature eviction (missing pairs),
+    * spurious retention re-emission, or a boundary slip on either end of
+    * the interval all turn the oracle hash red.
+    */
+  private val streamStreamJoin = NamedQuery(
+    "events_stream_stream_join",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+        .as[Click].collect().sortBy(_.c_ts.getTime)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
+          col("user_id").as("b_user"))
+        .as[Buy].collect().sortBy(_.b_ts.getTime)
+      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
+        buys.iterator.map(_.b_ts.getTime)
+      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
+        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val splitTs = lo + (hi - lo) / 2
+      val memC = MemoryStream[Click]
+      val memB = MemoryStream[Buy]
+      val sink = "graft_ssj_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // tighter fixed-floor trim than the single-store replays: a
+      // symmetric hash join keeps FOUR state-store instances per partition
+      // (keyToNumValues + keyWithIndexToValue, each side), so per-batch
+      // store machinery is 4× a window/dedup replay's at equal partition
+      // count. 4 partitions × 4 stores matches the sessionize replay's
+      // floor; results are partition-independent (the suite re-runs green
+      // at 7), and production sizes this to cluster cores.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = memC.toDF().withWatermark("c_ts", "1 hour")
+        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+          expr("c_user = b_user AND b_ts > c_ts AND " +
+               "b_ts <= c_ts + interval 6 hours"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        q.processAllAvailable()
+        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+          (expr("unix_millis(b_ts)") - expr("unix_millis(c_ts)")).as("lag_ms"))
+        .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id,
+                   epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY 1, 2, 3"""))
+
+  /** Full event row for the stream-static enrichment replay. */
+  final case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Stream-STATIC broadcast enrichment join driven to the BATCH oracle:
+    * the events corpus replays through a stateless append topology that
+    * joins each micro-batch against the static customer dimension with an
+    * explicit `broadcast()` hint — the canonical streaming-enrichment
+    * shape (NO shuffle, NO state: the dim ships to executors once and
+    * every micro-batch joins map-side; at 100 TB/day of events and a
+    * million-row dim this is the only join shape that keeps up). The
+    * enriched emissions then aggregate to revenue by (nation, segment) and
+    * must hash-match the plain relational join+agg. A dropped micro-batch,
+    * a row enriched against the wrong key, or a double emission all break
+    * the hash.
+    */
+  private val enrichStream = NamedQuery(
+    "events_enrich_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[EvRow].collect()
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val mem = MemoryStream[EvRow]
+      val sink = "graft_enrich_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_nationkey"), col("c_mktsegment"),
+          col("value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // two micro-batches: enrichment must be exactly-once per event
+        // across batch boundaries, not just within one batch
+        val (h1, h2) = corpus.splitAt(corpus.length / 2)
+        mem.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .groupBy(col("c_nationkey").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("nation_key"), col("segment"))
+    },
+    Some("""SELECT c.c_nationkey AS nation_key, c.c_mktsegment AS segment,
+                   count(*) AS n, round(sum(e.value), 2) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, windowStream, dedupStream, mergeStream,
-        incrementalGoldStream)
+        incrementalGoldStream, streamStreamJoin, enrichStream)
 }

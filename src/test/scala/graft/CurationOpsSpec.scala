@@ -149,6 +149,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("Export.trainingOrder: epoch-stable membership, contiguous positions, seed reshuffles") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(seed: String) =
+      Export.trainingOrder(docs, $"doc_id", nShards = 8, seed = seed)
+        .select("doc_id", "shard_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ep1 = order("ep1")
+    val ep2 = order("ep2")
+    // shard membership is the UNSEEDED assignment — identical across epochs
+    assert(ep1.map(t => t._1 -> t._2).toMap === ep2.map(t => t._1 -> t._2).toMap)
+    // positions are contiguous 1..n within every shard (loader-resumable)
+    ep1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // a new seed is a genuine reshuffle: some doc moves position
+    assert(ep1.map(t => t._1 -> t._3).toMap !== ep2.map(t => t._1 -> t._3).toMap)
+    // deterministic: same seed, different layout, identical order
+    val ep1b = Export.trainingOrder(docs.repartition(7), $"doc_id", 8, "ep1")
+      .select("doc_id", "shard_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ep1.sortBy(_._1).toSeq === ep1b.sortBy(_._1).toSeq)
+  }
+
   test("TfIdf.oovStats: occurrence-counted OOV against the vocab cut") {
     // counts: a=3, b=2, c=2 → top-2 is {a, b} (tie b/c broken by token)
     val docs = Seq(

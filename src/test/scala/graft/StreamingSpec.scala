@@ -102,6 +102,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((28.29, 42.0)))
   }
 
+  test("stream-stream join: state survives micro-batch boundaries and the watermark bounds it") {
+    import graft.queries.StreamQueries.{Buy, Click}
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetH: Double): Timestamp = new Timestamp(t0 + (offsetH * 3600000L).toLong)
+    val memC = MemoryStream[Click]
+    val memB = MemoryStream[Buy]
+    // the inventory query's exact topology: 6h interval bound, 1h delay
+    val joined = memC.toDF().withWatermark("c_ts", "1 hour")
+      .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+        expr("c_user = b_user AND b_ts > c_ts AND b_ts <= c_ts + interval 6 hours"))
+    val q = joined.writeStream.format("memory").queryName("ssj_state_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks, no purchases — both enter join state
+      memC.addData(Click(1L, ts(0), 1L), Click(2L, ts(0), 2L))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase arrives A BATCH LATER than its click —
+      // it can only pair if the click's state survived the boundary. The
+      // far-future sentinels advance BOTH sides (the global watermark is
+      // the MIN across watermarked sources — one lagging side pins it and
+      // nothing ever evicts) to ~t0+47h at batch end.
+      memB.addData(Buy(10L, ts(2), 1L), Buy(30L, ts(48), 999L))
+      memC.addData(Click(99L, ts(48), 999L))
+      q.processAllAvailable()
+      // batch 3: one more sentinel pair runs an eviction pass under that
+      // advanced watermark. Every t0-era row is now beyond ANY future
+      // match window (clicks: c_ts < wm − 6h; the buy: all clicks it
+      // could pair with must have c_ts < b_ts ≪ wm), so the state store
+      // must shed them — this is the bound that keeps a 100 TB/day
+      // join's state proportional to the time window, not the stream.
+      memC.addData(Click(100L, ts(49), 998L))
+      memB.addData(Buy(31L, ts(49), 997L))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_state_sink")
+        .select($"click_id", $"buy_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 10L)))
+      // 7 rows entered join state; the 3 t0-era rows (clicks 1 and 2, buy
+      // 10) must be evicted — at most the 4 fresh sentinels may survive
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"watermark failed to bound join state: $stateRows rows retained")
+    } finally q.stop()
+  }
+
   test("ST6: streaming Gold refresh via foreachBatch — rewrites per batch, skips empty gold") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("gold-refresh-root")
