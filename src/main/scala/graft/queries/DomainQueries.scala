@@ -389,6 +389,52 @@ object DomainQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** Time travel through the driver gate (the Delta `versionAsOf`
+    * surface TableCatalogSpec pins, now driver-oracled): commit orders as
+    * v1, overwrite the LIVE table with doubled prices (v2), then read
+    * BOTH snapshots — v1 via `readVersion`, live via the pointer — and
+    * aggregate each under a snapshot label. Snapshot isolation is the
+    * claim under test: v1's directory must be byte-stable after the v2
+    * commit (a pointer-follow bug doubles v1's prices; a clobbered
+    * version dir empties it; a stale pointer halves the live side) —
+    * every failure mode lands on the wrong side of the label and breaks
+    * the hash. At 100 TB this is the contract that makes reproducible
+    * training runs possible at all: a run pinned to version N reads the
+    * same bytes forever, concurrent recompactions and merges be damned.
+    */
+  private val catalogTimeTravel = NamedQuery(
+    "catalog_time_travel", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_tt")
+        val v1 = cat.currentVersion("silver", "orders_tt").get
+        cat.overwrite(orders.withColumn("o_totalprice",
+          col("o_totalprice") * 2.0), "silver", "orders_tt")
+        def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+                 round(sum(col("o_totalprice")), 2).as("total_price"))
+            .withColumn("snapshot", lit(label))
+        agg(cat.readVersion("silver", "orders_tt", v1), "v1")
+          .unionByName(agg(cat.read("silver", "orders_tt"), "live"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'live', o_orderstatus, count(*),
+                   round(sum(o_totalprice * 2.0), 2)
+            FROM orders GROUP BY 2
+            ORDER BY 1, 2"""))
+
   /** OPTIMIZE-style compaction through the driver gate: fragment a
     * lineitem projection across 64 small files (the accretion shape a
     * frequent-merge table develops), compact to 4, read the committed
@@ -600,5 +646,5 @@ object DomainQueries {
       approxStats, privacyK, profileLineitem, layoutZorder,
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
-      catalogIncrementalGold)
+      catalogIncrementalGold, catalogTimeTravel)
 }
