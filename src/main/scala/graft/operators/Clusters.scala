@@ -223,4 +223,32 @@ object Clusters {
       .select(col("node").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware representatives: keep the member MAXIMIZING `rank` in
+    * each duplicate cluster (ties → min id), plus every doc not in any
+    * pair — dedup should discard the WORSE copy, not the higher-numbered
+    * one, and which copy survives changes what a model trains on.
+    *
+    * Cost shape vs `keepList`: one extra keyed join of the cluster map
+    * against the docs' (id, rank) projection plus a per-cluster
+    * max-struct aggregate — both sized by the PAIR list (dup rate ×
+    * corpus), never the corpus; the corpus itself is touched only by the
+    * same final left-anti join. The (rank, −id) struct max makes the
+    * winner deterministic without a window.
+    */
+  def keepListBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      rank: org.apache.spark.sql.Column, aCol: String = "doc1",
+      bCol: String = "doc2"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val members = cc.join(
+      docs.select(col(idCol).cast("long").as("node"), rank.as("_rank")),
+      "node")
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("_rank"), negate(col("node")).as("_negid"))).as("w"))
+      .select(negate(col("w")("_negid")).as("node"))
+    val drop = members.select("node")
+      .join(winners, Seq("node"), "left_anti")
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -181,6 +181,62 @@ object PipelineQueries {
              WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
              ORDER BY d.doc_id"""))
 
+  /** Quality-aware survivor list: same clusters as dedup_keeplist, but
+    * each cluster keeps its LONGEST member (stored n_chars, ties → min
+    * id) instead of the min id — the curation default (discard the worse
+    * copy; which copy survives changes what a model trains on). The
+    * oracle re-derives the argmax winner per cluster, so a wrong winner,
+    * a dropped singleton, or a surviving loser all break the hash.
+    */
+  private val dedupKeepQuality = NamedQuery(
+    "dedup_keeplist_quality",
+    (s, d) =>
+      Clusters.keepListBy(
+          Tables.documents(s, d),
+          Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+            threshold = 0.8, maxShingleDf = 20),
+          "doc_id", col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE
+             tok AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+             rare_s AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+             rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare_s USING (s)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                      FROM rare a JOIN rare b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+             v AS (SELECT doc1, doc2,
+                          len(list_intersect(s1.ss, s2.ss)) AS common,
+                          len(s1.ss) AS n1, len(s2.ss) AS n2
+                   FROM cand
+                   JOIN sh s1 ON cand.doc1 = s1.doc_id
+                   JOIN sh s2 ON cand.doc2 = s2.doc_id),
+             pairs AS (SELECT doc1, doc2 FROM v
+                       WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
+             edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+                       UNION SELECT doc2, doc1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS n FROM edges),
+             reach(n, r) AS (
+               SELECT n, n FROM nodes
+               UNION
+               SELECT rc.n, e.b FROM reach rc JOIN edges e ON rc.r = e.a),
+             memb AS (SELECT n, min(r) AS cl FROM reach GROUP BY 1),
+             rankm AS (SELECT m.n,
+                              row_number() OVER (PARTITION BY m.cl
+                                ORDER BY dd.n_chars DESC, m.n) AS rn
+                       FROM memb m JOIN documents dd ON dd.doc_id = m.n),
+             drop_ids AS (SELECT n AS doc_id FROM rankm WHERE rn > 1)
+             SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+             ORDER BY d.doc_id"""))
+
   /** Cluster-aware 20% holdout: near-dup clusters (df-capped ngram
     * Jaccard 0.8) never straddle the train/holdout boundary.
     */
@@ -568,7 +624,7 @@ object PipelineQueries {
              FROM c ORDER BY 3"""))
 
   val all: Seq[NamedQuery] =
-    Seq(dedupClusters, dedupKeep, sampleBernoulli, sampleStratified,
+    Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,

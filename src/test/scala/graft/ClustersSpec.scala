@@ -82,4 +82,17 @@ class ClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("keepListBy keeps the max-rank member per cluster, ties broken by min id") {
+    import org.apache.spark.sql.functions.col
+    // quality: doc 3 best in {1,2,3}; 5 and 6 tie in {5,6} → min id 5 wins
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 1L),
+                   (5L, 7L), (6L, 7L), (7L, 1L), (8L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val kept = Clusters.keepListBy(docs, pairs, "doc_id", col("quality"))
+      .select("doc_id").as[Long].collect().sorted
+    // singletons 4, 7, 8 always survive
+    assert(kept === Array(3L, 4L, 5L, 7L, 8L))
+  }
 }
