@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // No oracle is read in a bench run, so the materialized-signature
+    // sidecar writes (simhash/LSH/IVF/PQ gate artifacts) are pure overhead
+    // — disable them so the timed reps measure the algorithm alone.
+    OracleSidecar.enabled = false
+    // Output-file split (two provenances that must never merge): a plain
+    // run — which is what the DRIVER invokes — writes BENCH_DRIVER.json,
+    // untracked; the repo's committed quiet-box baseline BENCH_LOCAL.json
+    // is written only when the builder/judge explicitly asks for it via
+    // SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json. A driver run therefore
+    // leaves `git status` clean of the committed record.
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DRIVER.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,12 +104,12 @@ object Bench {
               sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
             if (java.nio.file.Files.exists(repo.resolve(".git"))) repo else cwd
           }
-        java.nio.file.Files.write(root.resolve("BENCH_LOCAL.json"),
+        java.nio.file.Files.write(root.resolve(outName),
           (fullJson + "\n").getBytes("UTF-8"))
         true
       } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+          System.err.println(s"[bench] $outName write failed: $e")
           false
       }
     val compactJson = {
@@ -121,7 +132,7 @@ object Bench {
       }
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
         s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
-        s""""full":${if (wroteFull) "\"BENCH_LOCAL.json\"" else "null"},"sf":"$sfDir"}"""
+        s""""full":${if (wroteFull) "\"" + outName + "\"" else "null"},"sf":"$sfDir"}"""
     }
     // the compact line is the FINAL print; logs are silenced first so no
     // shutdown chatter can push it out of the driver's capture window (sbt

@@ -11,6 +11,15 @@ object Verify {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
+    // Key the oracle-sidecar tables under THIS run's output dir (absolute —
+    // DuckDB resolves the glob from an unknown cwd) and pin the SF actually
+    // being verified, BEFORE the first SparkEntry touch builds the oracle
+    // SQL strings. Kills the fixed-global-path clobber window between
+    // concurrent runs and makes the oracle gate SF-portable (sweeps at
+    // sf0.001/sf0.1 read their own sidecars, not a stale sf0.01 one).
+    OracleSidecar.root =
+      Paths.get(outDir).toAbsolutePath.resolve("_oracle_mat").toString
+    OracleSidecar.sf = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -27,28 +27,27 @@ object ExtQueries {
   private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
   /** Materialize a deterministic seeded-hash intermediate (simhash/LSH
-    * signatures, IVF seed vectors) as parquet under
-    * /tmp/graft_oracle/<sf>/<name>, so the DuckDB oracle can recompute
-    * everything DOWNSTREAM of it in plain SQL — the seeded xxhash64 kernels
-    * themselves are the only non-SQL-expressible step, and they are pinned
-    * bit-for-bit against independent reference implementations in ScalaTest
-    * (VectorExpressionsSpec, DedupSpec). Re-running a query always rewrites
-    * identical values (kernels are pure functions of the input), and the
-    * sf-keyed path keeps a bench run at another SF from clobbering the
-    * verify run's table before the oracle reads it. The driver's
-    * correctness gate runs Verify at sf0.01 and THEN the oracle SQL, so the
-    * table is always written before it is read; `oraclePath` hard-codes
-    * that sf0.01 location.
+    * signatures, IVF seeds, PQ codebooks) as parquet so the DuckDB oracle
+    * can recompute everything DOWNSTREAM of it in plain SQL — the seeded
+    * xxhash64 kernels themselves are the only non-SQL-expressible step, and
+    * they are pinned bit-for-bit against independent reference
+    * implementations in ScalaTest (VectorExpressionsSpec, DedupSpec).
+    * Re-running a query always rewrites identical values (kernels are pure
+    * functions of the input). Placement and gating live in
+    * `graft.OracleSidecar`: `Verify` keys the root under its own output
+    * directory (no cross-run clobber window) and pins the SF it verifies;
+    * `Bench` disables the write entirely so the timed reps never include
+    * this gate-artifact I/O. The driver's correctness gate runs Verify and
+    * THEN the oracle SQL, so the table is always written before it is read.
     */
   private def materializeForOracle(df: org.apache.spark.sql.DataFrame,
-      sfDir: String, name: String): Unit = {
-    val sf = new java.io.File(sfDir).getName
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(s"/tmp/graft_oracle/$sf/$name")
-  }
+      sfDir: String, name: String): Unit =
+    if (graft.OracleSidecar.enabled)
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(graft.OracleSidecar.dir(sfDir, name))
 
   private def oraclePath(name: String): String =
-    s"/tmp/graft_oracle/sf0.01/$name/*.parquet"
+    graft.OracleSidecar.sqlPath(name)
 
   // ------------------------------------------------------------ dedup
   private val dedupExact = NamedQuery(
@@ -539,6 +538,109 @@ object ExtQueries {
                     round(CAST(cos AS DOUBLE), 4) AS cos, rank
              FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Composed IVF-PQ production point (4 of 16 cells probed × 8-byte
+    * codes × rerank-100 exact re-rank) — the two ANN halves the inventory
+    * already hash-gates separately, now composed into the standard
+    * production index shape and hash-gated END TO END. Both seeded-hash
+    * steps materialize (the 16-row IVF seed table and the flat PQ
+    * codebook, under ivfpq_* names so this gate never races the
+    * single-index gates' sidecars), and the oracle re-derives the WHOLE
+    * cascade in DuckDB: corpus→cell argmin assignment, the query's
+    * nProbe=4 probe cells, per-subspace argmin encode, query LUTs, the
+    * ADC scan RESTRICTED to probed cells (the composition point — a
+    * candidate from an unprobed cell, or a probed-cell candidate missing
+    * from the scan, breaks the hash), the rerank-100 cut, and the exact
+    * re-score + top-k. The equality identities (nProbe = nCells ⇒ pqTopK;
+    * rerank ≥ corpus ⇒ ivfTopK) and the production recall floor are
+    * SimilaritySpec-pinned.
+    */
+  private val simIvfPq = NamedQuery(
+    "sim_ann_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      materializeForOracle(Similarity.ivfSeeds(emb, nCells = 16),
+        d, "ivfpq_seeds")
+      materializeForOracle(
+        Similarity.pqCodebook(emb, dims = 64, m = 8, ksub = 32),
+        d, "ivfpq_codebook")
+      Similarity.ivfPqTopK(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nCells = 16, nProbe = 4, dims = 64, m = 8, ksub = 32, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH sd AS (SELECT cell_id, cv, cn2
+                         FROM read_parquet('${oraclePath("ivfpq_seeds")}')),
+             cb AS (SELECT j, i, CAST(sv AS DOUBLE[]) AS sv, n2
+                    FROM read_parquet('${oraclePath("ivfpq_codebook")}')),
+             assigned AS (
+               SELECT neighbor_id, cell_id AS cell FROM (
+                 SELECT e.vec_id AS neighbor_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s) WHERE rn = 1),
+             probes AS (
+               SELECT query_id, cell_id AS probe_cell FROM (
+                 SELECT e.vec_id AS query_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s
+                 WHERE e.vec_id IN (0, 1, 2)) WHERE rn <= 4),
+             codes AS (
+               SELECT neighbor_id, j, i AS code FROM (
+                 SELECT e.vec_id AS neighbor_id, c.j, c.i,
+                        row_number() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY c.n2 - 2 * list_inner_product(
+                            CAST(e.embedding[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                            c.sv), c.i) AS rn
+                 FROM embeddings e, cb c) WHERE rn = 1),
+             cn AS (SELECT vec_id AS neighbor_id,
+                           sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS cn
+                    FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS qn
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             lut AS (SELECT q.query_id, c.j, c.i,
+                            list_inner_product(
+                              CAST(q.qv[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                              c.sv) AS d
+                     FROM q, cb c),
+             cand0 AS (SELECT p.query_id, a.neighbor_id
+                       FROM probes p JOIN assigned a ON p.probe_cell = a.cell
+                       WHERE a.neighbor_id <> p.query_id),
+             adc AS (SELECT c0.query_id, c0.neighbor_id, sum(l.d) AS adot
+                     FROM cand0 c0
+                     JOIN codes cd ON cd.neighbor_id = c0.neighbor_id
+                     JOIN lut l ON l.query_id = c0.query_id
+                               AND l.j = cd.j AND l.i = cd.code
+                     GROUP BY 1, 2),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                        SELECT a.query_id, a.neighbor_id,
+                               row_number() OVER (PARTITION BY a.query_id
+                                 ORDER BY a.adot / (q.qn * cn.cn) DESC,
+                                          a.neighbor_id) AS arank
+                        FROM adc a
+                        JOIN q ON q.query_id = a.query_id
+                        JOIN cn ON cn.neighbor_id = a.neighbor_id)
+                      WHERE arank <= 100),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS cos
+                    FROM cand c
+                    JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             SELECT query_id, neighbor_id,
+                    round(CAST(cos AS DOUBLE), 4) AS cos, rank
+             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** Lossless PQ parameter point: `rerank` ≥ any corpus size means the
     * approximate (ADC) stage can only ORDER candidates, never drop one, so
     * the exact re-rank must reproduce brute force top-k bit-for-bit no
@@ -716,8 +818,8 @@ object ExtQueries {
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simAnn, simIvf, simPq, simLshExhaustive, simIvfExhaustive,
-    simPqExhaustive,
+    simTopK, simAnn, simIvf, simPq, simIvfPq, simLshExhaustive,
+    simIvfExhaustive, simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats)
 }

@@ -14,6 +14,8 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // timing microscope, not a verify run: skip oracle-sidecar writes
+    graft.OracleSidecar.enabled = false
     // comma-separated names time each in sequence (shared warm JVM)
     for (nm <- name.split(",")) {
       val fn = graft.SparkEntry.queries(nm)
