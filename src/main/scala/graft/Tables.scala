@@ -23,10 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as a long (legacy conf) and floor-convert
-    * ns → µs, which matches both the pre-4.x native behavior and DuckDB's
-    * `epoch_ms` flooring, so oracle comparisons agree at ms precision.
+  /** events.ts has shipped as two parquet physical shapes across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark 4 refuses it as a
+    * timestamp — read as long via the legacy conf and floor ns → µs) and
+    * INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads it as
+    * TIMESTAMP_NTZ). Both normalize here to session-zone TIMESTAMP: the
+    * session timezone is pinned UTC everywhere (Verify/Bench/specs), so the
+    * NTZ→LTZ cast reinterprets the stored wall-clock as UTC — exactly how
+    * DuckDB's `epoch_ms` treats the same naive value, keeping oracle
+    * comparisons agreeing at ms precision. Downstream code always sees
+    * plain TimestampType and never branches on the file's vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,6 +41,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
