@@ -32,7 +32,8 @@ object ServingGateQueries {
     * value-derived coordinates, joined within 20° by the grid-bucketed
     * equi join (`goldAlertsGrid`, the scale-default path `runCycle` uses).
     */
-  private def goldFrame(s: SparkSession, d: String): DataFrame = {
+  private def goldFrame(s: SparkSession, d: String,
+      maxPairsPerCell: Option[Long] = None): DataFrame = {
     val ev = Tables.events(s, d)
     val station = col("user_id") % 32
     val weather = ev.select(
@@ -48,7 +49,7 @@ object ServingGateQueries {
       (col("value") % 170.0 - 85.0).as("lat"),
       ((col("value") * 2.0) % 350.0 - 175.0).as("lon"),
       when(col("event_id") % 4 < 3, "h").otherwise("n").as("confidence"))
-    GoldJob.goldAlertsGrid(fires, weather)
+    GoldJob.goldAlertsGrid(fires, weather, maxPairsPerCell)
   }
 
   /** Shared oracle prefix: the gold table, relationally. The naive
@@ -119,7 +120,14 @@ object ServingGateQueries {
                 round(col("temperature"), 4).as("temperature"),
                 col("risk_level"), col("risk_rank"),
                 round(col("distance_deg"), 4).as("distance_deg"))
-        .orderBy(col("fire_lat"), col("fire_lon")),
+        // order by EVERY output column (all post-rounding, both engines):
+        // two distinct fires whose coords collide at 4 decimals then tie
+        // or swap only when the full rows are identical — hash-invariant —
+        // whereas the old (rounded lat, lon) prefix order left their
+        // relative position engine-dependent.
+        .orderBy(col("fire_lat"), col("fire_lon"), col("weather_station"),
+                 col("wind_speed"), col("humidity"), col("temperature"),
+                 col("risk_level"), col("risk_rank"), col("distance_deg")),
     Some(s"""$goldSql
              SELECT round(fire_lat, 4) AS fire_lat,
                     round(fire_lon, 4) AS fire_lon, weather_station,
@@ -128,7 +136,7 @@ object ServingGateQueries {
                     round(temperature, 4) AS temperature,
                     risk_level, risk_rank,
                     round(distance_deg, 4) AS distance_deg
-             FROM uf ORDER BY fire_lat, fire_lon"""))
+             FROM uf ORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9"""))
 
   /** KPI row (app.py:113-123): one conditional-aggregation pass. */
   private val servingKpis = NamedQuery(
@@ -175,8 +183,76 @@ object ServingGateQueries {
                     FROM uf)
              SELECT weather_station, round(wind_speed, 4) AS wind_speed,
                     risk_level, color
-             FROM tw WHERE rn <= 5"""))
+             FROM tw WHERE rn <= 5 ORDER BY rn"""))
+
+  /** The density-cap parameter point of `goldAlertsGrid`, driver-oracled
+    * (the r6 cap knob was spec-pinned only; this entry proves the cull
+    * SEMANTICS engine-independently): same synthesized fires/stations as
+    * the serving chain, but with `maxPairsPerCell = 500` set — at sf0.01
+    * that culls the 5 densest of 28 station cells before the join — and
+    * the oracle restates the whole cull relationally in DuckDB: probe
+    * cells from each fire's 3×3 neighborhood, per-cell fire-probe ×
+    * station counts, dense = product > cap, pairs kept only through
+    * non-dense cells. A cap applied after the join (wrong cost model but
+    * same rows) would pass; a wrong dense set, a probe-count definition
+    * drift (nf counts PROBES landing in the cell, not distinct fires), or
+    * a cull that leaks/drops a boundary cell all break the hash. Row
+    * totals shrink with the cap by design; full-column ORDER BY keeps the
+    * hash order-stable on both engines.
+    */
+  private val goldAlertsCapped = NamedQuery(
+    "gold_alerts_capped",
+    (s, d) =>
+      goldFrame(s, d, maxPairsPerCell = Some(500L))
+        .select(round(col("fire_lat"), 4).as("fire_lat"),
+                round(col("fire_lon"), 4).as("fire_lon"),
+                col("weather_station"),
+                round(col("wind_speed"), 4).as("wind_speed"),
+                round(col("humidity"), 4).as("humidity"),
+                round(col("temperature"), 4).as("temperature"),
+                col("risk_level"),
+                round(col("distance_deg"), 4).as("distance_deg"))
+        .orderBy(col("fire_lat"), col("fire_lon"), col("weather_station"),
+                 col("wind_speed"), col("humidity"), col("temperature"),
+                 col("risk_level"), col("distance_deg")),
+    Some(s"""$goldSql,
+             lwc AS (SELECT *,
+                       concat(CAST(floor(station_lat/20.0) AS BIGINT), ':',
+                              CAST(floor(station_lon/20.0) AS BIGINT)) AS cell
+                     FROM lw),
+             fp AS (SELECT f.*,
+                      concat(CAST(floor(f.fire_lat/20.0) AS BIGINT) + dy.r, ':',
+                             CAST(floor(f.fire_lon/20.0) AS BIGINT) + dx.r) AS cell
+                    FROM fires f, range(-1,2) dy(r), range(-1,2) dx(r)),
+             nf AS (SELECT cell, count(*) AS nf FROM fp GROUP BY 1),
+             ns AS (SELECT cell, count(*) AS ns FROM lwc GROUP BY 1),
+             dense AS (SELECT nf.cell FROM nf JOIN ns USING (cell)
+                       WHERE nf.nf * ns.ns > 500),
+             cp AS (SELECT p.fire_lat, p.fire_lon, p.confidence,
+                           l.weather_station, l.wind_speed, l.humidity,
+                           l.temperature,
+                           sqrt(pow(p.fire_lat - l.station_lat, 2)
+                              + pow(p.fire_lon - l.station_lon, 2)) AS dd
+                    FROM fp p JOIN lwc l ON p.cell = l.cell
+                    WHERE sqrt(pow(p.fire_lat - l.station_lat, 2)
+                             + pow(p.fire_lon - l.station_lon, 2)) < 20.0
+                      AND p.cell NOT IN (SELECT cell FROM dense))
+             SELECT round(fire_lat, 4) AS fire_lat,
+                    round(fire_lon, 4) AS fire_lon, weather_station,
+                    round(wind_speed, 4) AS wind_speed,
+                    round(humidity, 4) AS humidity,
+                    round(temperature, 4) AS temperature,
+                    CASE WHEN confidence = 'h' AND wind_speed >= 30.0
+                              AND temperature >= 303.15
+                              AND humidity <= 30.0 THEN 'EXTREME'
+                         WHEN confidence = 'h' AND wind_speed >= 30.0 THEN 'VERY_HIGH'
+                         WHEN confidence = 'h' AND wind_speed >= 20.0 THEN 'HIGH'
+                         WHEN confidence = 'h' THEN 'MODERATE'
+                         ELSE 'LOW' END AS risk_level,
+                    round(dd, 4) AS distance_deg
+             FROM cp ORDER BY 1, 2, 3, 4, 5, 6, 7, 8"""))
 
   val all: Seq[NamedQuery] = Seq(
-    servingUniqueFires, servingKpis, servingRiskDistribution, servingTopWind)
+    servingUniqueFires, servingKpis, servingRiskDistribution, servingTopWind,
+    goldAlertsCapped)
 }
