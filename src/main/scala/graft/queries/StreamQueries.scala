@@ -485,6 +485,105 @@ object StreamQueries {
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
             ORDER BY 1, 2, 3"""))
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the unmatched-
+    * click path of the attribution pattern above, and the subtlest emission
+    * semantics in Structured Streaming: a null-extended row may appear ONLY
+    * when the watermark has closed the click's whole match interval
+    * (wm > c_ts + 6h — any earlier and a purchase could still arrive; the
+    * spec pins that no null row precedes watermark close), and Spark emits
+    * it on the state-eviction pass of a LATER micro-batch. The replay
+    * therefore ends with two sentinel batches on an unmatchable user: the
+    * first advances BOTH sides' watermarks past every real interval's
+    * close, the second runs the eviction pass at that watermark, flushing
+    * every still-unmatched click as a null row — the streaming analogue of
+    * "end of input" for outer state. The final table must hash-match the
+    * batch LEFT JOIN oracle: a premature null (emitted while the match
+    * could still arrive), a lost unmatched click (evicted without
+    * emission), or a double emission (match + null for the same click) all
+    * turn the hash red. Nulls are coalesced to −1 on both sides so the
+    * join columns stay BIGINT under the driver's type-sensitive hash.
+    *
+    * Same 100 TB posture as the inner variant: state is bounded by the 6h
+    * interval + 1h delay, never by stream length; the outer path adds no
+    * state — only an emission on eviction, which was already happening.
+    */
+  private val streamStreamOuter = NamedQuery(
+    "events_stream_stream_outer",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+        .as[Click].collect().sortBy(_.c_ts.getTime)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
+          col("user_id").as("b_user"))
+        .as[Buy].collect().sortBy(_.b_ts.getTime)
+      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
+        buys.iterator.map(_.b_ts.getTime)
+      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
+        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val splitTs = lo + (hi - lo) / 2
+      val memC = MemoryStream[Click]
+      val memB = MemoryStream[Buy]
+      val sink = "graft_sso_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = memC.toDF().withWatermark("c_ts", "1 hour")
+        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+          expr("c_user = b_user AND b_ts > c_ts AND " +
+               "b_ts <= c_ts + interval 6 hours"),
+          "leftOuter")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // same lossless midpoint split as the inner variant: after batch 1
+        // the eviction cut sits at splitTs − 7h, and any click evicted
+        // below it could only match purchases with ts < splitTs − 1h —
+        // which, if they exist, were all IN batch 1, so an eviction-time
+        // null row is never a premature one.
+        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        q.processAllAvailable()
+        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        q.processAllAvailable()
+        // sentinel 1 (both sides, unmatchable user −1): watermark computed
+        // at this batch's END becomes maxTs + 10h − 1h delay, past every
+        // real click's c_ts + 6h close …
+        val flushTs = new Timestamp(hi + 36000000L)
+        memC.addData(Click(-1L, flushTs, -1L))
+        memB.addData(Buy(-1L, flushTs, -1L))
+        q.processAllAvailable()
+        // … sentinel 2: a batch RUNNING at that watermark performs the
+        // eviction pass that emits the null-extended rows
+        val flushTs2 = new Timestamp(hi + 36001000L)
+        memC.addData(Click(-2L, flushTs2, -1L))
+        memB.addData(Buy(-2L, flushTs2, -1L))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(col("c_user") >= 0)
+        .select(col("c_user").as("user_id"), col("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(expr("unix_millis(b_ts)") - expr("unix_millis(c_ts)"),
+            lit(-1L)).as("lag_ms"))
+        .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS click_id,
+                   coalesce(b.event_id, -1) AS buy_id,
+                   coalesce(epoch_ms(b.ts) - epoch_ms(a.ts), -1) AS lag_ms
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY 1, 2, 3"""))
+
   /** Full event row for the stream-static enrichment replay. */
   final case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -547,5 +646,6 @@ object StreamQueries {
 
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, windowStream, dedupStream, mergeStream,
-        incrementalGoldStream, streamStreamJoin, enrichStream)
+        incrementalGoldStream, streamStreamJoin, streamStreamOuter,
+        enrichStream)
 }

@@ -147,6 +147,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER: null row only AFTER the watermark closes the interval, exactly once") {
+    import graft.queries.StreamQueries.{Buy, Click}
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetH: Double): Timestamp = new Timestamp(t0 + (offsetH * 3600000L).toLong)
+    val memC = MemoryStream[Click]
+    val memB = MemoryStream[Buy]
+    // the inventory query's exact outer topology: 6h interval, 1h delay
+    val joined = memC.toDF().withWatermark("c_ts", "1 hour")
+      .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+        expr("c_user = b_user AND b_ts > c_ts AND b_ts <= c_ts + interval 6 hours"),
+        "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("sso_spec_sink")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("sso_spec_sink")
+        .select($"click_id", $"buy_id".cast("string")).as[(Long, String)]
+        .collect().toSet
+      // batch 1: click u1 matches a purchase 2h later; click u2 never will.
+      // Watermark at batch end is max(event time) − 1h = t0+1h, far below
+      // u2's interval close (t0+6h) — so u2 may NOT surface yet, even as a
+      // null row: its purchase could still arrive. THE semantics pin.
+      memC.addData(Click(1L, ts(0), 1L), Click(2L, ts(0), 2L))
+      memB.addData(Buy(10L, ts(2), 1L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, "10")),
+        s"null row emitted BEFORE watermark closed the interval: ${rows()}")
+      // batch 2 + 3: sentinels on BOTH sides (global watermark is the min)
+      // push the watermark to ~t0+9h — past u2's close — and the follow-up
+      // batch runs the eviction pass that emits the null-extended row.
+      memC.addData(Click(99L, ts(10), 999L)); memB.addData(Buy(90L, ts(10), 999L))
+      q.processAllAvailable()
+      memC.addData(Click(98L, ts(10.1), 998L)); memB.addData(Buy(91L, ts(10.1), 997L))
+      q.processAllAvailable()
+      val fin = rows().filter(r => r._1 == 1L || r._1 == 2L)
+      // exactly one null row for u2; u1 matched in-stream and must NOT also
+      // emit a null twin on eviction (matched-flag tracking)
+      assert(fin === Set((1L, "10"), (2L, null)),
+        s"outer emission wrong after watermark close: $fin")
+    } finally q.stop()
+  }
+
   test("ST6: streaming Gold refresh via foreachBatch — rewrites per batch, skips empty gold") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("gold-refresh-root")
