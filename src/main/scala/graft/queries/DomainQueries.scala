@@ -435,6 +435,60 @@ object DomainQueries {
             FROM orders GROUP BY 2
             ORDER BY 1, 2"""))
 
+  /** TIMESTAMP time travel through the driver gate (the Delta
+    * `timestampAsOf` surface — `readAsOf`'s newest-commit-≤-instant
+    * resolution, spec-pinned until now, here hash-gated on real commits):
+    * commit orders (v1), record its commit instant, commit a doubled-price
+    * overwrite (v2), then read as-of an instant strictly BETWEEN the two
+    * commits and as-of "now". The between-instant read must resolve v1 —
+    * an off-by-one in the newest-≤ scan (resolving v2), a pointer-follow
+    * (live) read, or commit instants recorded out of order all land
+    * doubled prices under the `asof_v1` label and break the hash. The
+    * inter-commit spin keeps the two instants ≥10 ms apart so the probe
+    * instant `t2 − 1` is well-defined on any filesystem mtime granularity
+    * — that wait is gate scaffolding, not engine cost (commits are
+    * minutes apart in production; resolution is a manifest-time binary
+    * scan, independent of table bytes).
+    */
+  private val catalogTimeTravelTs = NamedQuery(
+    "catalog_time_travel_ts", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ttts_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_ttts")
+        val t1 = cat.versionsWithTimes("silver", "orders_ttts").last._2
+        while (System.currentTimeMillis() <= t1 + 10) Thread.sleep(2)
+        cat.overwrite(orders.withColumn("o_totalprice",
+          col("o_totalprice") * 2.0), "silver", "orders_ttts")
+        val t2 = cat.versionsWithTimes("silver", "orders_ttts").last._2
+        def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+                 round(sum(col("o_totalprice")), 2).as("total_price"))
+            .withColumn("snapshot", lit(label))
+        agg(cat.readAsOf("silver", "orders_ttts", t2 - 1), "asof_v1")
+          .unionByName(
+            agg(cat.readAsOf("silver", "orders_ttts",
+              System.currentTimeMillis()), "asof_v2"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT 'asof_v1' AS snapshot, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'asof_v2', o_orderstatus, count(*),
+                   round(sum(o_totalprice * 2.0), 2)
+            FROM orders GROUP BY 2
+            ORDER BY 1, 2"""))
+
   /** OPTIMIZE-style compaction through the driver gate: fragment a
     * lineitem projection across 64 small files (the accretion shape a
     * frequent-merge table develops), compact to 4, read the committed
@@ -646,5 +700,5 @@ object DomainQueries {
       approxStats, privacyK, profileLineitem, layoutZorder,
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
-      catalogIncrementalGold, catalogTimeTravel)
+      catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs)
 }
