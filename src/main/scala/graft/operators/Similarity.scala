@@ -181,37 +181,49 @@ object Similarity {
         dotFast(col("cv"), col("cv")).as("cn2"))
   }
 
+  /** ALL IVF seeds as one array-of-structs row, broadcast to every
+    * partition: nearest cells are then a NARROW per-row array expression
+    * (sort the per-seed scores, slice the head) — no window, no exchange;
+    * the corpus genuinely never shuffles until the final per-cell join.
+    */
+  private def ivfSeedArray(corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): DataFrame =
+    ivfSeeds(corpus, nCells, idCol, vecCol).agg(
+      collect_list(struct(col("cell_id"), col("cv"), col("cn2"))).as("seedset"))
+
+  /** Append the `nTake` nearest cell ids (exploded when nTake > 1) to each
+    * row of `df`, against a broadcast `ivfSeedArray`. The |v|² term is
+    * constant per row, so ranking by (|c|² − 2·v·c) is the same argmin as
+    * euclidean distance; the (d2, cell_id) struct sort makes it
+    * deterministic under ties. Shared by `ivfTopK` and `ivfPqTopK` so cell
+    * semantics can never drift between the two.
+    */
+  private def assignCells(df: DataFrame, seedArr: DataFrame, vec: String,
+      out: String, nTake: Int): DataFrame = {
+    val ranked = array_sort(transform(col("seedset"), s =>
+      struct((s("cn2") - lit(2.0) * dotFast(col(vec), s("cv"))).as("d2"),
+             s("cell_id").as("cell_id"))))
+    val cells =
+      if (nTake == 1) element_at(ranked, 1)("cell_id")
+      else explode(transform(slice(ranked, 1, nTake), c => c("cell_id")))
+    df.crossJoin(broadcast(seedArr))
+      .withColumn(out, cells)
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.plans.GraftFunctions.ensure(corpus.sparkSession)
-    val seeds = ivfSeeds(corpus, nCells, idCol, vecCol)
-    // ALL seeds as one array-of-structs row, broadcast to every partition:
-    // nearest cells are then a NARROW per-row array expression (sort the
-    // per-seed scores, slice the head) — no window, no exchange; the corpus
-    // genuinely never shuffles until the final per-cell join. The |v|² term
-    // is constant per row, so ranking by (|c|² − 2·v·c) is the same argmin.
-    val seedArr = seeds.agg(
-      collect_list(struct(col("cell_id"), col("cv"), col("cn2"))).as("seedset"))
-    def assign(df: DataFrame, vec: String, out: String, nTake: Int): DataFrame = {
-      val ranked = array_sort(transform(col("seedset"), s =>
-        struct((s("cn2") - lit(2.0) * dotFast(col(vec), s("cv"))).as("d2"),
-               s("cell_id").as("cell_id"))))
-      val cells =
-        if (nTake == 1) element_at(ranked, 1)("cell_id")
-        else explode(transform(slice(ranked, 1, nTake), c => c("cell_id")))
-      df.crossJoin(broadcast(seedArr))
-        .withColumn(out, cells)
-        .select(df.columns.map(col) :+ col(out): _*)
-    }
-    val assigned = assign(
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    val assigned = assignCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         norm2Fast(col(vecCol)).as("cn")),
-      "nv", "cell", 1)
-    val probes = assign(
+      seedArr, "nv", "cell", 1)
+    val probes = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm2Fast(col(vecCol)).as("qn")),
-      "qv", "probe_cell", nProbe)
+      seedArr, "qv", "probe_cell", nProbe)
     // no candidate dedup needed (unlike the LSH path, where overlapping
     // buckets duplicate pairs): every neighbor holds exactly ONE cell
     // (nTake = 1) and a query's probe cells are distinct (seed ids are
@@ -315,6 +327,97 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank: fetch raw vectors for the candidate set only; query
     // vectors re-attached by a tiny broadcast keyed on query_id
+    val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2Fast(col(vecCol)).as("qn"))
+    val orig = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm2Fast(col(vecCol)).as("cn"))
+    val scored = orig.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
+  /** Composed IVF-PQ — the standard production ANN index at 100 TB (cells
+    * + codes together): IVF cell pruning bounds WHICH rows the candidate
+    * scan touches (nProbe/nCells of the corpus, once the encoded table is
+    * written partitioned by `cell`), PQ codes bound WHAT the scan reads
+    * per row (m bytes vs 4·dims), and the exact re-rank caps the
+    * full-precision fetch at `rerank` rows per query. Neither part is new:
+    * cell assignment is `assignCells` against the SAME deterministic seed
+    * table as `ivfTopK`, encode/LUT/ADC are the same expressions as
+    * `pqTopK` (raw-vector codes against the global codebook — not
+    * per-cell residual codes, which would need a codebook per cell and
+    * buy little at these code rates), so each half keeps its established
+    * semantics and oracle trick, and the composition is ONE join-shape
+    * change: the PQ candidate scan's corpus-wide crossJoin becomes the
+    * IVF per-cell equi join.
+    *
+    * Recall composes multiplicatively: the IVF stage can only miss a
+    * true neighbour that lives outside the probed cells (boundary
+    * misses, governed by nProbe), the ADC stage can only DEMOTE a
+    * candidate out of the rerank cut (code coarseness, governed by
+    * m/ksub/rerank) — with nProbe = nCells the result provably equals
+    * `pqTopK`, and with rerank ≥ corpus it equals `ivfTopK`; both
+    * identities plus the production-point recall floor are pinned in
+    * SimilaritySpec.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) equal subvectors")
+    require(ksub >= 1 && rerank >= k,
+      s"need ksub >= 1 and rerank ($rerank) >= k ($k)")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    val cbArr = pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
+    def codesFor(vec: Column): Column =
+      zip_with(transform(js, j => subv(vec, j)), col("cbs"),
+        (xj, cj) => element_at(array_sort(transform(cj, (c, i) =>
+          struct((c("n2") - lit(2.0) * dotFast(xj, c("sv"))).as("d2"),
+                 i.as("i")))), 1)("i"))
+    // index side: one pass over the corpus computes BOTH artifacts — the
+    // home cell (narrow argmin against the broadcast seeds) and the m
+    // codes (narrow argmin per subspace against the broadcast codebook).
+    // At scale this table is written ONCE partitioned by `cell`; the raw
+    // vectors are never needed again until the re-rank fetch.
+    val encoded = assignCells(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        seedArr, "cv", "cell", 1)
+      .crossJoin(broadcast(cbArr))
+      .select(col("neighbor_id"), col("cell"),
+              codesFor(col("cv")).as("codes"), norm2Fast(col("cv")).as("cn"))
+    // query side: nProbe nearest cells (exploded) + the ADC lookup table
+    val q = assignCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        seedArr, "qv", "probe_cell", nProbe)
+      .crossJoin(broadcast(cbArr))
+      .select(col("query_id"), col("probe_cell"),
+        norm2Fast(col("qv")).as("qn"),
+        zip_with(transform(js, j => subv(col("qv"), j)), col("cbs"),
+          (qj, cj) => transform(cj, c => dotFast(qj, c("sv")))).as("qlut"))
+    // THE composition point: pqTopK's corpus-wide crossJoin becomes the
+    // per-cell equi join — the ADC scan only ever sees probed cells
+    val approx = q.join(encoded, col("probe_cell") === col("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        aggregate(
+          zip_with(col("codes"), col("qlut"),
+            (cd, lj) => element_at(lj, cd + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("cn")))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank, identical to pqTopK's tail: candidate ID pairs only
+    // in the broadcast, raw vectors fetched for rerank rows per query
     val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm2Fast(col(vecCol)).as("qn"))
     val orig = corpus.select(col(idCol).as("neighbor_id"),

@@ -38,6 +38,10 @@ class PlanAuditSpec extends SparkSpec {
         "(m lookups/pair over a 32x-smaller table; the re-rank join is hash equi)"),
     "sim_ann_pq_exhaustive" -> (Set("BroadcastNestedLoopJoin"),
       "same codebook attach + ADC scan as sim_ann_pq, at the lossless rerank point"),
+    "sim_ann_ivfpq" -> (Set("BroadcastNestedLoopJoin"),
+      "the two 1-row index-artifact attaches (seed array + codebook) from its " +
+        "parents; the composition's ADC scan itself is the per-cell HASH equi " +
+        "join — the whole point — and the re-rank joins are hash equi too"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row corpus-count broadcast attach + its global count combine"),
     "text_lm_score" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),

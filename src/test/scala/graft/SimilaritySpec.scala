@@ -124,6 +124,67 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF-PQ: nProbe = nCells degenerates to pqTopK exactly") {
+    // with every cell probed the IVF stage prunes nothing, so the composed
+    // index must reproduce PQ-alone row-for-row (same codebook params) —
+    // the identity that pins the composition point's join as lossless
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 1L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = rowsOf(Similarity.pqTopK(emb, queries, k = 5,
+      dims = 16, m = 4, ksub = 8, rerank = 20))
+    val composed = rowsOf(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nCells = 6, nProbe = 6, dims = 16, m = 4, ksub = 8, rerank = 20))
+    assert(composed === pq)
+  }
+
+  test("IVF-PQ: rerank >= corpus degenerates to ivfTopK exactly") {
+    // with a corpus-sized rerank the ADC stage can only order candidates,
+    // never drop one, so the composed index must reproduce IVF-alone —
+    // the identity that pins encode/LUT/ADC as recall-neutral here
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 1L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val ivf = rowsOf(Similarity.ivfTopK(emb, queries, k = 5,
+      nCells = 6, nProbe = 2))
+    val composed = rowsOf(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nCells = 6, nProbe = 2, dims = 16, m = 4, ksub = 8, rerank = 1000))
+    assert(composed === ivf)
+  }
+
+  test("IVF-PQ: recall vs brute force on clustered corpus (seeded)") {
+    val rnd = new scala.util.Random(41)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // production-shaped composition: 3 of 8 cells probed AND 4-byte codes,
+    // rerank sized to the quantization tie set (cluster size 30) per the
+    // pqTopK sizing rule — the two approximations compound, so this floor
+    // pins that composing them does not collapse recall
+    val got = Similarity.ivfPqTopK(emb, queries, k = 5,
+        nCells = 8, nProbe = 3, dims = 16, m = 4, ksub = 8, rerank = 35)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("centroid by group: dimension-wise mean") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
