@@ -482,4 +482,58 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup_windows") * 1.0 / col("n_windows"), 4))
   }
+
+  /** VARIABLE-LENGTH exact-substring duplication — the windowed-merge
+    * approximation of suffix-array span dedup (the "remove every shared
+    * substring ≥ L tokens" pass of LLM curation pipelines, Lee et al.'s
+    * deduplicate-text-datasets family): chain a document's overlapping /
+    * adjacent cross-document-duplicated n-token windows into MAXIMAL
+    * spans, report each span's token extent, keep spans ≥ `minSpan`.
+    *
+    * Window positions i and j (i < j) chain when j − i ≤ n: their token
+    * ranges [i, i+n−1] and [j, j+n−1] overlap or touch, so the merged
+    * range is gapless. A maximal chain from i₀ to i₁ is the span
+    * [i₀, i₁+n−1] — every shared substring of length s ≥ n appears as
+    * s−n+1 consecutive dup windows and is recovered EXACTLY (clamped at
+    * the doc tail for the short-doc full-text window); what the
+    * approximation can over-merge is two distinct shared substrings
+    * separated by < n non-shared tokens, which a true suffix array would
+    * keep apart — the standard trade for never building one.
+    *
+    * Scale: same three bounded exchanges as `dupWindowStats` (positions
+    * ride along as ints) plus ONE extra shuffle on doc_id for the
+    * gaps-and-islands window — per-doc state, never corpus-global.
+    */
+  def dupSpanMerge(docs: DataFrame, n: Int, minSpan: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && minSpan >= n, s"need minSpan ($minSpan) >= n ($n)")
+    val occ = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("nt"),
+        posexplode(shingleHashesFromTokens(col("toks"), n)).as(Seq("pos", "h")))
+    val shared = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ.join(shared, Seq("h"))
+      // first dup window of a doc has NULL lag → null condition → new span,
+      // matching the oracle's CASE WHEN NULL falsy arm
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      // span end clamps at the doc tail: the short-doc arm's single
+      // full-text window covers nt (< n) tokens, not n
+      .agg(min(col("pos")).as("span_start"),
+           least(max(col("pos")) + lit(n - 1), min(col("nt")) - 1).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
 }

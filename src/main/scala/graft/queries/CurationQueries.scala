@@ -71,6 +71,55 @@ object CurationQueries {
              FROM occ o LEFT JOIN dw d USING (w)
              GROUP BY 1 ORDER BY 1"""))
 
+  /** Variable-length exact-substring spans (the suffix-array-family signal
+    * `text_dup_spans` only counts): overlapping/adjacent duplicated 8-token
+    * windows chained into MAXIMAL per-doc spans, spans ≥ 12 tokens kept —
+    * so every surviving row REQUIRED the merge (a lone window is only 8).
+    * The oracle rebuilds windows as strings WITH positions, re-derives the
+    * duplicated set, and replays the gaps-and-islands chain (lag ≤ n starts
+    * no island, the sum-over-window island id, the doc-tail clamp) in plain
+    * SQL: a stride slip, an off-by-one in the chain threshold (windows at
+    * distance exactly n must merge — their token ranges touch), a wrong
+    * span end, or a dropped short-doc arm all break the hash.
+    */
+  private val dupSpanMerge = NamedQuery(
+    "text_dup_span_merge",
+    (s, d) =>
+      Dedup.dupSpanMerge(Tables.documents(s, d), n = 8, minSpan = 12)
+        .orderBy(col("doc_id"), col("span_start")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                          FROM documents),
+             w AS (SELECT doc_id, len(l) AS nt,
+                     CASE WHEN len(l) < 8
+                          THEN [{'p': 0, 'w': array_to_string(l, ' ')}]
+                          ELSE [{'p': i - 1,
+                                 'w': array_to_string(l[i:i+7], ' ')}
+                                FOR i IN range(1, len(l) - 6)]
+                     END AS ws
+                   FROM tok),
+             occ AS (SELECT doc_id, nt, unnest(ws) AS u FROM w),
+             dupw AS (SELECT w FROM (SELECT u.w AS w,
+                                            count(DISTINCT doc_id) AS nd
+                                     FROM occ GROUP BY 1) WHERE nd >= 2),
+             dp AS (SELECT o.doc_id, o.nt, (o.u).p AS pos
+                    FROM occ o JOIN dupw d ON (o.u).w = d.w),
+             isl AS (SELECT doc_id, nt, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                              ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS ns
+                     FROM dp),
+             sp AS (SELECT doc_id, nt, pos,
+                      sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM isl),
+             agg AS (SELECT doc_id, sid, min(pos) AS span_start,
+                            least(max(pos) + 7, min(nt) - 1) AS span_end
+                     FROM sp GROUP BY 1, 2)
+             SELECT doc_id, CAST(span_start AS INT) AS span_start,
+                    CAST(span_end AS INT) AS span_end,
+                    CAST(span_end - span_start + 1 AS INT) AS span_tokens
+             FROM agg WHERE span_end - span_start + 1 >= 12
+             ORDER BY 1, 2"""))
+
   /** Deterministic 16-shard export manifest over documents, weighted by
     * token count. sum/min/max over doc_id pin the exact membership of
     * every shard, so a single row landing in the wrong shard breaks the
@@ -222,6 +271,6 @@ object CurationQueries {
              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
              ORDER BY 1, 2"""))
 
-  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, exportShards, exportOrder,
-    oovRatio, kmeansAssign, semanticDedup)
+  val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, dupSpanMerge,
+    exportShards, exportOrder, oovRatio, kmeansAssign, semanticDedup)
 }

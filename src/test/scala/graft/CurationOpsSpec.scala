@@ -110,6 +110,28 @@ class CurationOpsSpec extends SparkSpec {
       (6L, 4L, 2L, 0.5)))
   }
 
+  test("Dedup.dupSpanMerge: maximal spans, touching-window merge, tail clamp, minSpan cut") {
+    val docs = Seq(
+      (1L, "p1 p2 a b c d e q1 q2"), // shares a..e with doc 2 → one 5-token span mid-doc
+      (2L, "r1 a b c d e r2"),       // same span at a different offset
+      (3L, "a b c d e f"),           // dup windows 0..3 chain across the whole doc
+      (4L, "z1 z2 z3 d e f"),        // lone dup window → exactly n tokens
+      (5L, "a b c y1 y2 y3 d e f"),  // two shared substrings 6 apart: distance > n stays TWO spans
+      (6L, "m n"), (7L, "m n"),      // short-doc dup: tail clamp makes it 2 tokens → under minSpan, absent
+      (8L, "d e f a b c")            // shared windows at distance EXACTLY n (ranges touch) → one merged span
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanMerge(docs, n = 3, minSpan = 3)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2, 6, 5),
+      (2L, 1, 5, 5),
+      (3L, 0, 5, 6),
+      (4L, 3, 5, 3),
+      (5L, 0, 2, 3), (5L, 6, 8, 3),
+      (8L, 0, 5, 6)))
+  }
+
   test("Export.shardId is layout-independent and writeShards round-trips") {
     val docs = (0L until 100L).map(i => (i, s"doc number $i payload"))
       .toDF("doc_id", "text")
