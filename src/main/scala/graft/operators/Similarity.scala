@@ -428,6 +428,150 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** RESIDUAL-encoded IVF-PQ — the composition `ivfPqTopK` does with raw
+    * vectors, done the way production indexes (the FAISS `IVFPQ` default)
+    * actually do it: each corpus vector is PQ-encoded as its residual
+    * x − c(x) from its home-cell centroid, and the codebook is trained on
+    * residuals. Residuals of a clustered corpus are centered near zero
+    * with far smaller spread than raw vectors, so the same code budget
+    * (m·log₂ksub bits) quantizes much finer — that is the entire reason
+    * the production shape composes this way instead of reusing global raw
+    * codes per cell.
+    *
+    * ADC decomposes exactly: q·x ≈ q·c + q·r̂ — one scalar per
+    * (query, probed cell) (q·c, the centroid dot) plus the usual
+    * per-subspace LUT over RESIDUAL centroids; approximate cosine divides
+    * by the TRUE stored norms, so the rerank cut ranks the same quantity
+    * as the non-residual variant. All arithmetic that touches residuals
+    * runs in DOUBLE on both engines (float subtraction would round
+    * differently than DuckDB's double path); the codegen `vec_dot` kernel
+    * handles double arrays natively, so nothing leaves whole-stage
+    * codegen.
+    *
+    * Identities pinned in SimilaritySpec: nProbe = nCells ∧ rerank ≥
+    * corpus ⇒ equals brute force exactly (the ADC stage can only order,
+    * the probe stage prunes nothing); the production point's recall floor
+    * on a clustered corpus. Scale shape is `ivfPqTopK`'s: one-pass
+    * encode, per-cell equi-join candidate scan, id-pair rerank broadcast.
+    */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) equal subvectors")
+    require(ksub >= 1 && rerank >= k,
+      s"need ksub >= 1 and rerank ($rerank) >= k ($k)")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    val cbArr = ivfPqResidualCodebookNested(corpus, nCells, dims, m, ksub,
+      idCol, vecCol)
+    // nearest cells WITH their centroid vectors (the residual needs cv, so
+    // the ranked struct carries it; cell_id is unique, cv never tiebreaks)
+    def rankedCells(vec: Column): Column =
+      array_sort(transform(col("seedset"), s =>
+        struct((s("cn2") - lit(2.0) * dotFast(vec, s("cv"))).as("d2"),
+               s("cell_id").as("cell_id"), s("cv").as("cv"))))
+    def residual(vec: Column, centroid: Column): Column =
+      zip_with(vec, centroid, (a, b) => a.cast("double") - b.cast("double"))
+    def codesFor(res: Column): Column =
+      zip_with(transform(js, j => subv(res, j)), col("cbs"),
+        (xj, cj) => element_at(array_sort(transform(cj, (c, i) =>
+          struct((c("n2") - lit(2.0) * dotFast(xj, c("sv"))).as("d2"),
+                 i.as("i")))), 1)("i"))
+    val encoded = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"))
+      .crossJoin(broadcast(seedArr))
+      .withColumn("best", element_at(rankedCells(col("cv0")), 1))
+      .crossJoin(broadcast(cbArr))
+      .select(col("neighbor_id"), col("best")("cell_id").as("cell"),
+        codesFor(residual(col("cv0"), col("best")("cv"))).as("codes"),
+        norm2Fast(col("cv0")).as("cn"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(seedArr))
+      .withColumn("pc", explode(slice(rankedCells(col("qv")), 1, nProbe)))
+      .crossJoin(broadcast(cbArr))
+      .select(col("query_id"), col("pc")("cell_id").as("probe_cell"),
+        dotFast(col("qv"), col("pc")("cv")).as("qdotc"),
+        norm2Fast(col("qv")).as("qn"),
+        zip_with(transform(js, j =>
+            transform(subv(col("qv"), j), x => x.cast("double"))), col("cbs"),
+          (qj, cj) => transform(cj, c => dotFast(qj, c("sv")))).as("qlut"))
+    val approx = q.join(encoded, col("probe_cell") === col("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // fold starts from q·c, then adds the m residual-LUT terms in
+      // subspace order — the same left-to-right double chain as the oracle
+      .withColumn("approx_cos",
+        aggregate(
+          zip_with(col("codes"), col("qlut"),
+            (cd, lj) => element_at(lj, cd + 1)),
+          col("qdotc"), (acc, x) => acc + x) / (col("qn") * col("cn")))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2Fast(col(vecCol)).as("qn"))
+    val orig = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm2Fast(col(vecCol)).as("cn"))
+    val scored = orig.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
+  /** The residual codebook as ONE nested row: cbs[j][i] = (sv: DOUBLE
+    * subvector j of sample-row i's residual from its own home-cell
+    * centroid, n2: ‖sv‖²). Sample selection is the same smallest-
+    * xxhash64(id) rule as every seeded artifact (array position after the
+    * (hash, residual) struct sort is the stable centroid index).
+    */
+  private def ivfPqResidualCodebookNested(corpus: DataFrame, nCells: Int,
+      dims: Int, m: Int, ksub: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    val js = sequence(lit(0), lit(m - 1))
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    corpus
+      .select(xxhash64(col(idCol)).as("h"), col(vecCol).as("v"))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .crossJoin(broadcast(seedArr))
+      .withColumn("best", element_at(
+        array_sort(transform(col("seedset"), s =>
+          struct((s("cn2") - lit(2.0) * dotFast(col("v"), s("cv"))).as("d2"),
+                 s("cell_id").as("cell_id"), s("cv").as("cv")))), 1))
+      .withColumn("r", zip_with(col("v"), col("best")("cv"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .agg(array_sort(collect_list(struct(col("h"), col("r")))).as("cb"))
+      .select(transform(js, j => transform(col("cb"), c =>
+        struct(slice(c("r"), j * sub + lit(1), lit(sub)).as("sv"),
+               dotFast(slice(c("r"), j * sub + lit(1), lit(sub)),
+                       slice(c("r"), j * sub + lit(1), lit(sub))).as("n2"))))
+        .as("cbs"))
+  }
+
+  /** Flat (j, i, sv, n2) view of the residual codebook for oracle
+    * materialization — exploded from the SAME one-row plan
+    * `ivfPqTopKResidual` broadcasts (sv already DOUBLE).
+    */
+  def ivfPqResidualCodebook(corpus: DataFrame, nCells: Int = 16,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqResidualCodebookNested(corpus, nCells, dims, m, ksub, idCol, vecCol)
+      .select(posexplode(col("cbs")).as(Seq("j", "cj")))
+      .select(col("j"), posexplode(col("cj")).as(Seq("i", "c")))
+      .select(col("j").cast("int").as("j"), col("i").cast("int").as("i"),
+              col("c")("sv").as("sv"), col("c")("n2").as("n2"))
+
   /** The PQ codebook as ONE nested row, the shape `pqTopK` broadcasts:
     * cbs[j][i] = (sv: centroid subvector j of seed i, n2: ‖sv‖²), seeds
     * being the `ksub` corpus rows with smallest xxhash64(id) ordered by

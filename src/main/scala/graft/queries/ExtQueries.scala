@@ -641,6 +641,125 @@ object ExtQueries {
                     round(CAST(cos AS DOUBLE), 4) AS cos, rank
              FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** RESIDUAL-encoded IVF-PQ production point — the FAISS-default
+    * composition (codes over x − centroid, codebook trained on residuals)
+    * at the same parameter point as `sim_ann_ivfpq`, hash-gated end to
+    * end. Two materialized artifacts (seed table; residual codebook —
+    * whose rows are already the seeded sample's residuals, so codebook
+    * "training" itself rides the materialization like every seeded-hash
+    * step) and the oracle re-derives the rest in DuckDB: cell argmin,
+    * per-row DOUBLE residuals via a 64-term list comprehension, residual
+    * encode argmin, the DECOMPOSED ADC score q·c + Σ lut[code] (one
+    * centroid dot per query×probed-cell joined back per candidate), the
+    * rerank cut, and the exact re-score. A sign slip in the residual, a
+    * raw-vector LUT where a residual LUT belongs, or a dropped q·c term
+    * all break the hash. The structure-resolving recall claim (residual
+    * codes order within-cluster modes that raw codes collapse) is
+    * SimilaritySpec-pinned.
+    */
+  private val simIvfPqResidual = NamedQuery(
+    "sim_ann_ivfpq_residual",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      materializeForOracle(Similarity.ivfSeeds(emb, nCells = 16),
+        d, "ivfpqr_seeds")
+      materializeForOracle(
+        Similarity.ivfPqResidualCodebook(emb, nCells = 16, dims = 64,
+          m = 8, ksub = 32),
+        d, "ivfpqr_codebook")
+      Similarity.ivfPqTopKResidual(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          nCells = 16, nProbe = 4, dims = 64, m = 8, ksub = 32, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH sd AS (SELECT cell_id, cv, cn2
+                         FROM read_parquet('${oraclePath("ivfpqr_seeds")}')),
+             cb AS (SELECT j, i, sv, n2
+                    FROM read_parquet('${oraclePath("ivfpqr_codebook")}')),
+             assigned AS (
+               SELECT neighbor_id, cell_id AS cell FROM (
+                 SELECT e.vec_id AS neighbor_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s) WHERE rn = 1),
+             res AS (SELECT a.neighbor_id, a.cell,
+                            [CAST(e.embedding[kk] AS DOUBLE)
+                               - CAST(s.cv[kk] AS DOUBLE)
+                             FOR kk IN range(1, 65)] AS r
+                     FROM assigned a
+                     JOIN embeddings e ON e.vec_id = a.neighbor_id
+                     JOIN sd s ON s.cell_id = a.cell),
+             codes AS (
+               SELECT neighbor_id, j, i AS code FROM (
+                 SELECT r.neighbor_id, c.j, c.i,
+                        row_number() OVER (PARTITION BY r.neighbor_id, c.j
+                          ORDER BY c.n2 - 2 * list_inner_product(
+                            r.r[c.j*8+1 : c.j*8+8], c.sv), c.i) AS rn
+                 FROM res r, cb c) WHERE rn = 1),
+             cn AS (SELECT vec_id AS neighbor_id,
+                           sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS cn
+                    FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS qn
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             probes AS (
+               SELECT query_id, cell_id AS probe_cell FROM (
+                 SELECT e.vec_id AS query_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s
+                 WHERE e.vec_id IN (0, 1, 2)) WHERE rn <= 4),
+             qdc AS (SELECT p.query_id, p.probe_cell,
+                            list_inner_product(CAST(q.qv AS DOUBLE[]),
+                              CAST(s.cv AS DOUBLE[])) AS qdotc
+                     FROM probes p
+                     JOIN q ON q.query_id = p.query_id
+                     JOIN sd s ON s.cell_id = p.probe_cell),
+             lut AS (SELECT q.query_id, c.j, c.i,
+                            list_inner_product(
+                              CAST(q.qv[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                              c.sv) AS d
+                     FROM q, cb c),
+             cand0 AS (SELECT p.query_id, a.neighbor_id, p.probe_cell
+                       FROM probes p JOIN assigned a ON p.probe_cell = a.cell
+                       WHERE a.neighbor_id <> p.query_id),
+             adc AS (SELECT c0.query_id, c0.neighbor_id,
+                            qd.qdotc + sum(l.d) AS adot
+                     FROM cand0 c0
+                     JOIN qdc qd ON qd.query_id = c0.query_id
+                               AND qd.probe_cell = c0.probe_cell
+                     JOIN codes cd ON cd.neighbor_id = c0.neighbor_id
+                     JOIN lut l ON l.query_id = c0.query_id
+                               AND l.j = cd.j AND l.i = cd.code
+                     GROUP BY 1, 2, qd.qdotc),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                        SELECT a.query_id, a.neighbor_id,
+                               row_number() OVER (PARTITION BY a.query_id
+                                 ORDER BY a.adot / (q.qn * cn.cn) DESC,
+                                          a.neighbor_id) AS arank
+                        FROM adc a
+                        JOIN q ON q.query_id = a.query_id
+                        JOIN cn ON cn.neighbor_id = a.neighbor_id)
+                      WHERE arank <= 100),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS cos
+                    FROM cand c
+                    JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             SELECT query_id, neighbor_id,
+                    round(CAST(cos AS DOUBLE), 4) AS cos, rank
+             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** Lossless PQ parameter point: `rerank` ≥ any corpus size means the
     * approximate (ADC) stage can only ORDER candidates, never drop one, so
     * the exact re-rank must reproduce brute force top-k bit-for-bit no
@@ -818,8 +937,8 @@ object ExtQueries {
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simAnn, simIvf, simPq, simIvfPq, simLshExhaustive,
-    simIvfExhaustive, simPqExhaustive,
+    simTopK, simAnn, simIvf, simPq, simIvfPq, simIvfPqResidual,
+    simLshExhaustive, simIvfExhaustive, simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats)
 }

@@ -485,6 +485,92 @@ object StreamQueries {
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
             ORDER BY 1, 2, 3"""))
 
+  /** Gap sessionization via Spark's BUILT-IN `session_window` aggregation —
+    * the same pipeline shape as `events_sessionize_stream` through the
+    * ENGINE's native session state instead of the custom
+    * flatMapGroupsWithState sessionizer, so the inventory pins both rungs
+    * of the custom-operator preference ladder (compose built-ins before
+    * writing state code). NOT driven to the same oracle as the custom twin,
+    * deliberately: the two definitions differ at one boundary —
+    * `session_window` merges two events iff their gap is STRICTLY under
+    * `gapDuration` (windows [t, t+g) and [t+g, …) don't overlap), while the
+    * batch/FMGWS twin extends inclusively (`<= lastTs + gap`) — so this
+    * query carries its own oracle with `>= gap` starting a new session. On
+    * a corpus with an exact-gap-spaced event pair the two queries MUST
+    * disagree by one session; both hashes passing is evidence each path
+    * implements its own contract, not one copied result.
+    *
+    * Same replay mechanics as the window/dedup replays: append mode emits
+    * a session only after the watermark passes its close, two sentinel
+    * batches flush the tail. 100 TB posture: state is per OPEN session
+    * (bounded by gap × event rate), merged by the engine's native
+    * SessionWindowStateStore — the path that benefits from every upstream
+    * Spark optimization without a line of state code here.
+    */
+  private val sessionWindowStream = NamedQuery(
+    "events_session_window_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val gapMs = 1800000L
+      val corpus = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("value"))
+        .as[Sessionize.Event].collect()
+      val maxTs = corpus.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[Sessionize.Event]
+      val sink = "graft_swin_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("key"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("start"), max(col("ts")).as("end"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs), 0.0))
+        q.processAllAvailable()
+        mem.addData(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      val w = Window.partitionBy(col("key")).orderBy(col("start"))
+      s.table(sink)
+        .filter(col("key") =!= "__flush__")
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("key").cast("bigint").as("user_id"), col("session_id"),
+          col("n_events"),
+          expr("unix_millis(start)").as("start_ms"),
+          expr("unix_millis(end)").as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    // the EXCLUSIVE-boundary session definition (>= gap starts anew),
+    // session_window's native semantics
+    Some("""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts,
+                         CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM o),
+            s AS (SELECT user_id, ts,
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Watermarked stream-stream LEFT OUTER interval join — the unmatched-
     * click path of the attribution pattern above, and the subtlest emission
     * semantics in Structured Streaming: a null-extended row may appear ONLY
@@ -645,7 +731,7 @@ object StreamQueries {
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[NamedQuery] =
-    Seq(sessionizeStream, windowStream, dedupStream, mergeStream,
-        incrementalGoldStream, streamStreamJoin, streamStreamOuter,
-        enrichStream)
+    Seq(sessionizeStream, sessionWindowStream, windowStream, dedupStream,
+        mergeStream, incrementalGoldStream, streamStreamJoin,
+        streamStreamOuter, enrichStream)
 }

@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
       "the two 1-row index-artifact attaches (seed array + codebook) from its " +
         "parents; the composition's ADC scan itself is the per-cell HASH equi " +
         "join — the whole point — and the re-rank joins are hash equi too"),
+    "sim_ann_ivfpq_residual" -> (Set("BroadcastNestedLoopJoin"),
+      "same two 1-row attaches as sim_ann_ivfpq (seed array + residual " +
+        "codebook); per-cell ADC scan and re-rank joins stay hash equi"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row corpus-count broadcast attach + its global count combine"),
     "text_lm_score" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),

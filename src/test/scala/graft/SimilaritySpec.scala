@@ -185,6 +185,80 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("residual IVF-PQ: lossless point == brute force exactly") {
+    // nProbe = nCells prunes nothing and rerank >= corpus makes ADC
+    // order-only, so the whole residual cascade (assignment, residual
+    // subtraction, residual codebook, decomposed q·c + LUT scoring) must
+    // reproduce exact top-k
+    val got = Similarity.ivfPqTopKResidual(
+        corpus, corpus.filter($"vec_id" === 0L), k = 3,
+        nCells = 2, nProbe = 2, dims = 2, m = 2, ksub = 4, rerank = 100)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("residual IVF-PQ: recall on clustered corpus at tie-set-sized rerank") {
+    val rnd = new scala.util.Random(43)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // rerank sized to the quantization tie set (cluster size 30), the
+    // same sizing rule as pqTopK — within a tight featureless cluster a
+    // SAMPLE-seeded codebook cannot order neighbours from residual noise
+    // any more than from raw codes, so the rule is identical
+    val got = Similarity.ivfPqTopKResidual(emb, queries, k = 5,
+        nCells = 8, nProbe = 3, dims = 16, m = 4, ksub = 8, rerank = 35)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("residual IVF-PQ: resolves within-cluster structure that raw codes collapse") {
+    // Each cluster is a mixture of two modes ±d around its center. RAW
+    // subvector codes are dominated by the center (scale 5) — both modes
+    // quantize near-identically and ADC cannot separate them. RESIDUALS
+    // are ±d + noise: two tight modes the sample codebook captures, so
+    // residual ADC ranks same-mode candidates first and a HALF-CLUSTER
+    // rerank budget still recovers the true neighbours. This is the
+    // measurable content of "train the codebook on residuals".
+    val rnd = new scala.util.Random(47)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val mode = Array.fill(16)(rnd.nextGaussian().toFloat).map(x => x * 1.5f)
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield {
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      ((ci * 30 + i).toLong,
+        c.indices.map(j => c(j) + sign * mode(j) +
+          rnd.nextGaussian().toFloat * 0.05f).toArray)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // rerank 16 ≈ one mode's population: enough iff the codes can tell
+    // the modes apart
+    val raw = recallOf(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nCells = 8, nProbe = 3, dims = 16, m = 4, ksub = 8, rerank = 16))
+    val res = recallOf(Similarity.ivfPqTopKResidual(emb, queries, k = 5,
+      nCells = 8, nProbe = 3, dims = 16, m = 4, ksub = 8, rerank = 16))
+    assert(res >= 0.8, s"residual recall $res")
+    assert(res >= raw, s"residual ($res) should not trail raw codes ($raw)")
+  }
+
   test("centroid by group: dimension-wise mean") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
