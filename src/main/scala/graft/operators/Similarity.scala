@@ -365,32 +365,70 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4,
       dims: Int = 64, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(ksub >= 1, s"need ksub >= 1, got $ksub")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    val cbArr = pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
+    val encoded = ivfPqEncode(corpus, seedArr, cbArr, dims, m, idCol, vecCol)
+    ivfPqProbeIndex(encoded, corpus, queries, seedArr, cbArr,
+      k, nProbe, dims, m, rerank, idCol, vecCol)
+  }
+
+  /** One-pass IVF-PQ ENCODE of `vectors` against frozen index artifacts
+    * (broadcast seed array + nested codebook): each row gets its home cell
+    * (narrow argmin against the seeds), its m codes (narrow argmin per
+    * subspace against the codebook), and its exact norm. At scale this
+    * table is written ONCE partitioned by `cell` — and because every
+    * expression is a pure per-row function of (vector, artifacts), the
+    * encode is append-only INCREMENTAL by construction: encoding the
+    * corpus in any number of batches yields byte-identical rows to one
+    * batch, which is what lets a streaming sink maintain the index (the
+    * production pattern: artifacts trained offline on a snapshot, new
+    * vectors encoded online as they arrive). Output: (idCol, cell, codes,
+    * cn).
+    */
+  def ivfPqEncode(vectors: DataFrame, seedArr: DataFrame, cbArr: DataFrame,
+      dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"dims ($dims) must divide into m ($m) equal subvectors")
-    require(ksub >= 1 && rerank >= k,
-      s"need ksub >= 1 and rerank ($rerank) >= k ($k)")
-    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    graft.plans.GraftFunctions.ensure(vectors.sparkSession)
     val sub = dims / m
     def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
     val js = sequence(lit(0), lit(m - 1))
-    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
-    val cbArr = pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
     def codesFor(vec: Column): Column =
       zip_with(transform(js, j => subv(vec, j)), col("cbs"),
         (xj, cj) => element_at(array_sort(transform(cj, (c, i) =>
           struct((c("n2") - lit(2.0) * dotFast(xj, c("sv"))).as("d2"),
                  i.as("i")))), 1)("i"))
-    // index side: one pass over the corpus computes BOTH artifacts — the
-    // home cell (narrow argmin against the broadcast seeds) and the m
-    // codes (narrow argmin per subspace against the broadcast codebook).
-    // At scale this table is written ONCE partitioned by `cell`; the raw
-    // vectors are never needed again until the re-rank fetch.
-    val encoded = assignCells(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+    assignCells(
+        vectors.select(col(idCol).as("__id"), col(vecCol).as("cv")),
         seedArr, "cv", "cell", 1)
       .crossJoin(broadcast(cbArr))
-      .select(col("neighbor_id"), col("cell"),
+      .select(col("__id").as(idCol), col("cell"),
               codesFor(col("cv")).as("codes"), norm2Fast(col("cv")).as("cn"))
+  }
+
+  /** Probe a PREBUILT IVF-PQ index table (the `ivfPqEncode` layout)
+    * against the same frozen artifacts: nProbe nearest cells per query →
+    * per-cell ADC scan over the codes → rerank-sized exact re-score from
+    * the raw corpus. `ivfPqTopK` is exactly artifacts + encode + this — so
+    * a catalog-maintained index probed here carries the same semantics
+    * and the same oracle as the one-shot query.
+    */
+  def ivfPqProbeIndex(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, seedArr: DataFrame, cbArr: DataFrame,
+      k: Int, nProbe: Int, dims: Int, m: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) equal subvectors")
+    require(rerank >= k, s"need rerank ($rerank) >= k ($k)")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
+    val index = encoded.select(col(idCol).as("neighbor_id"), col("cell"),
+      col("codes"), col("cn"))
     // query side: nProbe nearest cells (exploded) + the ADC lookup table
     val q = assignCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -402,7 +440,7 @@ object Similarity {
           (qj, cj) => transform(cj, c => dotFast(qj, c("sv")))).as("qlut"))
     // THE composition point: pqTopK's corpus-wide crossJoin becomes the
     // per-cell equi join — the ADC scan only ever sees probed cells
-    val approx = q.join(encoded, col("probe_cell") === col("cell"))
+    val approx = q.join(index, col("probe_cell") === col("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx_cos",
         aggregate(
@@ -427,6 +465,16 @@ object Similarity {
       .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }
+
+  /** The frozen IVF-PQ index artifacts as broadcastable one-row frames:
+    * (seed array, nested codebook) — public so index-maintenance sinks
+    * can share the exact artifacts `ivfPqTopK` derives internally.
+    */
+  def ivfPqArtifacts(corpus: DataFrame, nCells: Int, dims: Int, m: Int,
+      ksub: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) =
+    (ivfSeedArray(corpus, nCells, idCol, vecCol),
+     pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol))
 
   /** RESIDUAL-encoded IVF-PQ — the composition `ivfPqTopK` does with raw
     * vectors, done the way production indexes (the FAISS `IVFPQ` default)

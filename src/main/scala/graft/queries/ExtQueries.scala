@@ -641,6 +641,142 @@ object ExtQueries {
                     round(CAST(cos AS DOUBLE), 4) AS cos, rank
              FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Vector row for the incremental-index replay. */
+  final case class VecRow(vec_id: Long, embedding: Array[Float])
+
+  /** INCREMENTALLY-MAINTAINED IVF-PQ index — the serving-side lifecycle of
+    * the composed index: artifacts (seeds + codebook) are FROZEN from a
+    * training snapshot, then new vectors arrive as a STREAM and a
+    * checkpointed foreachBatch sink encodes each micro-batch against the
+    * frozen artifacts and APPENDS the (id, cell, codes, norm) rows to a
+    * catalog table — the raw vectors are never re-read. The replay feeds
+    * the corpus in two batches through TWO RUNS over one checkpoint (the
+    * restart-recovery shape, like catalog_merge_stream), then probes the
+    * catalog-built index — and the result must hash-match the SAME
+    * DuckDB cascade as the one-shot `sim_ann_ivfpq` (identical params;
+    * `ivfPqTopK` IS artifacts + encode + probe of the same expressions),
+    * because the encode is a pure per-row function of (vector,
+    * artifacts): batching cannot change a byte. A dropped or replayed
+    * micro-batch (wrong candidate multiplicity), a batch encoded against
+    * re-derived-from-partial-corpus artifacts (wrong cells/codes), or an
+    * index row lost in the append all break the hash.
+    */
+  private val simIndexIncremental = NamedQuery(
+    "sim_index_incremental_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val emb = Tables.embeddings(s, d)
+      val (seedArr, cbArr) = Similarity.ivfPqArtifacts(
+        emb, nCells = 16, dims = 64, m = 8, ksub = 32)
+      materializeForOracle(Similarity.ivfSeeds(emb, nCells = 16),
+        d, "ivfpqi_seeds")
+      materializeForOracle(
+        Similarity.pqCodebook(emb, dims = 64, m = 8, ksub = 32),
+        d, "ivfpqi_codebook")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .as[VecRow].collect()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val cat = new graft.catalog.TableCatalog(s, root)
+      val mem = MemoryStream[VecRow]
+      def run(): Unit = {
+        val q = mem.toDF().writeStream
+          .option("checkpointLocation", s"$root/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            cat.append(Similarity.ivfPqEncode(batch, seedArr, cbArr,
+              dims = 64, m = 8), "silver", "ann_index")
+          }.start()
+        q.awaitTermination()
+      }
+      val (h1, h2) = corpus.splitAt(corpus.length / 2)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        mem.addData(h1.toIndexedSeq); run()
+        mem.addData(h2.toIndexedSeq); run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      Similarity.ivfPqProbeIndex(
+          cat.read("silver", "ann_index"), emb,
+          emb.filter(col("vec_id").isin(0L, 1L, 2L)), seedArr, cbArr,
+          k = 10, nProbe = 4, dims = 64, m = 8, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH sd AS (SELECT cell_id, cv, cn2
+                         FROM read_parquet('${oraclePath("ivfpqi_seeds")}')),
+             cb AS (SELECT j, i, CAST(sv AS DOUBLE[]) AS sv, n2
+                    FROM read_parquet('${oraclePath("ivfpqi_codebook")}')),
+             assigned AS (
+               SELECT neighbor_id, cell_id AS cell FROM (
+                 SELECT e.vec_id AS neighbor_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s) WHERE rn = 1),
+             probes AS (
+               SELECT query_id, cell_id AS probe_cell FROM (
+                 SELECT e.vec_id AS query_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s
+                 WHERE e.vec_id IN (0, 1, 2)) WHERE rn <= 4),
+             codes AS (
+               SELECT neighbor_id, j, i AS code FROM (
+                 SELECT e.vec_id AS neighbor_id, c.j, c.i,
+                        row_number() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY c.n2 - 2 * list_inner_product(
+                            CAST(e.embedding[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                            c.sv), c.i) AS rn
+                 FROM embeddings e, cb c) WHERE rn = 1),
+             cn AS (SELECT vec_id AS neighbor_id,
+                           sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS cn
+                    FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS qn
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             lut AS (SELECT q.query_id, c.j, c.i,
+                            list_inner_product(
+                              CAST(q.qv[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                              c.sv) AS d
+                     FROM q, cb c),
+             cand0 AS (SELECT p.query_id, a.neighbor_id
+                       FROM probes p JOIN assigned a ON p.probe_cell = a.cell
+                       WHERE a.neighbor_id <> p.query_id),
+             adc AS (SELECT c0.query_id, c0.neighbor_id, sum(l.d) AS adot
+                     FROM cand0 c0
+                     JOIN codes cd ON cd.neighbor_id = c0.neighbor_id
+                     JOIN lut l ON l.query_id = c0.query_id
+                               AND l.j = cd.j AND l.i = cd.code
+                     GROUP BY 1, 2),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                        SELECT a.query_id, a.neighbor_id,
+                               row_number() OVER (PARTITION BY a.query_id
+                                 ORDER BY a.adot / (q.qn * cn.cn) DESC,
+                                          a.neighbor_id) AS arank
+                        FROM adc a
+                        JOIN q ON q.query_id = a.query_id
+                        JOIN cn ON cn.neighbor_id = a.neighbor_id)
+                      WHERE arank <= 100),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS cos
+                    FROM cand c
+                    JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             SELECT query_id, neighbor_id,
+                    round(CAST(cos AS DOUBLE), 4) AS cos, rank
+             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** RESIDUAL-encoded IVF-PQ production point — the FAISS-default
     * composition (codes over x − centroid, codebook trained on residuals)
     * at the same parameter point as `sim_ann_ivfpq`, hash-gated end to
@@ -938,7 +1074,8 @@ object ExtQueries {
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
     simTopK, simAnn, simIvf, simPq, simIvfPq, simIvfPqResidual,
-    simLshExhaustive, simIvfExhaustive, simPqExhaustive,
+    simIndexIncremental, simLshExhaustive, simIvfExhaustive,
+    simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats)
 }

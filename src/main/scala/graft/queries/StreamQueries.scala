@@ -670,6 +670,145 @@ object StreamQueries {
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
             ORDER BY 1, 2, 3"""))
 
+  /** FULL OUTER watermarked stream-stream interval join — completes the
+    * join family (inner / left outer / full outer): BOTH unmatched sides
+    * surface as null-extended rows once the watermark proves no match can
+    * still arrive. The subtle asymmetry vs the left-outer twin: an
+    * unmatched CLICK closes when the watermark passes c_ts + 6h (the last
+    * admissible purchase instant), while an unmatched PURCHASE closes when
+    * it passes b_ts itself (any later click starts after the purchase and
+    * the interval only looks backward) — Spark derives both retentions
+    * from the join condition, and the oracle's FULL JOIN re-derives the
+    * same row set declaratively. Same sentinel end-of-input flush; nulls
+    * coalesced to −1 on both engines; user_id coalesces across sides since
+    * either may be null.
+    */
+  private val streamStreamFullOuter = NamedQuery(
+    "events_stream_stream_full_outer",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+        .as[Click].collect().sortBy(_.c_ts.getTime)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
+          col("user_id").as("b_user"))
+        .as[Buy].collect().sortBy(_.b_ts.getTime)
+      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
+        buys.iterator.map(_.b_ts.getTime)
+      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
+        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val splitTs = lo + (hi - lo) / 2
+      val memC = MemoryStream[Click]
+      val memB = MemoryStream[Buy]
+      val sink = "graft_ssf_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = memC.toDF().withWatermark("c_ts", "1 hour")
+        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+          expr("c_user = b_user AND b_ts > c_ts AND " +
+               "b_ts <= c_ts + interval 6 hours"),
+          "fullOuter")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        q.processAllAvailable()
+        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
+        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        q.processAllAvailable()
+        val flushTs = new Timestamp(hi + 36000000L)
+        memC.addData(Click(-1L, flushTs, -1L))
+        memB.addData(Buy(-1L, flushTs, -1L))
+        q.processAllAvailable()
+        val flushTs2 = new Timestamp(hi + 36001000L)
+        memC.addData(Click(-2L, flushTs2, -1L))
+        memB.addData(Buy(-2L, flushTs2, -1L))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(coalesce(col("c_user"), col("b_user")) >= 0)
+        .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(expr("unix_millis(b_ts)") - expr("unix_millis(c_ts)"),
+            lit(-1L)).as("lag_ms"))
+        .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+    },
+    Some("""SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   coalesce(a.event_id, -1) AS click_id,
+                   coalesce(b.event_id, -1) AS buy_id,
+                   coalesce(epoch_ms(b.ts) - epoch_ms(a.ts), -1) AS lag_ms
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY 1, 2, 3"""))
+
+  /** SLIDING event-time windows (1 h window, 30 min slide) in watermarked
+    * append mode — the overlap case the tumbling gate can't exercise:
+    * every event belongs to exactly TWO windows (epoch-aligned starts at
+    * its 30-min bucket and the bucket before), so the state layer holds
+    * overlapping windows concurrently and must emit each exactly once as
+    * the watermark passes ITS close — a window emitted under the wrong
+    * start, or an event counted in only one of its two windows, breaks
+    * the hash. The oracle is the two-bucket union: each event re-appears
+    * under both admissible window starts, then the same group-by.
+    */
+  private val slidingWindowStream = NamedQuery(
+    "events_sliding_window_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
+      val maxTs = corpus.iterator.map(_.ts.getTime).max
+      val hourMs = 3600000L
+      val mem = MemoryStream[Evt]
+      val sink = "graft_slide_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__", 0.0))
+        q.processAllAvailable()
+        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L), "__flush__", 0.0))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "__flush__")
+        .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
+          col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    Some("""WITH x AS (SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) AS b,
+                              event_type, value
+                       FROM events),
+            w AS (SELECT b AS ws, event_type, value FROM x
+                  UNION ALL
+                  SELECT b - 1800000 AS ws, event_type, value FROM x)
+            SELECT ws AS bucket_ms, event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Full event row for the stream-static enrichment replay. */
   final case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -731,7 +870,8 @@ object StreamQueries {
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[NamedQuery] =
-    Seq(sessionizeStream, sessionWindowStream, windowStream, dedupStream,
-        mergeStream, incrementalGoldStream, streamStreamJoin,
-        streamStreamOuter, enrichStream)
+    Seq(sessionizeStream, sessionWindowStream, windowStream,
+        slidingWindowStream, dedupStream, mergeStream, incrementalGoldStream,
+        streamStreamJoin, streamStreamOuter, streamStreamFullOuter,
+        enrichStream)
 }

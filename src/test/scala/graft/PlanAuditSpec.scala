@@ -45,6 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivfpq_residual" -> (Set("BroadcastNestedLoopJoin"),
       "same two 1-row attaches as sim_ann_ivfpq (seed array + residual " +
         "codebook); per-cell ADC scan and re-rank joins stay hash equi"),
+    "sim_index_incremental_stream" -> (Set("BroadcastNestedLoopJoin"),
+      "the probe side of the catalog-maintained index — same two 1-row " +
+        "artifact attaches as sim_ann_ivfpq; the index scan joins per-cell " +
+        "hash equi and the encode path ran in the streaming sink"),
     "text_tfidf_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row corpus-count broadcast attach + its global count combine"),
     "text_lm_score" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
