@@ -489,6 +489,60 @@ object DomainQueries {
             FROM orders GROUP BY 2
             ORDER BY 1, 2"""))
 
+  /** Schema EVOLUTION through the versioned catalog, driver-oracled
+    * (TableCatalogSpec pins it in-suite; this gates it end-to-end):
+    * commit a 3-column orders snapshot (v1), overwrite with an EVOLVED
+    * schema adding a computed `is_big` flag (v2), then read both — the
+    * time-travel read must come back with v1's OWN schema (the flag
+    * column absent), the live read with the evolved one. The engine side
+    * branches on actual schema presence: the v1 aggregate emits the
+    * sentinel −1 for `n_big` ONLY because the column is genuinely absent
+    * from the snapshot's parquet — a catalog that serves the evolved
+    * footer for the old version (or the old footer for live) computes
+    * real counts where the oracle says −1 (or vice versa) and breaks the
+    * hash.
+    */
+  private val catalogSchemaEvolve = NamedQuery(
+    "catalog_schema_evolve", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_evo")
+        val v1 = cat.currentVersion("silver", "orders_evo").get
+        cat.overwrite(orders.withColumn("is_big",
+          col("o_totalprice") > 200000.0), "silver", "orders_evo")
+        def agg(df: org.apache.spark.sql.DataFrame, label: String) = {
+          val base = df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+                 round(sum(col("o_totalprice")), 2).as("total_price"),
+                 (if (df.columns.contains("is_big"))
+                    count(when(col("is_big"), 1))
+                  else max(lit(-1L))).as("n_big"))
+          base.withColumn("snapshot", lit(label))
+        }
+        agg(cat.readVersion("silver", "orders_evo", v1), "v1")
+          .unionByName(agg(cat.read("silver", "orders_evo"), "v2"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   CAST(-1 AS BIGINT) AS n_big
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'v2', o_orderstatus, count(*),
+                   round(sum(o_totalprice), 2),
+                   count(CASE WHEN o_totalprice > 200000.0 THEN 1 END)
+            FROM orders GROUP BY 2
+            ORDER BY 1, 2"""))
+
   /** OPTIMIZE-style compaction through the driver gate: fragment a
     * lineitem projection across 64 small files (the accretion shape a
     * frequent-merge table develops), compact to 4, read the committed
@@ -700,5 +754,6 @@ object DomainQueries {
       approxStats, privacyK, profileLineitem, layoutZorder,
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
-      catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs)
+      catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs,
+      catalogSchemaEvolve)
 }

@@ -181,6 +181,84 @@ object StreamQueries {
                    count(*) AS n, round(sum(value),2) AS sum_value
             FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  /** WATERMARK LATE-DATA DISCIPLINE, driver-oracled — the drop/admit rule
+    * itself, which every other windowed gate avoids triggering: batch 1
+    * withholds two slices of the corpus (relative to the corpus max `hi`:
+    * the stale slice [hi−3h, hi−1h) and the fresh slice [hi−30m, hi)),
+    * so after batch 1 the watermark stands at hi−10m and batch 2 delivers
+    * both slices LATE. Spark's rule drops a late row iff its window can
+    * no longer be in state (window end ≤ watermark): every stale-slice
+    * row's window closed ≥ 50 minutes before the watermark — dropped —
+    * while fresh-slice rows land in the still-open tail windows —
+    * admitted and aggregated. The oracle restates exactly that rule
+    * relationally (held rows survive iff `date_trunc(hour) + 1h >
+    * max(ts) − 10min`), so an engine that admits stale rows, drops
+    * admissible ones, or applies the cutoff to event time instead of
+    * window end breaks the hash. This is the gate that makes "late data
+    * beyond the watermark is dropped" a checked contract instead of a
+    * doc sentence.
+    */
+  private val lateDropStream = NamedQuery(
+    "events_late_drop_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
+      val hi = corpus.iterator.map(_.ts.getTime).max
+      val hourMs = 3600000L
+      def held(t: Long): Boolean =
+        (t >= hi - 3 * hourMs && t < hi - hourMs) ||
+        (t >= hi - 1800000L && t < hi)
+      val batch1 = corpus.filter(e => !held(e.ts.getTime))
+      val batch2 = corpus.filter(e => held(e.ts.getTime))
+      val mem = MemoryStream[Evt]
+      val sink = "graft_late_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // batch 1 contains the corpus max, so the watermark at its end is
+        // hi − 10min; batch 2 is then judged row-by-row against it
+        mem.addData(batch1.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(batch2.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(Evt(new Timestamp(hi + 3 * hourMs), "__flush__", 0.0))
+        q.processAllAvailable()
+        mem.addData(Evt(new Timestamp(hi + 3 * hourMs + 1000L), "__flush__", 0.0))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "__flush__")
+        .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
+          col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    Some("""WITH mx AS (SELECT max(ts) AS hi FROM events),
+            lbl AS (SELECT e.ts, e.event_type, e.value,
+                           ((e.ts >= mx.hi - INTERVAL 3 HOUR AND
+                             e.ts < mx.hi - INTERVAL 1 HOUR) OR
+                            (e.ts >= mx.hi - INTERVAL 30 MINUTE AND
+                             e.ts < mx.hi)) AS held,
+                           mx.hi AS hi
+                    FROM events e, mx),
+            keep AS (SELECT * FROM lbl
+                     WHERE NOT held
+                        OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+                             > hi - INTERVAL 10 MINUTE)
+            SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM keep GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Keyed event row for the streaming-dedup replay. */
   final case class DupEvt(event_id: Long, ts: Timestamp, event_type: String,
       value: Double)
@@ -871,7 +949,7 @@ object StreamQueries {
 
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
-        slidingWindowStream, dedupStream, mergeStream, incrementalGoldStream,
-        streamStreamJoin, streamStreamOuter, streamStreamFullOuter,
-        enrichStream)
+        slidingWindowStream, lateDropStream, dedupStream, mergeStream,
+        incrementalGoldStream, streamStreamJoin, streamStreamOuter,
+        streamStreamFullOuter, enrichStream)
 }
