@@ -536,4 +536,38 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"))
   }
+
+  /** EXCISE the merged duplicate spans from the corpus — the destructive
+    * half of span-level dedup (what `dupSpanMerge` detects, this removes,
+    * completing the Lee-et-al-style pipeline: detect shared substrings ≥
+    * minSpan tokens, cut them out, keep the remainder): every token whose
+    * position falls inside any of its document's spans is dropped and the
+    * survivors reassemble in order. Documents without spans pass through
+    * verbatim (normalized); a document excised to nothing drops out.
+    *
+    * Scale: `dupSpanMerge`'s exchanges plus one per-doc anti join (equi
+    * on doc_id, span range as residual — never a cross product; spans
+    * per doc are few) and one per-doc reassembly groupBy. The
+    * (pos, token) struct sort inside collect_list makes reassembly
+    * deterministic under any partitioning.
+    */
+  def exciseDupSpans(docs: DataFrame, n: Int, minSpan: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = dupSpanMerge(docs, n, minSpan, idCol, textCol)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    toks
+      .join(spans,
+        col("doc_id") === col("s_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
 }

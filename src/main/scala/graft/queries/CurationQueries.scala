@@ -120,6 +120,62 @@ object CurationQueries {
              FROM agg WHERE span_end - span_start + 1 >= 12
              ORDER BY 1, 2"""))
 
+  /** Span EXCISION — the destructive half of `text_dup_span_merge`: drop
+    * every token inside a detected duplicate span, reassemble the
+    * remainder in order, count the survivors. The oracle replays the full
+    * detect chain AND the surgery (position-tagged tokens, NOT-EXISTS
+    * range anti-join against the span set, order-preserving
+    * reassembly), so an off-by-one at either span edge shifts the cut
+    * and breaks the clean_text hash character-for-character.
+    */
+  private val dupSpanExcise = NamedQuery(
+    "text_dedup_excise",
+    (s, d) =>
+      Dedup.exciseDupSpans(Tables.documents(s, d), n = 8, minSpan = 12)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                          FROM documents),
+             w AS (SELECT doc_id, len(l) AS nt,
+                     CASE WHEN len(l) < 8
+                          THEN [{'p': 0, 'w': array_to_string(l, ' ')}]
+                          ELSE [{'p': i - 1,
+                                 'w': array_to_string(l[i:i+7], ' ')}
+                                FOR i IN range(1, len(l) - 6)]
+                     END AS ws
+                   FROM tok),
+             occ AS (SELECT doc_id, nt, unnest(ws) AS u FROM w),
+             dupw AS (SELECT w FROM (SELECT u.w AS w,
+                                            count(DISTINCT doc_id) AS nd
+                                     FROM occ GROUP BY 1) WHERE nd >= 2),
+             dp AS (SELECT o.doc_id, o.nt, (o.u).p AS pos
+                    FROM occ o JOIN dupw d ON (o.u).w = d.w),
+             isl AS (SELECT doc_id, nt, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                              ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS ns
+                     FROM dp),
+             sp AS (SELECT doc_id, nt, pos,
+                      sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM isl),
+             spans AS (SELECT doc_id, span_start, span_end FROM (
+                         SELECT doc_id, sid, min(pos) AS span_start,
+                                least(max(pos) + 7, min(nt) - 1) AS span_end
+                         FROM sp GROUP BY 1, 2)
+                       WHERE span_end - span_start + 1 >= 12),
+             tp AS (SELECT doc_id,
+                           unnest([{'p': i - 1, 't': l[i]}
+                                   FOR i IN range(1, len(l) + 1)]) AS u
+                    FROM tok),
+             kept AS (SELECT doc_id, (u).p AS p, (u).t AS t FROM tp
+                      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = tp.doc_id
+                                AND (tp.u).p BETWEEN s.span_start
+                                                 AND s.span_end))
+             SELECT doc_id,
+                    array_to_string(list(t ORDER BY p), ' ') AS clean_text,
+                    count(*) AS n_tokens_kept
+             FROM kept GROUP BY 1 ORDER BY 1"""))
+
   /** Deterministic 16-shard export manifest over documents, weighted by
     * token count. sum/min/max over doc_id pin the exact membership of
     * every shard, so a single row landing in the wrong shard breaks the
@@ -272,5 +328,6 @@ object CurationQueries {
              ORDER BY 1, 2"""))
 
   val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, dupSpanMerge,
-    exportShards, exportOrder, oovRatio, kmeansAssign, semanticDedup)
+    dupSpanExcise, exportShards, exportOrder, oovRatio, kmeansAssign,
+    semanticDedup)
 }

@@ -132,6 +132,27 @@ class CurationOpsSpec extends SparkSpec {
       (8L, 0, 5, 6)))
   }
 
+  test("Dedup.exciseDupSpans: cuts exactly the span tokens, keeps order, drops emptied docs") {
+    val docs = Seq(
+      (1L, "p1 p2 a b c d e q1 q2"), // span [2,6] → keeps p1 p2 q1 q2
+      (2L, "r1 a b c d e r2"),       // span [1,5] → keeps r1 r2
+      (3L, "a b c d e f"),           // abc/bcd/cde shared (def is not in
+                                     // THIS doc set) → span [0,4], "f" kept
+      (4L, "a b c x1 a b c"),        // same window twice + a3-span overlap:
+                                     // spans [0,2] and [4,6] → keeps x1
+      (5L, "u1 u2 u3 u4")            // no spans → passes through verbatim
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseDupSpans(docs, n = 3, minSpan = 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "p1 p2 q1 q2", 4L),
+      (2L, "r1 r2", 2L),
+      (3L, "f", 1L),
+      (4L, "x1", 1L),
+      (5L, "u1 u2 u3 u4", 4L)))
+  }
+
   test("Export.shardId is layout-independent and writeShards round-trips") {
     val docs = (0L until 100L).map(i => (i, s"doc number $i payload"))
       .toDF("doc_id", "text")
