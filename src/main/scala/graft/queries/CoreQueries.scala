@@ -552,6 +552,40 @@ object CoreQueries {
                    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ------------------------------------------------------------- q31
+  // UNPIVOT/melt — q27's inverse and the one relational reshape the
+  // inventory lacked: three lineitem measure columns melt into
+  // (metric, value) long format through Dataset.unpivot (Catalyst Expand,
+  // the shape's definition — one pass, no join, no shuffle before the
+  // slice filter, which pushes to the scan). The oracle restates the melt
+  // as the canonical 3-way UNION ALL, so a dropped measure, a
+  // wrong-column value, or id-column duplication all break the hash.
+  private val q31 = NamedQuery(
+    "q31_unpivot_melt",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
+            m AS (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                     l_quantity AS value FROM src
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                     l_extendedprice FROM src
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM src)
+            SELECT l_orderkey, l_linenumber, metric,
+                   round(value, 2) AS value
+            FROM m ORDER BY 1, 2, 3"""))
+
   // ---------------------------------------------------------------- q28
   // Generic interval-overlap join (the variable-length completion of the
   // range-join family: banded theta = fixed width, as-of = point probe).
@@ -719,5 +753,5 @@ object CoreQueries {
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    gold)
+    q31, gold)
 }

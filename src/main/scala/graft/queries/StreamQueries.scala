@@ -181,6 +181,55 @@ object StreamQueries {
                    count(*) AS n, round(sum(value),2) AS sum_value
             FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  /** COMPLETE output mode — the third emission contract (append is gated
+    * by every windowed replay above; complete re-emits the WHOLE result
+    * table each trigger): an unwatermarked windowed aggregation replays
+    * the corpus in two micro-batches, and the memory sink after the last
+    * trigger must hold exactly the batch aggregate — no sentinels, no
+    * watermark, because complete mode never evicts (state = all windows
+    * ever seen, which is precisely why production uses it only for
+    * bounded-cardinality aggregates like these ~720 hour×type rows). A
+    * batch-1 row missing from the final emission (stale snapshot), a
+    * window double-counted across triggers, or append-style partial
+    * emission all break the hash against the tumbling twin's oracle.
+    */
+  private val completeModeStream = NamedQuery(
+    "events_complete_mode_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val corpus = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
+      val mem = MemoryStream[Evt]
+      val sink = "graft_complete_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = corpus.splitAt(corpus.length / 2)
+        mem.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
+          col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    // the tumbling batch oracle, verbatim — complete mode's final snapshot
+    // must equal the batch aggregate over everything ever fed
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                   count(*) AS n, round(sum(value),2) AS sum_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
   /** WATERMARK LATE-DATA DISCIPLINE, driver-oracled — the drop/admit rule
     * itself, which every other windowed gate avoids triggering: batch 1
     * withholds two slices of the corpus (relative to the corpus max `hi`:
@@ -949,7 +998,7 @@ object StreamQueries {
 
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
-        slidingWindowStream, lateDropStream, dedupStream, mergeStream,
-        incrementalGoldStream, streamStreamJoin, streamStreamOuter,
-        streamStreamFullOuter, enrichStream)
+        slidingWindowStream, completeModeStream, lateDropStream, dedupStream,
+        mergeStream, incrementalGoldStream, streamStreamJoin,
+        streamStreamOuter, streamStreamFullOuter, enrichStream)
 }

@@ -16,6 +16,8 @@ class PlanAuditSpec extends SparkSpec {
       "the operator IS a cross join of a 25-row dim (SURVEY J1)"),
     "q18_rollup" -> (Set("Expand"),
       "rollup is defined by grouping-set Expand"),
+    "q31_unpivot_melt" -> (Set("Expand"),
+      "unpivot/melt is defined by Expand (one output row per measure column)"),
     "q19_cube" -> (Set("Expand"),
       "cube is defined by grouping-set Expand"),
     "q25_conditional_kpi" -> (Set("SinglePartitionExchange"),
