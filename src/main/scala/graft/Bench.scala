@@ -14,7 +14,19 @@ object Bench {
     // is written only when the builder/judge explicitly asks for it via
     // SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json. A driver run therefore
     // leaves `git status` clean of the committed record.
-    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DRIVER.json")
+    // conservative filename gate: the value lands verbatim in a filesystem
+    // path (a separator would escape the repo root) and in the compact
+    // JSON line's "full" field (a quote would emit malformed JSON)
+    val outName = {
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DRIVER.json")
+      if (n.matches("[A-Za-z0-9._-]+")) n
+      else {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_OUT '$n' rejected (must match " +
+            "[A-Za-z0-9._-]+); writing BENCH_DRIVER.json")
+        "BENCH_DRIVER.json"
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

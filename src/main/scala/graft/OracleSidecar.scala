@@ -18,23 +18,38 @@ package graft
   *  - `Bench` sets `enabled = false`: no oracle is read in a bench run, so
   *    nothing is written and the timed reps measure the query alone.
   *
-  * Mutable-before-first-use by design: the oracle SQL strings in
-  * `ExtQueries` interpolate `sqlPath` when that object initializes, which
-  * happens on the first `SparkEntry` access — after the entry point's
-  * `main` has set these fields. Defaults preserve the historical behavior
-  * for any other caller (tools, specs): enabled, under /tmp, sf0.01.
+  * The oracle SQL strings in `ExtQueries` interpolate `sqlPath` when that
+  * object initializes (the first `SparkEntry` access) — but `sqlPath`
+  * yields a PLACEHOLDER, not a real path, so init order no longer
+  * matters: whoever serializes the SQL for DuckDB (`Verify`) calls
+  * `resolveSql` at WRITE time, after its `main` has pinned `root`/`sf`.
+  * A caller that touches `SparkEntry` before configuring these fields
+  * bakes nothing in; the sidecar WRITES (`dir`) also resolve `root` at
+  * call time, inside query execution. Defaults preserve the historical
+  * behavior for any other caller (tools, specs): enabled, under /tmp,
+  * sf0.01.
   */
 object OracleSidecar {
   @volatile var enabled: Boolean = true
   @volatile var root: String = "/tmp/graft_oracle"
   @volatile var sf: String = "sf0.01"
 
+  /** Placeholder standing in for `$root/$sf` inside oracle SQL until
+    * serialization — never hits a filesystem unresolved.
+    */
+  val Placeholder = "__GRAFT_ORACLE_MAT__"
+
   /** Write location for the sidecar of `name` computed from `sfDir`. */
   def dir(sfDir: String, name: String): String =
     s"$root/${new java.io.File(sfDir).getName}/$name"
 
-  /** The glob the oracle SQL reads — interpolated into oracle_sql.json at
-    * query-inventory init, so set `root`/`sf` before touching SparkEntry.
+  /** The glob the oracle SQL reads — placeholder-rooted; resolve with
+    * `resolveSql` when the SQL is handed to DuckDB.
     */
-  def sqlPath(name: String): String = s"$root/$sf/$name/*.parquet"
+  def sqlPath(name: String): String = s"$Placeholder/$name/*.parquet"
+
+  /** Substitute the placeholder with the CURRENT root/sf — called at
+    * oracle_sql.json serialization, after the entry point configured both.
+    */
+  def resolveSql(sql: String): String = sql.replace(Placeholder, s"$root/$sf")
 }

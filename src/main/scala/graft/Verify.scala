@@ -11,14 +11,17 @@ object Verify {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
-    // Key the oracle-sidecar tables under THIS run's output dir (absolute —
-    // DuckDB resolves the glob from an unknown cwd) and pin the SF actually
-    // being verified, BEFORE the first SparkEntry touch builds the oracle
-    // SQL strings. Kills the fixed-global-path clobber window between
+    // Key the oracle-sidecar tables as a SIBLING of this run's output dir
+    // (absolute — DuckDB resolves the glob from an unknown cwd) and pin
+    // the SF actually being verified. Sibling, not child: the driver's
+    // comparator globs every entry INSIDE outDir as a query result, so a
+    // sidecar placed within it shows up as a junk non-query entry in the
+    // round's correctness file (the r7 `_oracle_mat` err row). Per-run
+    // keying also kills the fixed-global-path clobber window between
     // concurrent runs and makes the oracle gate SF-portable (sweeps at
     // sf0.001/sf0.1 read their own sidecars, not a stale sf0.01 one).
     OracleSidecar.root =
-      Paths.get(outDir).toAbsolutePath.resolve("_oracle_mat").toString
+      Paths.get(outDir).toAbsolutePath.toString + "_oracle_mat"
     OracleSidecar.sf = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,9 +55,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolveSql at WRITE time: sidecar paths in the SQL are placeholders
+    // until here, so nothing depends on SparkEntry-vs-main init order
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(OracleSidecar.resolveSql(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

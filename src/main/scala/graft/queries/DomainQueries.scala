@@ -444,11 +444,12 @@ object DomainQueries {
     * an off-by-one in the newest-≤ scan (resolving v2), a pointer-follow
     * (live) read, or commit instants recorded out of order all land
     * doubled prices under the `asof_v1` label and break the hash. The
-    * inter-commit spin keeps the two instants ≥10 ms apart so the probe
-    * instant `t2 − 1` is well-defined on any filesystem mtime granularity
-    * — that wait is gate scaffolding, not engine cost (commits are
-    * minutes apart in production; resolution is a manifest-time binary
-    * scan, independent of table bytes).
+    * inter-commit spin waits until a probe file's mtime reads strictly
+    * past t1 — the filesystem's own clock at its own granularity — so the
+    * probe instant `t2 − 1` is well-defined even where mtimes tick in
+    * whole seconds; that wait is gate scaffolding, not engine cost
+    * (commits are minutes apart in production; resolution is a
+    * manifest-time binary scan, independent of table bytes).
     */
   private val catalogTimeTravelTs = NamedQuery(
     "catalog_time_travel_ts", {
@@ -464,7 +465,20 @@ object DomainQueries {
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         cat.overwrite(orders, "silver", "orders_ttts")
         val t1 = cat.versionsWithTimes("silver", "orders_ttts").last._2
-        while (System.currentTimeMillis() <= t1 + 10) Thread.sleep(2)
+        // Spin on the FILESYSTEM clock, not the wall clock: v2's commit
+        // instant is an mtime, and on a 1-second-granularity filesystem a
+        // fixed wall-clock gap can still record t2 == t1 (making t2 − 1
+        // resolve NO snapshot). A freshly-written probe file's mtime is
+        // exactly what the v2 commit will record, so waiting until the
+        // probe reads strictly past t1 guarantees t2 > t1 on any
+        // granularity. Gate scaffolding, not engine cost (commits are
+        // minutes apart in production).
+        val probe = java.nio.file.Paths.get(root, "_mtime_probe")
+        def probeMtime(): Long = {
+          java.nio.file.Files.write(probe, Array[Byte](0))
+          java.nio.file.Files.getLastModifiedTime(probe).toMillis
+        }
+        while (probeMtime() <= t1) Thread.sleep(5)
         cat.overwrite(orders.withColumn("o_totalprice",
           col("o_totalprice") * 2.0), "silver", "orders_ttts")
         val t2 = cat.versionsWithTimes("silver", "orders_ttts").last._2
