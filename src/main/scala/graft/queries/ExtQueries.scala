@@ -641,9 +641,6 @@ object ExtQueries {
                     round(CAST(cos AS DOUBLE), 4) AS cos, rank
              FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
-  /** Vector row for the incremental-index replay. */
-  final case class VecRow(vec_id: Long, embedding: Array[Float])
-
   /** INCREMENTALLY-MAINTAINED IVF-PQ index — the serving-side lifecycle of
     * the composed index: artifacts (seeds + codebook) are FROZEN from a
     * training snapshot, then new vectors arrive as a STREAM and a
@@ -664,9 +661,6 @@ object ExtQueries {
   private val simIndexIncremental = NamedQuery(
     "sim_index_incremental_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val emb = Tables.embeddings(s, d)
       val (seedArr, cbArr) = Similarity.ivfPqArtifacts(
         emb, nCells = 16, dims = 64, m = 8, ksub = 32)
@@ -676,13 +670,12 @@ object ExtQueries {
         Similarity.pqCodebook(emb, dims = 64, m = 8, ksub = 32),
         d, "ivfpqi_codebook")
       val corpus = emb.select(col("vec_id"), col("embedding"))
-        .as[VecRow].collect()
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val cat = new graft.catalog.TableCatalog(s, root)
-      val mem = MemoryStream[VecRow]
+      val feed = graft.streaming.FileReplay(s, corpus.schema)
       def run(): Unit = {
-        val q = mem.toDF().writeStream
+        val q = feed.stream.writeStream
           .option("checkpointLocation", s"$root/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -691,13 +684,17 @@ object ExtQueries {
           }.start()
         q.awaitTermination()
       }
-      val (h1, h2) = corpus.splitAt(corpus.length / 2)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        mem.addData(h1.toIndexedSeq); run()
-        mem.addData(h2.toIndexedSeq); run()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // vec_id parity split — a deterministic executor-side predicate;
+        // encode is a pure per-row function, so ANY split is byte-identical
+        feed.stage(corpus.filter(col("vec_id") % 2 === 0)); run()
+        feed.stage(corpus.filter(col("vec_id") % 2 =!= 0)); run()
+      } finally {
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       Similarity.ivfPqProbeIndex(
           cat.read("silver", "ann_index"), emb,
           emb.filter(col("vec_id").isin(0L, 1L, 2L)), seedArr, cbArr,

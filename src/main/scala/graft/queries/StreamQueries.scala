@@ -3,14 +3,13 @@ package graft.queries
 import java.sql.Timestamp
 
 import graft.{NamedQuery, Tables}
-import graft.streaming.{Sessionize, SilverJob}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{FileReplay, Sessionize, SilverJob}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-gate evidence for the STREAMING engine (SURVEY.md §2.7): each
   * query replays the batch corpus through a real Structured Streaming
-  * topology — `MemoryStream` source, micro-batch boundaries, watermarks,
+  * topology — file streaming source, micro-batch boundaries, watermarks,
   * state timeouts, checkpointed `foreachBatch` sinks — and the FINAL table
   * must hash-match the SAME DuckDB oracle as its batch twin. That makes the
   * streaming semantics (exactly-once, event-time state, CDC precedence)
@@ -18,18 +17,15 @@ import org.apache.spark.sql.functions._
   * session glued across a silence, an unflushed state interval, or a
   * double-applied micro-batch all turn the oracle hash red.
   *
-  * The replay buffers the corpus on the driver — that is the HARNESS shape
-  * (MemoryStream is how Spark itself tests streaming), not the production
-  * shape; in production the same topologies read Kafka (reference:
-  * fire_risk_processor.py:49-57) and nothing passes through the driver.
+  * The corpus never passes through the driver: each intended micro-batch
+  * is a DataFrame staged by `FileReplay` — executors write it as parquet
+  * into the watched directory, and `processAllAvailable()` consumes it as
+  * one micro-batch (only sentinel rows — single driver-authored literals
+  * that advance the watermark — are built locally). In production the same
+  * topologies read Kafka (reference: fire_risk_processor.py:49-57); the
+  * harness swaps only WHO writes the watched files.
   */
 object StreamQueries {
-
-  /** Narrow CDC row for the streaming-merge replay: the merge key, the
-    * dimensions the oracle aggregates, and the precedence revision.
-    */
-  final case class OrderRev(o_orderkey: Long, o_orderstatus: String,
-      o_totalprice: Double, rev: Long)
 
   /** Streaming sessionization driven to the BATCH oracle: the whole events
     * corpus replays through `Sessionize.sessions` (flatMapGroupsWithState,
@@ -49,14 +45,12 @@ object StreamQueries {
     (s, d) => {
       import s.implicits._
       implicit val ss = s
-      implicit val sq = s.sqlContext
       val gapMs = 1800000L // 30 min, matching the batch twin's 1800000000 µs
       val corpus = Tables.events(s, d)
         .select(col("user_id").cast("string").as("key"), col("ts"),
           col("value"))
-        .as[Sessionize.Event].collect()
-      val maxTs = corpus.iterator.map(_.ts.getTime).max
-      val mem = MemoryStream[Sessionize.Event]
+      val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // The replay's cost is dominated by per-partition-per-micro-batch
       // state-store machinery (init + commit + snapshot), a FIXED floor of
@@ -68,25 +62,26 @@ object StreamQueries {
       // size this to cluster cores, the replay sizes it to the corpus.
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = Sessionize.sessions(mem.toDS(), gapMs)
+      val q = Sessionize.sessions(feed.stream.as[Sessionize.Event], gapMs)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
         // batch 1: the real corpus (initial watermark 0 admits everything)
-        mem.addData(corpus.toIndexedSeq)
+        feed.stage(corpus)
         q.processAllAvailable()
         // batch 2: sentinel advances the watermark past every real close
         // (wm becomes maxTs + 2·gap > any lastTs + gap) …
-        mem.addData(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs), 0.0))
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
         q.processAllAvailable()
         // … batch 3: one more event so a timeout pass RUNS at that
         // watermark (timeouts fire at the start of the next micro-batch)
-        mem.addData(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0))
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         // restore BEFORE the batch renumber below plans: only the
         // streaming replay itself runs narrow
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -139,35 +134,37 @@ object StreamQueries {
     "events_window_stream",
     (s, d) => {
       import s.implicits._
-      implicit val sq = s.sqlContext
       val corpus = Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
-      val maxTs = corpus.iterator.map(_.ts.getTime).max
+        .select(col("ts"), col("event_type"), col("value"))
+      val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val hourMs = 3600000L
-      val mem = MemoryStream[Evt]
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_win_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // same fixed-floor trim as the sessionize replay: state-store cost is
       // per partition × per micro-batch; results are partition-independent
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        mem.addData(corpus.toIndexedSeq)
+        feed.stage(corpus)
         q.processAllAvailable()
         // sentinel 1: event time jumps 3 h past the last real event, so the
         // watermark computed at this batch's end clears every real window
-        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
+          0.0)).toDS().toDF())
         q.processAllAvailable()
         // sentinel 2: a batch RUNNING at that watermark evicts + emits
-        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L),
+          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -184,8 +181,9 @@ object StreamQueries {
   /** COMPLETE output mode — the third emission contract (append is gated
     * by every windowed replay above; complete re-emits the WHOLE result
     * table each trigger): an unwatermarked windowed aggregation replays
-    * the corpus in two micro-batches, and the memory sink after the last
-    * trigger must hold exactly the batch aggregate — no sentinels, no
+    * the corpus in two micro-batches (split by event_id parity — a
+    * deterministic executor-side predicate), and the memory sink after the
+    * last trigger must hold exactly the batch aggregate — no sentinels, no
     * watermark, because complete mode never evicts (state = all windows
     * ever seen, which is precisely why production uses it only for
     * bounded-cardinality aggregates like these ~720 hour×type rows). A
@@ -196,27 +194,26 @@ object StreamQueries {
   private val completeModeStream = NamedQuery(
     "events_complete_mode_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
-      val corpus = Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
-      val mem = MemoryStream[Evt]
+      val ev = Tables.events(s, d)
+      def half(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+        .select(col("ts"), col("event_type"), col("value"))
+      val feed = FileReplay(s, half(0).schema)
       val sink = "graft_complete_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
-        val (h1, h2) = corpus.splitAt(corpus.length / 2)
-        mem.addData(h1.toIndexedSeq)
+        feed.stage(half(0))
         q.processAllAvailable()
-        mem.addData(h2.toIndexedSeq)
+        feed.stage(half(1))
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -251,21 +248,21 @@ object StreamQueries {
     "events_late_drop_stream",
     (s, d) => {
       import s.implicits._
-      implicit val sq = s.sqlContext
       val corpus = Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
-      val hi = corpus.iterator.map(_.ts.getTime).max
+        .select(col("ts"), col("event_type"), col("value"))
+      val hi = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val hourMs = 3600000L
-      def held(t: Long): Boolean =
-        (t >= hi - 3 * hourMs && t < hi - hourMs) ||
-        (t >= hi - 1800000L && t < hi)
-      val batch1 = corpus.filter(e => !held(e.ts.getTime))
-      val batch2 = corpus.filter(e => held(e.ts.getTime))
-      val mem = MemoryStream[Evt]
+      // the held-slice predicate as a COLUMN, so the batch split runs on
+      // executors (same slices as ever: [hi−3h, hi−1h) stale, [hi−30m, hi)
+      // fresh)
+      val tsMs = unix_millis(col("ts"))
+      val held = (tsMs >= hi - 3 * hourMs && tsMs < hi - hourMs) ||
+        (tsMs >= hi - 1800000L && tsMs < hi)
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_late_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
@@ -274,16 +271,19 @@ object StreamQueries {
       try {
         // batch 1 contains the corpus max, so the watermark at its end is
         // hi − 10min; batch 2 is then judged row-by-row against it
-        mem.addData(batch1.toIndexedSeq)
+        feed.stage(corpus.filter(!held))
         q.processAllAvailable()
-        mem.addData(batch2.toIndexedSeq)
+        feed.stage(corpus.filter(held))
         q.processAllAvailable()
-        mem.addData(Evt(new Timestamp(hi + 3 * hourMs), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(hi + 3 * hourMs), "__flush__",
+          0.0)).toDS().toDF())
         q.processAllAvailable()
-        mem.addData(Evt(new Timestamp(hi + 3 * hourMs + 1000L), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(hi + 3 * hourMs + 1000L),
+          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -326,13 +326,11 @@ object StreamQueries {
   private val dedupStream = NamedQuery(
     "events_dedup_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
       val corpus = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .as[DupEvt].collect()
-      val poisoned = corpus.map(e => e.copy(value = e.value * 3 + 7))
-      val mem = MemoryStream[DupEvt]
+      val poisoned = corpus.withColumn("value", col("value") * 3 + 7)
+      val nRows = corpus.count()
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // Partition count scales with the corpus instead of the fixed 8 of
@@ -342,7 +340,7 @@ object StreamQueries {
       // that is right for the window/session replays starves this one at
       // sf1 (8 of 32 cores). 250k keys per partition keeps the sf0.01/
       // sf0.1 floors identical (still 8) and opens to 32 at sf1.
-      val nParts = math.max(8, math.min(32, corpus.length / 250000))
+      val nParts = math.max(8L, math.min(32L, nRows / 250000L)).toInt
       s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
       // RocksDB state store: dedup state is one entry PER DISTINCT KEY with
       // no eviction until the watermark passes (60 d delay > corpus span, by
@@ -366,18 +364,19 @@ object StreamQueries {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set(changelogKey, "true")
-      val q = mem.toDS()
+      val q = feed.stream
         .withWatermark("ts", "1440 hours")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        mem.addData(corpus.toIndexedSeq)
+        feed.stage(corpus)
         q.processAllAvailable()
-        mem.addData(poisoned.toIndexedSeq)
+        feed.stage(poisoned)
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         prevProvider match {
           case Some(p) => s.conf.set(providerKey, p)
@@ -405,32 +404,31 @@ object StreamQueries {
     * `catalog_merge_upsert` oracle computes relationally. A replayed or
     * dropped micro-batch, a stale row surviving the upsert, or a
     * double-applied correction all break the hash. Fresh catalog root +
-    * checkpoint per invocation: a MemoryStream offset log is not portable
-    * across program runs, and a leftover rev-2 table would invert the
+    * checkpoint per invocation: a leftover rev-2 table would invert the
     * precedence of the rev-1 seed.
     */
   private val mergeStream = NamedQuery(
     "catalog_merge_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val base = orders.filter(col("o_orderkey") % 10 < 8)
-        .withColumn("rev", lit(1L)).as[OrderRev].collect()
+        .withColumn("rev", lit(1L))
       val correction = orders.filter(col("o_orderkey") % 10 >= 5)
         .withColumn("o_totalprice", col("o_totalprice") * 2.0)
-        .withColumn("rev", lit(2L)).as[OrderRev].collect()
+        .withColumn("rev", lit(2L))
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_mstream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val cat = new graft.catalog.TableCatalog(s, root)
-      val mem = MemoryStream[OrderRev]
+      val feed = FileReplay(s, base.schema)
       // two RUNS over one checkpoint, not two triggers of one run: the
       // sink's Trigger.AvailableNow drains what exists at start and stops,
       // so the correction batch arrives through a restart — which is the
       // stronger claim anyway (offset log + idempotent merge recover
-      // exactly-once across process boundaries, ST2+ST6)
-      mem.addData(base.toIndexedSeq)
+      // exactly-once across process boundaries, ST2+ST6). With the file
+      // source the offset log records FILES, so the restart recovery is
+      // the real cross-process thing, not a MemoryStream approximation.
+      feed.stage(base)
       // same fixed-floor trim as the sessionize replay: the per-batch merge
       // over tens of thousands of rows gains nothing from 32-way shuffles,
       // and the checkpoint/offset-log machinery is per-partition. Restored
@@ -438,16 +436,19 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        SilverJob.startMergeSink(mem.toDF(), cat,
+        SilverJob.startMergeSink(feed.stream, cat,
           "silver", "orders_stream", keys = Seq("o_orderkey"),
           orderCol = "rev", checkpoint = s"$root/_checkpoint")
           .awaitTermination()
-        mem.addData(correction.toIndexedSeq)
-        SilverJob.startMergeSink(mem.toDF(), cat,
+        feed.stage(correction)
+        SilverJob.startMergeSink(feed.stream, cat,
           "silver", "orders_stream", keys = Seq("o_orderkey"),
           orderCol = "rev", checkpoint = s"$root/_checkpoint")
           .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       cat.read("silver", "orders_stream")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
@@ -482,21 +483,19 @@ object StreamQueries {
   private val incrementalGoldStream = NamedQuery(
     "catalog_incremental_gold_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val base = orders.filter(col("o_orderkey") % 10 < 8)
-        .withColumn("rev", lit(1L)).as[OrderRev].collect()
+        .withColumn("rev", lit(1L))
       val correction = orders.filter(col("o_orderkey") % 10 >= 5)
         .withColumn("o_totalprice", col("o_totalprice") * 2.0)
-        .withColumn("rev", lit(2L)).as[OrderRev].collect()
+        .withColumn("rev", lit(2L))
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivmstream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val cat = new graft.catalog.TableCatalog(s, root)
-      val mem = MemoryStream[OrderRev]
+      val feed = FileReplay(s, base.schema)
       def run(): Unit = SilverJob.startIncrementalGoldSink(
-        mem.toDF(), cat, "silver", "orders_ivm",
+        feed.stream, cat, "silver", "orders_ivm",
         keys = Seq("o_orderkey"), orderCol = "rev",
         goldLayer = "gold", goldTable = "orders_agg",
         groupCols = Seq("o_orderstatus"), valueCol = "o_totalprice",
@@ -504,9 +503,12 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        mem.addData(base.toIndexedSeq); run()
-        mem.addData(correction.toIndexedSeq); run()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        feed.stage(base); run()
+        feed.stage(correction); run()
+      } finally {
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       cat.read("gold", "orders_agg")
         .select(col("o_orderstatus"), col("n").as("n_orders"),
                 round(col("total"), 2).as("total_price"))
@@ -533,7 +535,7 @@ object StreamQueries {
 
   /** Watermarked stream-STREAM interval join (ST5 extended — the one
     * streaming surface the inventory lacked): clicks and purchases replay
-    * as TWO independent MemoryStreams joined on user + a 6-hour time bound
+    * as TWO independent file-source streams joined on user + a 6-hour bound
     * (`b_ts ∈ (c_ts, c_ts + 6h]`), the attribution-window shape. Both
     * sides are watermarked, so Spark derives per-side state retention from
     * the join condition and EVICTS click state older than watermark − 6h —
@@ -560,18 +562,15 @@ object StreamQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
           col("user_id").as("c_user"))
-        .as[Click].collect().sortBy(_.c_ts.getTime)
       val buys = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
           col("user_id").as("b_user"))
-        .as[Buy].collect().sortBy(_.b_ts.getTime)
-      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
-        buys.iterator.map(_.b_ts.getTime)
-      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
-        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val mm = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val splitTs = lo + (hi - lo) / 2
-      val memC = MemoryStream[Click]
-      val memB = MemoryStream[Buy]
+      val feedC = FileReplay(s, clicks.schema)
+      val feedB = FileReplay(s, buys.schema)
       val sink = "graft_ssj_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // tighter fixed-floor trim than the single-store replays: a
       // symmetric hash join keeps FOUR state-store instances per partition
@@ -582,21 +581,22 @@ object StreamQueries {
       // at 7), and production sizes this to cluster cores.
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = memC.toDF().withWatermark("c_ts", "1 hour")
-        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+      val q = feedC.stream.withWatermark("c_ts", "1 hour")
+        .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
         q.processAllAvailable()
-        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
         q.processAllAvailable()
       } finally {
         q.stop()
+        feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -638,18 +638,16 @@ object StreamQueries {
     "events_session_window_stream",
     (s, d) => {
       import s.implicits._
-      implicit val sq = s.sqlContext
       val gapMs = 1800000L
       val corpus = Tables.events(s, d)
         .select(col("user_id").cast("string").as("key"), col("ts"),
           col("value"))
-        .as[Sessionize.Event].collect()
-      val maxTs = corpus.iterator.map(_.ts.getTime).max
-      val mem = MemoryStream[Sessionize.Event]
+      val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_swin_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("key"))
         .agg(count(lit(1)).as("n_events"),
@@ -657,16 +655,17 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        mem.addData(corpus.toIndexedSeq)
+        feed.stage(corpus)
         q.processAllAvailable()
-        mem.addData(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs), 0.0))
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
         q.processAllAvailable()
-        mem.addData(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0))
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
@@ -729,23 +728,20 @@ object StreamQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
           col("user_id").as("c_user"))
-        .as[Click].collect().sortBy(_.c_ts.getTime)
       val buys = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
           col("user_id").as("b_user"))
-        .as[Buy].collect().sortBy(_.b_ts.getTime)
-      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
-        buys.iterator.map(_.b_ts.getTime)
-      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
-        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val mm = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val splitTs = lo + (hi - lo) / 2
-      val memC = MemoryStream[Click]
-      val memB = MemoryStream[Buy]
+      val feedC = FileReplay(s, clicks.schema)
+      val feedB = FileReplay(s, buys.schema)
       val sink = "graft_sso_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = memC.toDF().withWatermark("c_ts", "1 hour")
-        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+      val q = feedC.stream.withWatermark("c_ts", "1 hour")
+        .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"),
           "leftOuter")
@@ -757,27 +753,28 @@ object StreamQueries {
         // below it could only match purchases with ts < splitTs − 1h —
         // which, if they exist, were all IN batch 1, so an eviction-time
         // null row is never a premature one.
-        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
         q.processAllAvailable()
-        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
         q.processAllAvailable()
         // sentinel 1 (both sides, unmatchable user −1): watermark computed
         // at this batch's END becomes maxTs + 10h − 1h delay, past every
         // real click's c_ts + 6h close …
         val flushTs = new Timestamp(hi + 36000000L)
-        memC.addData(Click(-1L, flushTs, -1L))
-        memB.addData(Buy(-1L, flushTs, -1L))
+        feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
         q.processAllAvailable()
         // … sentinel 2: a batch RUNNING at that watermark performs the
         // eviction pass that emits the null-extended rows
         val flushTs2 = new Timestamp(hi + 36001000L)
-        memC.addData(Click(-2L, flushTs2, -1L))
-        memB.addData(Buy(-2L, flushTs2, -1L))
+        feedC.stage(Seq(Click(-2L, flushTs2, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-2L, flushTs2, -1L)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -819,45 +816,43 @@ object StreamQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
           col("user_id").as("c_user"))
-        .as[Click].collect().sortBy(_.c_ts.getTime)
       val buys = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
           col("user_id").as("b_user"))
-        .as[Buy].collect().sortBy(_.b_ts.getTime)
-      val allTs = clicks.iterator.map(_.c_ts.getTime) ++
-        buys.iterator.map(_.b_ts.getTime)
-      val (lo, hi) = allTs.foldLeft((Long.MaxValue, Long.MinValue)) {
-        case ((a, b), t) => (math.min(a, t), math.max(b, t)) }
+      val mm = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val splitTs = lo + (hi - lo) / 2
-      val memC = MemoryStream[Click]
-      val memB = MemoryStream[Buy]
+      val feedC = FileReplay(s, clicks.schema)
+      val feedB = FileReplay(s, buys.schema)
       val sink = "graft_ssf_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = memC.toDF().withWatermark("c_ts", "1 hour")
-        .join(memB.toDF().withWatermark("b_ts", "1 hour"),
+      val q = feedC.stream.withWatermark("c_ts", "1 hour")
+        .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"),
           "fullOuter")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        memC.addData(clicks.filter(_.c_ts.getTime <= splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime <= splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
         q.processAllAvailable()
-        memC.addData(clicks.filter(_.c_ts.getTime > splitTs).toIndexedSeq)
-        memB.addData(buys.filter(_.b_ts.getTime > splitTs).toIndexedSeq)
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
         q.processAllAvailable()
         val flushTs = new Timestamp(hi + 36000000L)
-        memC.addData(Click(-1L, flushTs, -1L))
-        memB.addData(Buy(-1L, flushTs, -1L))
+        feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
         q.processAllAvailable()
         val flushTs2 = new Timestamp(hi + 36001000L)
-        memC.addData(Click(-2L, flushTs2, -1L))
-        memB.addData(Buy(-2L, flushTs2, -1L))
+        feedC.stage(Seq(Click(-2L, flushTs2, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-2L, flushTs2, -1L)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -893,16 +888,15 @@ object StreamQueries {
     "events_sliding_window_stream",
     (s, d) => {
       import s.implicits._
-      implicit val sq = s.sqlContext
       val corpus = Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value")).as[Evt].collect()
-      val maxTs = corpus.iterator.map(_.ts.getTime).max
+        .select(col("ts"), col("event_type"), col("value"))
+      val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val hourMs = 3600000L
-      val mem = MemoryStream[Evt]
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_slide_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
           col("event_type"))
@@ -910,14 +904,17 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        mem.addData(corpus.toIndexedSeq)
+        feed.stage(corpus)
         q.processAllAvailable()
-        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
+          0.0)).toDS().toDF())
         q.processAllAvailable()
-        mem.addData(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L), "__flush__", 0.0))
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L),
+          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
@@ -936,10 +933,6 @@ object StreamQueries {
                    round(sum(value), 2) AS sum_value
             FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  /** Full event row for the stream-static enrichment replay. */
-  final case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
-
   /** Stream-STATIC broadcast enrichment join driven to the BATCH oracle:
     * the events corpus replays through a stateless append topology that
     * joins each micro-batch against the static customer dimension with an
@@ -955,34 +948,32 @@ object StreamQueries {
   private val enrichStream = NamedQuery(
     "events_enrich_stream",
     (s, d) => {
-      import s.implicits._
-      implicit val sq = s.sqlContext
       val corpus = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
-        .as[EvRow].collect()
       val dim = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
-      val mem = MemoryStream[EvRow]
+      val feed = FileReplay(s, corpus.schema)
       val sink = "graft_enrich_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDF()
+      val q = feed.stream
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("c_nationkey"), col("c_mktsegment"),
           col("value"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        // two micro-batches: enrichment must be exactly-once per event
-        // across batch boundaries, not just within one batch
-        val (h1, h2) = corpus.splitAt(corpus.length / 2)
-        mem.addData(h1.toIndexedSeq)
+        // two micro-batches (event_id parity split): enrichment must be
+        // exactly-once per event across batch boundaries, not just within
+        // one batch
+        feed.stage(corpus.filter(col("event_id") % 2 === 0))
         q.processAllAvailable()
-        mem.addData(h2.toIndexedSeq)
+        feed.stage(corpus.filter(col("event_id") % 2 =!= 0))
         q.processAllAvailable()
       } finally {
         q.stop()
+        feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)

@@ -81,4 +81,43 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(stale.isEmpty, s"acceptances no longer needed (remove them): $stale")
   }
+
+  // file -> why a driver-side collect() is legitimate there
+  private val acceptedCollects: Map[String, String] = Map(
+    "operators/Clusters.scala" ->
+      "driver union-find runs only under the counted <=4M-edge gate",
+    "catalog/TableCatalog.scala" ->
+      "collects file NAMES for the stats manifest, never table rows",
+    "Bench.scala" ->
+      "JVM warm-up scalar (sum over range), not query data")
+
+  /** The no-driver-feed gate (round-8 upgrade): every streaming replay is
+    * executor-fed through `FileReplay`, so NO query-builder source may
+    * `collect()` a corpus to the driver. Scans src/main (tools/ excluded —
+    * standalone diagnostic probes, not engine or inventory code) and pins
+    * the residual accepted sites by file with their reason; a new
+    * `collect()` anywhere else fails here. Scalar one-row reads
+    * (`head()`/`first()` on an aggregate) stay legal — they move a number,
+    * not data.
+    */
+  test("no unaccepted driver-side collect() in engine sources") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.toString.contains("/tools/"))
+      .flatMap { p =>
+        val rel = root.relativize(p).toString
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains(".collect()") => (rel, i + 1)
+        }
+      }.toSeq
+    val unaccepted = hits.filterNot { case (f, _) => acceptedCollects.contains(f) }
+    assert(unaccepted.isEmpty,
+      "driver-side collect() outside the accepted map:\n" +
+        unaccepted.map { case (f, l) => s"  $f:$l" }.mkString("\n"))
+    val staleAccepts = acceptedCollects.keys.filterNot(f => hits.exists(_._1 == f))
+    assert(staleAccepts.isEmpty,
+      s"collect acceptances no longer needed (remove them): $staleAccepts")
+  }
 }
