@@ -227,6 +227,86 @@ object StreamQueries {
                    count(*) AS n, round(sum(value),2) AS sum_value
             FROM events GROUP BY 1,2 ORDER BY 1,2"""))
 
+  /** UPDATE output mode — the third and last emission contract (append:
+    * each window exactly once, after close; complete: the whole table
+    * every trigger; update: CHANGED KEYS ONLY, every trigger they change):
+    * a watermarked tumbling aggregate replays the corpus in two batches
+    * split at the time midpoint (batch 2 strictly later, so nothing is
+    * late-dropped), and a checkpointed `foreachBatch` sink appends each
+    * trigger's emitted delta rows stamped with their batch id. Two facts
+    * are then driver-oracled at once:
+    *
+    *  - FINAL STATE: the newest emission per (window, event_type) must
+    *    equal the batch aggregate — update-mode emissions carry the
+    *    cumulative state, so a window straddling the split is emitted in
+    *    batch 1 with partial counts and RE-emitted in batch 2 with full
+    *    ones, and taking the last emission recovers the aggregate;
+    *  - EMISSION MULTIPLICITY: the number of emissions per key must be
+    *    exactly the number of batches that touched it — the oracle
+    *    recomputes that relationally as `count(DISTINCT ts <= split)`, so
+    *    a key emitted while unchanged (complete-mode bleed), emitted only
+    *    once despite spanning the split (append-mode bleed), or emitted
+    *    twice in one trigger all break the hash. This is the column that
+    *    makes "update emits changed keys per trigger" a checked contract,
+    *    not a doc sentence.
+    */
+  private val updateModeStream = NamedQuery(
+    "events_update_mode_stream",
+    (s, d) => {
+      val corpus = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      val mm = corpus.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val splitTs = lo + (hi - lo) / 2
+      val feed = FileReplay(s, corpus.schema)
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_upd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = feed.stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(s"$outDir/emit")
+        }.start()
+      try {
+        feed.stage(corpus.filter(unix_millis(col("ts")) <= splitTs))
+        q.processAllAvailable()
+        feed.stage(corpus.filter(unix_millis(col("ts")) > splitTs))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      val byKey = Window.partitionBy(col("w.start"), col("event_type"))
+      s.read.parquet(s"$outDir/emit")
+        .withColumn("rn", row_number().over(byKey.orderBy(col("batch_id").desc)))
+        .withColumn("n_emits", count(lit(1)).over(byKey))
+        .filter(col("rn") === 1)
+        .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
+          col("n"), round(col("sv"), 2).as("sum_value"), col("n_emits"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    // the tumbling batch aggregate + the relational restatement of "one
+    // emission per batch that touched the key" (integer // division
+    // mirrors the Scala Long midpoint exactly)
+    Some("""WITH sp AS (SELECT epoch_ms(min(ts)) +
+                               (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 2
+                               AS split FROM events),
+            e AS (SELECT date_trunc('hour', ts) AS b, event_type, value,
+                         epoch_ms(ts) <= (SELECT split FROM sp) AS h1
+                  FROM events)
+            SELECT epoch_ms(b) AS bucket_ms, event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT h1) AS n_emits
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** WATERMARK LATE-DATA DISCIPLINE, driver-oracled — the drop/admit rule
     * itself, which every other windowed gate avoids triggering: batch 1
     * withholds two slices of the corpus (relative to the corpus max `hi`:
@@ -989,7 +1069,8 @@ object StreamQueries {
 
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
-        slidingWindowStream, completeModeStream, lateDropStream, dedupStream,
+        slidingWindowStream, completeModeStream, updateModeStream,
+        lateDropStream, dedupStream,
         mergeStream, incrementalGoldStream, streamStreamJoin,
         streamStreamOuter, streamStreamFullOuter, enrichStream)
 }

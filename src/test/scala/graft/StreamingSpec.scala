@@ -76,6 +76,36 @@ class StreamingSpec extends SparkSpec {
     assert(wins(0).getAs[Long]("n") === 2 && wins(1).getAs[Long]("n") === 1)
   }
 
+  test("UPDATE mode: a changed key re-emits cumulative state; an unchanged key stays silent") {
+    import graft.queries.StreamQueries.Evt
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val sink = "upd_pin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try {
+      // batch 1: both keys; batch 2: only "a" changes (same 10:00 window)
+      mem.addData(Evt(Timestamp.valueOf("2024-01-01 10:05:00"), "a", 1.0),
+        Evt(Timestamp.valueOf("2024-01-01 10:06:00"), "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Evt(Timestamp.valueOf("2024-01-01 10:20:00"), "a", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = spark.table(sink).groupBy($"event_type")
+      .agg(count(lit(1)).as("emissions"), max($"n").as("last_n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "a" was updated in two batches → emitted TWICE, second carries the
+    // cumulative count (the thing append mode can never show); "b" was
+    // untouched in batch 2 → exactly one emission (the thing complete
+    // mode can never show)
+    assert(byKey("a") === ((2L, 2L)))
+    assert(byKey("b") === ((1L, 1L)))
+  }
+
   test("stream-stream interval join with watermarks on both sides") {
     implicit val sq = spark.sqlContext
     val fires = MemoryStream[String]
