@@ -476,6 +476,104 @@ object Similarity {
     (ivfSeedArray(corpus, nCells, idCol, vecCol),
      pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol))
 
+  /** FILTERED ANN — top-k under a metadata predicate, the query shape
+    * every production vector store serves (`WHERE label = 'en' ORDER BY
+    * cosine DESC LIMIT k`). Two design points make it the 100 TB shape
+    * rather than a post-filter:
+    *
+    *  - the metadata columns are DENORMALIZED into the encoded index rows
+    *    at build time, so the predicate prunes the ADC scan itself — the
+    *    per-cell equi join only ever sees rows that already passed the
+    *    filter (a post-pass would ADC-score everything and then throw the
+    *    non-matching majority away, k would silently shrink);
+    *  - the probe plan ADAPTS to post-filter yield deterministically: all
+    *    `nCells` cells are ranked per query (at real cell counts, capped
+    *    by ranking only the best few × nProbe — the ranking is a narrow
+    *    broadcast expression either way), each cell's post-filter yield
+    *    comes from an nCells-row count table (at scale: index stats
+    *    maintained at build), and a cell is probed iff it is within the
+    *    fixed `nProbe` floor OR the exclusive prefix yield of
+    *    better-ranked cells is still short of `rerank + 1`. A selective
+    *    filter therefore widens the probe ring until ≥ min(rerank,
+    *    |filtered corpus|) candidates reach the scan — k survivors are
+    *    guaranteed whenever the filtered corpus has k — while a permissive
+    *    filter degenerates to exactly `ivfPqTopK`'s fixed-nProbe plan.
+    *
+    * The tail (query LUT, per-cell ADC join, rerank cut, exact re-score)
+    * is `ivfPqProbeIndex`'s, over the filtered index.
+    */
+  def ivfPqTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      metaFilter: Column, metaCols: Seq[String],
+      nCells: Int = 16, nProbe: Int = 4,
+      dims: Int = 64, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) equal subvectors")
+    require(rerank >= k, s"need rerank ($rerank) >= k ($k)")
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val W = org.apache.spark.sql.expressions.Window
+    val seedArr = ivfSeedArray(corpus, nCells, idCol, vecCol)
+    val cbArr = pqCodebookNested(corpus, dims, m, ksub, idCol, vecCol)
+    // index build: codes + metadata per row (the id join is build-time
+    // cost; a production encode emits the metadata inline)
+    val index = ivfPqEncode(corpus, seedArr, cbArr, dims, m, idCol, vecCol)
+      .join(corpus.select((col(idCol) +: metaCols.map(c => col(c))): _*),
+        Seq(idCol))
+    val idxF = index.filter(metaFilter)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"),
+        col("cn"))
+    val cellCnt = idxF.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    // probe plan: rank all cells per query, join the yield table, keep a
+    // cell while the exclusive prefix of better cells is short of rerank
+    val ranked = array_sort(transform(col("seedset"), s =>
+      struct((s("cn2") - lit(2.0) * dotFast(col("qv"), s("cv"))).as("d2"),
+             s("cell_id").as("cell_id"))))
+    val probesAll = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(seedArr))
+      .select(col("query_id"), col("qv"),
+        posexplode(transform(ranked, c => c("cell_id")))
+          .as(Seq("pos", "probe_cell")))
+    val wPrefix = W.partitionBy(col("query_id")).orderBy(col("pos"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val probes = probesAll
+      .join(broadcast(cellCnt), col("probe_cell") === col("cell"), "left")
+      .withColumn("prefix",
+        coalesce(sum(coalesce(col("cnt"), lit(0L))).over(wPrefix), lit(0L)))
+      .filter(col("pos") < nProbe || col("prefix") < rerank + 1)
+      .select(col("query_id"), col("qv"), col("probe_cell"))
+    // ivfPqProbeIndex's tail over the FILTERED index
+    val sub = dims / m
+    def subv(v: Column, j: Column): Column = slice(v, j * sub + lit(1), lit(sub))
+    val js = sequence(lit(0), lit(m - 1))
+    val q = probes.crossJoin(broadcast(cbArr))
+      .select(col("query_id"), col("probe_cell"),
+        norm2Fast(col("qv")).as("qn"),
+        zip_with(transform(js, j => subv(col("qv"), j)), col("cbs"),
+          (qj, cj) => transform(cj, c => dotFast(qj, c("sv")))).as("qlut"))
+    val approx = q.join(idxF, col("probe_cell") === col("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        aggregate(
+          zip_with(col("codes"), col("qlut"),
+            (cd, lj) => element_at(lj, cd + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("cn")))
+    val wa = W.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2Fast(col(vecCol)).as("qn"))
+    val orig = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm2Fast(col(vecCol)).as("cn"))
+    val scored = orig.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** RESIDUAL-encoded IVF-PQ — the composition `ivfPqTopK` does with raw
     * vectors, done the way production indexes (the FAISS `IVFPQ` default)
     * actually do it: each corpus vector is PQ-encoded as its residual

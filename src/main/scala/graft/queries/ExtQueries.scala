@@ -641,6 +641,118 @@ object ExtQueries {
                     round(CAST(cos AS DOUBLE), 4) AS cos, rank
              FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** FILTERED ANN through the driver gate — `ivfPqTopKFiltered` at the
+    * composed-index parameter point with the predicate `label % 2 = 0`
+    * (filters out roughly half the corpus): the encoded index rows carry
+    * the label, the ADC scan sees only post-filter rows, and the probe
+    * ring WIDENS deterministically until the exclusive prefix of
+    * post-filter yield reaches rerank + 1 — at this corpus that takes
+    * ~7–8 of 16 cells, so the gate exercises genuine partial expansion,
+    * not the fixed-nProbe fast path and not the all-cells wall. The
+    * oracle re-derives the whole cascade INCLUDING the adaptive probe
+    * plan (per-cell yield counts + the same prefix-window rule), so a
+    * post-filter implementation (k shrinks), a blind fixed-nProbe probe
+    * (candidates missing), an off-by-one in the prefix rule, or an
+    * unfiltered candidate leaking into the scan all break the hash.
+    */
+  private val simIvfPqFiltered = NamedQuery(
+    "sim_ann_ivfpq_filtered",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      materializeForOracle(Similarity.ivfSeeds(emb, nCells = 16),
+        d, "ivfpqf_seeds")
+      materializeForOracle(
+        Similarity.pqCodebook(emb, dims = 64, m = 8, ksub = 32),
+        d, "ivfpqf_codebook")
+      Similarity.ivfPqTopKFiltered(
+          emb, emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10,
+          metaFilter = col("label") % 2 === 0, metaCols = Seq("label"),
+          nCells = 16, nProbe = 4, dims = 64, m = 8, ksub = 32, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH sd AS (SELECT cell_id, cv, cn2
+                         FROM read_parquet('${oraclePath("ivfpqf_seeds")}')),
+             cb AS (SELECT j, i, CAST(sv AS DOUBLE[]) AS sv, n2
+                    FROM read_parquet('${oraclePath("ivfpqf_codebook")}')),
+             assigned AS (
+               SELECT neighbor_id, cell_id AS cell FROM (
+                 SELECT e.vec_id AS neighbor_id, s.cell_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY s.cn2 - 2 * list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                 FROM embeddings e, sd s
+                 WHERE e.label % 2 = 0) WHERE rn = 1),
+             cellcnt AS (SELECT cell, count(*) AS cnt
+                         FROM assigned GROUP BY 1),
+             probes AS (
+               SELECT query_id, probe_cell FROM (
+                 SELECT p0.query_id, p0.probe_cell, p0.rn,
+                        coalesce(sum(c.cnt) OVER (PARTITION BY p0.query_id
+                          ORDER BY p0.rn ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prefix
+                 FROM (SELECT query_id, cell_id AS probe_cell, rn FROM (
+                         SELECT e.vec_id AS query_id, s.cell_id,
+                                row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY s.cn2 - 2 * list_inner_product(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(s.cv AS DOUBLE[])), s.cell_id) AS rn
+                         FROM embeddings e, sd s
+                         WHERE e.vec_id IN (0, 1, 2)) WHERE rn <= 16) p0
+                 LEFT JOIN cellcnt c ON c.cell = p0.probe_cell)
+               WHERE rn <= 4 OR prefix < 101),
+             codes AS (
+               SELECT neighbor_id, j, i AS code FROM (
+                 SELECT e.vec_id AS neighbor_id, c.j, c.i,
+                        row_number() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY c.n2 - 2 * list_inner_product(
+                            CAST(e.embedding[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                            c.sv), c.i) AS rn
+                 FROM embeddings e, cb c) WHERE rn = 1),
+             cn AS (SELECT vec_id AS neighbor_id,
+                           sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS cn
+                    FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS qn
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             lut AS (SELECT q.query_id, c.j, c.i,
+                            list_inner_product(
+                              CAST(q.qv[c.j*8+1 : c.j*8+8] AS DOUBLE[]),
+                              c.sv) AS d
+                     FROM q, cb c),
+             cand0 AS (SELECT p.query_id, a.neighbor_id
+                       FROM probes p JOIN assigned a ON p.probe_cell = a.cell
+                       WHERE a.neighbor_id <> p.query_id),
+             adc AS (SELECT c0.query_id, c0.neighbor_id, sum(l.d) AS adot
+                     FROM cand0 c0
+                     JOIN codes cd ON cd.neighbor_id = c0.neighbor_id
+                     JOIN lut l ON l.query_id = c0.query_id
+                               AND l.j = cd.j AND l.i = cd.code
+                     GROUP BY 1, 2),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                        SELECT a.query_id, a.neighbor_id,
+                               row_number() OVER (PARTITION BY a.query_id
+                                 ORDER BY a.adot / (q.qn * cn.cn) DESC,
+                                          a.neighbor_id) AS arank
+                        FROM adc a
+                        JOIN q ON q.query_id = a.query_id
+                        JOIN cn ON cn.neighbor_id = a.neighbor_id)
+                      WHERE arank <= 100),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS cos
+                    FROM cand c
+                    JOIN q ON q.query_id = c.query_id
+                    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             SELECT query_id, neighbor_id,
+                    round(CAST(cos AS DOUBLE), 4) AS cos, rank
+             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** INCREMENTALLY-MAINTAINED IVF-PQ index — the serving-side lifecycle of
     * the composed index: artifacts (seeds + codebook) are FROZEN from a
     * training snapshot, then new vectors arrive as a STREAM and a
@@ -1070,7 +1182,8 @@ object ExtQueries {
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simAnn, simIvf, simPq, simIvfPq, simIvfPqResidual,
+    simTopK, simAnn, simIvf, simPq, simIvfPq, simIvfPqFiltered,
+    simIvfPqResidual,
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,

@@ -162,6 +162,46 @@ class SimilaritySpec extends SparkSpec {
     assert(composed === ivf)
   }
 
+  test("filtered IVF-PQ: corpus-sized rerank == brute force over the filtered corpus") {
+    // rerank ≥ |filtered corpus| makes the prefix rule probe EVERY cell
+    // (the exclusive prefix can never reach rerank + 1), so the candidate
+    // set is exactly the filtered corpus and the exact re-score must
+    // reproduce brute force over a pre-filtered corpus row-for-row —
+    // the lossless law that pins the filter as scan-pruning, not
+    // result-changing
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), i % 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id".isin(0L, 1L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = rowsOf(Similarity.bruteForceTopK(
+      emb.filter($"label" === 1), queries, k = 5))
+    val filtered = rowsOf(Similarity.ivfPqTopKFiltered(emb, queries, k = 5,
+      metaFilter = $"label" === 1, metaCols = Seq("label"),
+      nCells = 6, nProbe = 2, dims = 16, m = 4, ksub = 8, rerank = 1000))
+    assert(filtered === exact)
+  }
+
+  test("filtered IVF-PQ: every neighbor satisfies the predicate; k survives a selective filter") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 90).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), i % 5))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter($"vec_id".isin(0L, 1L))
+    // label 2 keeps 18 of 90 rows — far under what nProbe = 1 of 6 cells
+    // would yield unfiltered, so k survivors REQUIRE the probe expansion
+    val got = Similarity.ivfPqTopKFiltered(emb, queries, k = 5,
+      metaFilter = $"label" === 2, metaCols = Seq("label"),
+      nCells = 6, nProbe = 1, dims = 16, m = 4, ksub = 8, rerank = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.length === 10, "5 survivors per query despite the filter")
+    val labels = got.map(_._2 % 5)
+    assert(labels.forall(_ == 2), "every returned neighbor passes the predicate")
+  }
+
   test("IVF-PQ: recall vs brute force on clustered corpus (seeded)") {
     val rnd = new scala.util.Random(41)
     val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
