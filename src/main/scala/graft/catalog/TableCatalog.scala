@@ -43,6 +43,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Spark prunes partitions on `region = 'x'` filters, which is the
   * difference between scanning 100 TB and scanning one region's slice.
   */
+/** Typed conflict signal of the optimistic commit protocol
+  * (`TableCatalog.overwriteOptimistic`): the base version a writer derived
+  * its snapshot from is no longer the newest committed version, or the
+  * CAS rename lost to a concurrent committer. Catch it to re-read and
+  * retry (`commitWithRetry` does, for commutative commits).
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object TableCatalog {
+  /** In-JVM serialization of the optimistic-commit critical section, per
+    * table path. Needed because Hadoop's LOCAL filesystem implements both
+    * "exclusive create" and "no-overwrite rename" as check-then-act (and
+    * `RawLocalFileSystem.rename` falls back to moving the source INTO an
+    * existing destination directory — so a CAS loser could "win" by
+    * nesting its staged snapshot invisibly inside the winner's version
+    * dir). On HDFS renames are namenode-atomic and on S3 commit goes
+    * through conditional puts, so the file protocol is sound across
+    * processes THERE; this lock closes the local-fs gap for same-process
+    * writers — the same trade Delta's single-driver S3 LogStore makes.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def commitLockFor(tablePath: String): Object =
+    commitLocks.computeIfAbsent(tablePath, _ => new Object)
+}
+
 final class TableCatalog(spark: SparkSession, root: String,
     format: String = "parquet", keepVersions: Int = 2) {
 
@@ -282,10 +308,182 @@ final class TableCatalog(spark: SparkSession, root: String,
       val tableDir = new Path(path(layer, table))
       fs.listStatus(tableDir).foreach { st =>
         val nm = st.getPath.getName
-        if (nm != "_v" && !nm.startsWith("_CURRENT") && !nm.startsWith("_TAG_"))
+        if (nm != "_v" && !nm.startsWith("_CURRENT") && !nm.startsWith("_TAG_")
+            && !nm.startsWith("_staging") && !nm.startsWith("_LOCK"))
           fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** Newest committed version by the OPTIMISTIC protocol's definition:
+    * the highest `_v/NNNNN` directory. Under that protocol a version dir
+    * can only APPEAR complete (snapshots stage under `_staging/` and
+    * arrive by atomic rename), so listing is safe — unlike the legacy
+    * single-writer `overwrite`, which writes `_v/NNNNN` in place and must
+    * therefore be trusted only through the pointer. Never mix the two
+    * writer kinds on one table.
+    */
+  private def latestCommitted(layer: String, table: String): Option[Int] =
+    versions(layer, table).lastOption
+
+  /** fsync-then-atomic-rename of the `_CURRENT` pointer to `v`. */
+  private def writePointer(layer: String, table: String, v: Int): Unit = {
+    val ptr = pointerPath(layer, table)
+    val tmp = new Path(ptr.toString + ".__tmp" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = hadoopFs(ptr)
+    val outStream = fs.create(tmp, true)
+    try {
+      outStream.write(f"$v%05d".getBytes(StandardCharsets.UTF_8))
+      outStream.hsync()
+    } finally outStream.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ptr.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Serialize pointer advance + vacuum across writers via a `_LOCK` file
+    * taken by atomic no-overwrite rename (the same primitive as the
+    * version CAS — a unique temp file renamed to `_LOCK` succeeds for
+    * exactly one contender). A crashed holder's lock goes stale and is
+    * broken after `staleLockMs`; acquisition times out rather than spin
+    * forever. The lock guards only METADATA (a pointer write and version
+    * deletes) — data writes never hold it, so contention is microseconds.
+    */
+  private def withTableLock[A](layer: String, table: String,
+      timeoutMs: Long = 30000, staleLockMs: Long = 60000)(body: => A): A = {
+    val dir = new Path(path(layer, table))
+    val lock = new Path(dir, "_LOCK")
+    val fs = hadoopFs(lock)
+    fs.mkdirs(dir)
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(lock.toUri, spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir, "_LOCK.tmp" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    try {
+      val o = fs.create(tmp, true)
+      try o.write('1') finally o.close()
+      while (!held) {
+        try { fc.rename(tmp, lock); held = true }
+        catch { case _: java.io.IOException =>
+          val stale = (try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.FileNotFoundException => None })
+            .exists(st => System.currentTimeMillis() -
+              st.getModificationTime > staleLockMs)
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new CommitConflictException(
+              s"$layer/$table: _LOCK not acquired within ${timeoutMs}ms")
+          else Thread.sleep(5)
+        }
+      }
+      body
+    } finally {
+      if (held) fs.delete(lock, false)
+      fs.delete(tmp, false)
+    }
+  }
+
+  /** OPTIMISTIC ACID overwrite — the multi-writer commit the single-writer
+    * `overwrite` deliberately is not (Delta's optimistic concurrency
+    * surface; the reference's delta-rs layer claims it but no reference
+    * code exercises a second writer — SURVEY §1.3). Protocol:
+    *
+    *  1. the writer declares `expected`, the committed version its
+    *     snapshot derives from (None = expects to create the table);
+    *  2. the snapshot is staged under `_staging/<uuid>` — invisible to
+    *     readers and to version listing;
+    *  3. commit is COMPARE-AND-SWAP: an atomic no-overwrite rename of the
+    *     staged dir to `_v/(expected+1)`. Exactly one contender can
+    *     create that name; the loser's rename fails, its staging is
+    *     cleaned up, and it gets a typed `CommitConflictException` to
+    *     re-read, re-derive, and retry (`commitWithRetry` packages that
+    *     loop for commutative commits like appends);
+    *  4. the winner advances `_CURRENT` monotonically and vacuums beyond
+    *     `keepVersions`, serialized by the `_LOCK` rename-lock — so two
+    *     winners publishing out of order can never move the pointer
+    *     backwards.
+    *
+    * Readers keep the exact isolation story of `overwrite`: they resolve
+    * the pointer and read an immutable version dir. At 100 TB the staged
+    * snapshot write is the only data-sized cost and is conflict-free;
+    * the CAS + pointer advance are two metadata renames.
+    */
+  def overwriteOptimistic(df: DataFrame, layer: String, table: String,
+      expected: Option[Int], partitionBy: Seq[String] = Nil): Unit = {
+    // cheap pre-validation: refuse before paying the snapshot write when
+    // the base is already stale (the CAS below is still the real gate)
+    val seen = latestCommitted(layer, table)
+    if (seen != expected)
+      throw new CommitConflictException(
+        s"$layer/$table: expected base version $expected but found $seen")
+    val next = expected.getOrElse(0) + 1
+    val staging = new Path(path(layer, table),
+      "_staging/" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(staging.toString)
+    val target = versionDir(layer, table, next)
+    val fs = hadoopFs(target)
+    fs.mkdirs(target.getParent)
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(target.toUri, spark.sessionState.newHadoopConf())
+    // CAS + publish under the per-table JVM lock (see companion scaladoc:
+    // local-fs Hadoop renames are not exclusive between same-process
+    // threads); the explicit existence probe inside the lock makes the
+    // conflict deterministic, and the no-overwrite rename remains the
+    // cross-process gate on stores where it is truly atomic
+    TableCatalog.commitLockFor(path(layer, table)).synchronized {
+      if (fs.exists(target)) {
+        fs.delete(staging, true)
+        throw new CommitConflictException(
+          s"$layer/$table: version $next was committed concurrently")
+      }
+      try fc.rename(staging, target) // no OVERWRITE: fails iff target exists
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(staging, true)
+          if (fs.exists(target))
+            throw new CommitConflictException(
+              s"$layer/$table: version $next was committed concurrently")
+          else throw e
+      }
+      withTableLock(layer, table) {
+        if (currentVersion(layer, table).forall(_ < next))
+          writePointer(layer, table, next)
+        versions(layer, table).dropRight(keepVersions)
+          .foreach(v => fs.delete(versionDir(layer, table, v), true))
+      }
+    }
+  }
+
+  /** Retry loop for COMMUTATIVE optimistic commits (append-shaped: the
+    * new snapshot is a pure function of the current one, and re-deriving
+    * from a newer base is correct — append ∘ append commutes). `build`
+    * receives the current snapshot (None = table absent) and returns the
+    * successor; on CAS conflict it is re-invoked against the fresh base.
+    * Non-commutative intent (plain overwrite of a specific base) should
+    * call `overwriteOptimistic` directly and surface the conflict to
+    * whoever owns the decision. Returns the committed version.
+    */
+  def commitWithRetry(layer: String, table: String, maxAttempts: Int = 10)(
+      build: Option[DataFrame] => DataFrame): Int = {
+    var attempt = 1
+    while (true) {
+      val base = latestCommitted(layer, table)
+      val snapshot = build(base.map(readVersion(layer, table, _)))
+      try {
+        overwriteOptimistic(snapshot, layer, table, expected = base)
+        return base.getOrElse(0) + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
   }
 
   /** Atomic per-table metadata tag (same fsync + single-rename commit as

@@ -557,6 +557,60 @@ object DomainQueries {
             FROM orders GROUP BY 2
             ORDER BY 1, 2"""))
 
+  /** MULTI-WRITER optimistic concurrency through the driver gate: two
+    * REAL threads race six commutative append-commits (disjoint okey % 6
+    * slices, three per writer) onto one table through
+    * `commitWithRetry` — each commit stages its snapshot, CASes the next
+    * version dir by atomic no-overwrite rename, and on conflict
+    * re-derives from the fresh base. The final snapshot must equal the
+    * plain relational union of all six slices — i.e. the full orders
+    * table — in EVERY interleaving order, which is exactly the
+    * serializability claim: a lost update (clobbered concurrent commit),
+    * a double-applied retry, or a backwards pointer swap all change the
+    * aggregate and break the hash. The conflict-SURFACING half
+    * (overwrite-overwrite on one base is a typed error, not a silent
+    * win) is pinned in TableCatalogSpec.
+    */
+  private val catalogConcurrentAppend = NamedQuery(
+    "catalog_concurrent_append", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_occ_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        // keepVersions covers all six commits so a retry can always
+        // re-read the base it lost to
+        val cat = new TableCatalog(s, root, keepVersions = 8)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def writer(slices: Seq[Int]): Thread = {
+          val t = new Thread(() =>
+            try slices.foreach { sl =>
+              cat.commitWithRetry("silver", "orders_occ") { base =>
+                val rows = orders.filter(col("o_orderkey") % 6 === sl)
+                base.fold(rows)(_.unionByName(rows))
+              }
+            } catch { case e: Throwable => errs.add(e) })
+          t.start(); t
+        }
+        val ts = Seq(writer(Seq(0, 2, 4)), writer(Seq(1, 3, 5)))
+        ts.foreach(_.join(300000))
+        if (!errs.isEmpty) throw errs.peek()
+        cat.read("silver", "orders_occ")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    // the union of all six disjoint slices IS the orders table
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** OPTIMIZE-style compaction through the driver gate: fragment a
     * lineitem projection across 64 small files (the accretion shape a
     * frequent-merge table develops), compact to 4, read the committed
@@ -769,5 +823,5 @@ object DomainQueries {
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
       catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs,
-      catalogSchemaEvolve)
+      catalogSchemaEvolve, catalogConcurrentAppend)
 }

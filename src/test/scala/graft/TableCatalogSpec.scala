@@ -6,6 +6,54 @@ import org.apache.spark.sql.functions._
 class TableCatalogSpec extends SparkSpec {
   import spark.implicits._
 
+  test("optimistic commit: stale base surfaces a typed conflict, fresh base lands") {
+    import graft.catalog.CommitConflictException
+    val cat = new TableCatalog(spark, tmpDir("cat-occ"))
+    // writer A creates v1
+    cat.overwriteOptimistic(Seq(1).toDF("x"), "silver", "t", expected = None)
+    assert(cat.read("silver", "t").as[Int].collect().toSeq === Seq(1))
+    // writers B and C both derive from v1; B commits v2 first …
+    cat.overwriteOptimistic(Seq(2).toDF("x"), "silver", "t",
+      expected = Some(1))
+    // … so C's overwrite-overwrite intent must CONFLICT, not clobber
+    val e = intercept[CommitConflictException] {
+      cat.overwriteOptimistic(Seq(3).toDF("x"), "silver", "t",
+        expected = Some(1))
+    }
+    assert(e.getMessage.contains("expected base version"))
+    assert(cat.read("silver", "t").as[Int].collect().toSeq === Seq(2))
+    // expecting a table that already exists conflicts too
+    intercept[CommitConflictException] {
+      cat.overwriteOptimistic(Seq(4).toDF("x"), "silver", "t",
+        expected = None)
+    }
+  }
+
+  test("optimistic commit: two interleaved writers, appends commute via retry") {
+    val cat = new TableCatalog(spark, tmpDir("cat-occ2"), keepVersions = 16)
+    // two threads, three commutative append-commits each, racing on one
+    // table; every conflict re-derives from the fresh base — the final
+    // snapshot must be the union in EITHER interleaving order
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(vals: Seq[Int]): Thread = {
+      val t = new Thread(() =>
+        try vals.foreach { v =>
+          cat.commitWithRetry("silver", "u") { base =>
+            val rows = Seq(v).toDF("x")
+            base.fold(rows)(_.unionByName(rows))
+          }
+        } catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    val ts = Seq(writer(Seq(1, 2, 3)), writer(Seq(10, 20, 30)))
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    assert(cat.read("silver", "u").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3, 10, 20, 30))
+    // six commits landed as six versions; the pointer is at the newest
+    assert(cat.currentVersion("silver", "u") === Some(6))
+  }
+
   test("append accumulates; overwrite replaces atomically") {
     val cat = new TableCatalog(spark, tmpDir("cat"))
     cat.append(Seq(1, 2).toDF("x"), "silver", "t")
