@@ -188,12 +188,19 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]-ish: rewards mid-length docs with
     * real words; penalizes pathological token lengths. Same arithmetic is
-    * mirrored in the oracle.
+    * mirrored in the oracle. The final rounding goes THROUGH decimal(20,10)
+    * on purpose: the component sum can land exactly on a x.xxxx5 boundary
+    * (e.g. n/100·0.4 terms), where engines' double-rounding conventions
+    * legitimately disagree at the 4th decimal; rounding the shared double
+    * to 10 decimals first (far above representation noise, far below the
+    * boundary gap) makes HALF_UP at 4 decimals identical everywhere —
+    * this closed the 1-in-5000 sf0.1 diff the r7 sweep documented.
     */
   def qualityScore(c: Column): Column =
     round(
-      least(lit(1.0), tokenCount(c) / lit(100.0)) * lit(0.4)
+      (least(lit(1.0), tokenCount(c) / lit(100.0)) * lit(0.4)
         + least(lit(1.0), stopwordRatio(c) * lit(5.0)) * lit(0.3)
-        + when(avgTokenLen(c).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)),
-      4)
+        + when(avgTokenLen(c).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)))
+        .cast("decimal(20,10)"),
+      4).cast("double")
 }

@@ -228,15 +228,41 @@ object CoreQueries {
           col("c_nationkey") === col("s_nationkey") &&
           abs(col("c_acctbal") - col("s_acctbal")) < 100.0)
         .groupBy(col("s_suppkey"))
+        // ORDER- and ENGINE-STABLE mean (r7 sweep residual, closed):
+        // balances are exact 2-decimal values, so the group mean is the
+        // rational sum_cents / n — and some groups land EXACTLY on a
+        // half-cent, where `round(avg(double), 2)` legitimately disagrees
+        // between engines (Spark HALF_UPs the exact decimal expansion;
+        // DuckDB rounds after multiplying by 10^k, which itself crosses
+        // the half). So the mean is computed in integer cents end to end:
+        // exact long sum (partial-agg-order independent), then explicit
+        // round-half-away-from-zero by integer arithmetic — floor of the
+        // double quotient is exact here (operands < 2^53 and the true
+        // quotient is never within an ulp of an integer it doesn't equal).
         .agg(count(lit(1)).as("n_close_customers"),
-             r2(avg(col("c_acctbal"))).as("avg_cust_bal"))
+             sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+        .withColumn("avg_cust_bal",
+          (when(col("sum_cents") < 0, lit(-1L)).otherwise(lit(1L)) *
+            floor((abs(col("sum_cents")) * 2 + col("n_close_customers"))
+              / (col("n_close_customers") * 2)).cast("long")).cast("double")
+            / 100.0)
+        .select(col("s_suppkey"), col("n_close_customers"),
+          col("avg_cust_bal"))
         .orderBy(col("s_suppkey"))
     },
-    Some("""SELECT s_suppkey, count(*) AS n_close_customers,
-            round(avg(c_acctbal),2) AS avg_cust_bal
-            FROM customer JOIN supplier
-              ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 100.0
-            GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH j AS (SELECT s_suppkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                       FROM customer JOIN supplier
+                         ON c_nationkey = s_nationkey
+                        AND abs(c_acctbal - s_acctbal) < 100.0),
+                 g AS (SELECT s_suppkey, count(*) AS n_close_customers,
+                              sum(cents) AS sum_cents FROM j GROUP BY 1)
+            SELECT s_suppkey, n_close_customers,
+                   CAST((CASE WHEN sum_cents < 0 THEN -1 ELSE 1 END
+                         * ((abs(sum_cents) * 2 + n_close_customers)
+                            // (n_close_customers * 2))) AS DOUBLE) / 100.0
+                     AS avg_cust_bal
+            FROM g ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q10
   // Intentional cross join of two tiny dims (SURVEY J1) →

@@ -1077,10 +1077,11 @@ object ExtQueries {
                    FROM t)
              SELECT doc_id, n_tokens, round(atl, 4) AS avg_token_len,
                     round(sr, 4) AS stopword_ratio,
-                    round(least(1.0, n_tokens / 100.0) * 0.4
+                    CAST(round(CAST(least(1.0, n_tokens / 100.0) * 0.4
                           + least(1.0, sr * 5.0) * 0.3
                           + CASE WHEN atl BETWEEN 3.0 AND 10.0
-                                 THEN 0.3 ELSE 0.0 END, 4) AS quality
+                                 THEN 0.3 ELSE 0.0 END AS DECIMAL(20,10)),
+                        4) AS DOUBLE) AS quality
              FROM m ORDER BY doc_id"""))
 
   private val textLang = NamedQuery(
