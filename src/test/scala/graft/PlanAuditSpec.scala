@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivfpq_residual" -> (Set("BroadcastNestedLoopJoin"),
       "same two 1-row attaches as sim_ann_ivfpq (seed array + residual " +
         "codebook); per-cell ADC scan and re-rank joins stay hash equi"),
+    "sim_ann_ivfpq_filtered" -> (Set("BroadcastNestedLoopJoin"),
+      "same two 1-row artifact attaches as sim_ann_ivfpq; the filtered ADC " +
+        "scan, the nCells-row yield-table attach, and the re-rank joins " +
+        "are all broadcast/hash equi"),
     "sim_index_incremental_stream" -> (Set("BroadcastNestedLoopJoin"),
       "the probe side of the catalog-maintained index — same two 1-row " +
         "artifact attaches as sim_ann_ivfpq; the index scan joins per-cell " +
