@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Layered (bronze/silver/gold) parquet table catalog — the engine's stand-in
   * for the reference's Delta-on-MinIO storage (reference:
@@ -279,6 +279,15 @@ final class TableCatalog(spark: SparkSession, root: String,
     // sidecar invisible to every normal read (Spark's listing filters
     // underscore-prefixed paths).
     if (statsCols.nonEmpty) writeFileStats(target, statsCols)
+    publishVersion(layer, table, next, prevCommitted)
+  }
+
+  /** Commit tail shared by every single-writer snapshot commit: atomic
+    * pointer swap to `next`, retention vacuum, and (once) the flat-dir
+    * grace vacuum after a previously-appended table adopted snapshot mode.
+    */
+  private def publishVersion(layer: String, table: String, next: Int,
+      prevCommitted: Option[Int]): Unit = {
     // atomic pointer swap
     val ptr = pointerPath(layer, table)
     val tmp = new Path(ptr.toString + ".__tmp")
@@ -708,6 +717,195 @@ final class TableCatalog(spark: SparkSession, root: String,
       else cur.repartition(numFiles,
         parts.map(org.apache.spark.sql.functions.col): _*)
     overwrite(packed, layer, table, parts)
+  }
+
+  /** Columns the live snapshot's stats sidecar covers (empty when none) —
+    * the `statsCols` a DML rewrite must re-record to keep data skipping
+    * alive across the commit.
+    */
+  private def liveStatsCols(layer: String, table: String): Seq[String] =
+    fileStats(layer, table) match {
+      case None => Nil
+      case Some(stats) => stats.schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    }
+
+  /** Shared core of the copy-on-write DML verbs (`deleteWhere` /
+    * `updateWhere`): commit a new snapshot equal to
+    * `transform(live snapshot)`, rewriting as FEW files as possible.
+    *
+    * `pruneRanges` is the caller's data-skipping assertion: every row the
+    * DML predicate matches has column `c` within `[lo, hi]` for each
+    * `(c, lo, hi)` given (what Delta derives from the predicate
+    * automatically; here it is explicit). With a stats sidecar present,
+    * files whose `[min, max]` misses any range CANNOT contain a matching
+    * row, so they are copied into the new version byte-for-byte — a raw
+    * filesystem copy (server-side on object stores), never decoded — and
+    * keep their stats rows; only intersecting files pass through
+    * `transform` and a stats re-record. At 100 TB this is the difference
+    * between rewriting a table and rewriting the 0.1% of files a targeted
+    * DELETE touches. Without a sidecar (or hints) the semantics are
+    * identical via a full rewrite. Hive-partitioned layouts keep their
+    * directory structure on both paths.
+    *
+    * The transform receives only rows of REWRITTEN files; correctness does
+    * not depend on the hint (a wrong hint that contradicts the predicate
+    * is the caller's bug, exactly as with Delta's own skipping — the spec
+    * pins the equal-result law for honest hints).
+    */
+  private def rewriteWhere(layer: String, table: String,
+      pruneRanges: Seq[(String, Any, Any)])(
+      rewrite: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val prevCommitted = currentVersion(layer, table)
+    require(prevCommitted.isDefined,
+      s"$layer/$table is not snapshot-versioned; DML verbs rewrite " +
+        "snapshots — overwrite the table once to adopt snapshot mode")
+    val parts = partitionColumnsOf(layer, table)
+    val statsCols = liveStatsCols(layer, table)
+    val statsOpt = fileStats(layer, table)
+    val usePrune = statsOpt.isDefined && pruneRanges.nonEmpty
+    if (!usePrune) {
+      overwrite(rewrite(read(layer, table)), layer, table, parts, statsCols)
+    } else {
+      val stats = statsOpt.get
+      val touched = pruneRanges.foldLeft(stats) { case (sdf, (c, lo, hi)) =>
+        sdf.filter(col(s"min_$c").isNull ||
+          (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
+      }
+      // manifest-scale driver lists, same as readRange's pruning
+      val touchedNames = touched.select(col(statsFileCol)).collect()
+        .map(_.getString(0)).toSet
+      val live = new Path(livePath(layer, table))
+      val fs = hadoopFs(live)
+      val liveUri = live.toUri.getPath
+      def relOf(p: Path): String = {
+        val full = p.toUri.getPath
+        full.stripPrefix(liveUri).stripPrefix("/")
+      }
+      val allFiles = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val it = fs.listFiles(live, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = relOf(f)
+          if (!rel.startsWith("_") && !rel.contains("/_")) buf += f
+        }
+        buf.toSeq
+      }
+      val (rewriteFiles, keepFiles) =
+        allFiles.partition(f => touchedNames.contains(f.getName))
+      if (rewriteFiles.isEmpty) {
+        // nothing can match: the snapshot is unchanged — commit nothing
+        // (Delta's no-op DELETE also skips the commit)
+        return
+      }
+      val next = prevCommitted.get + 1
+      val target = versionDir(layer, table, next)
+      val touchedRows = spark.read.format(format)
+        .option("basePath", live.toString)
+        .load(rewriteFiles.map(_.toString): _*)
+      val w = rewrite(touchedRows).write
+        .mode(SaveMode.Overwrite).format(format)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .save(target.toString)
+      // names of the freshly rewritten files, BEFORE raw copies join them
+      val newNames = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(target, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = f.toUri.getPath
+            .stripPrefix(target.toUri.getPath).stripPrefix("/")
+          if (!rel.startsWith("_") && !rel.contains("/_")) buf += f.getName
+        }
+        buf.toSet
+      }
+      // byte-for-byte copy of provably-untouched files, partition subdirs
+      // preserved (server-side copy on object stores; no decode)
+      val conf = spark.sessionState.newHadoopConf()
+      keepFiles.foreach { f =>
+        val dst = new Path(target, relOf(f))
+        require(!newNames.contains(f.getName),
+          s"rewrite produced a file colliding with kept name ${f.getName}")
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
+      }
+      if (statsCols.nonEmpty) {
+        // sidecar for the new version: kept files carry their old stats
+        // rows verbatim; only the rewritten files are re-scanned
+        val keptStats = stats.filter(
+          !col(statsFileCol).isin(touchedNames.toSeq: _*))
+        val newFilePaths = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = fs.listFiles(target, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (newNames.contains(f.getName) &&
+                !f.toString.contains("/_stats/")) buf += f.toString
+          }
+          buf.toSeq
+        }
+        val newStats =
+          if (newFilePaths.isEmpty) None
+          else {
+            val written = spark.read.format(format)
+              .option("basePath", target.toString)
+              .load(newFilePaths: _*)
+            val aggs = statsCols.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            Some(written
+              .select(input_file_name().as(statsFileCol) +:
+                statsCols.map(col): _*)
+              .withColumn(statsFileCol,
+                element_at(split(col(statsFileCol), "/"), -1))
+              .groupBy(col(statsFileCol))
+              .agg(aggs.head, aggs.tail: _*))
+          }
+        newStats.map(keptStats.unionByName(_)).getOrElse(keptStats)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).format(format)
+          .save(new Path(target, "_stats").toString)
+      }
+      publishVersion(layer, table, next, prevCommitted)
+    }
+  }
+
+  /** Delta-style `DELETE FROM … WHERE predicate`: commit a new snapshot
+    * without the matching rows. See `rewriteWhere` for the stats-pruned
+    * file-granular rewrite and the `pruneRanges` contract. Null predicate
+    * values keep the row (SQL DELETE deletes only where the predicate is
+    * TRUE).
+    */
+  def deleteWhere(layer: String, table: String, predicate: Column,
+      pruneRanges: Seq[(String, Any, Any)] = Nil): Unit =
+    rewriteWhere(layer, table, pruneRanges)(df =>
+      df.filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))))
+
+  /** Delta-style `UPDATE … SET c = expr, … WHERE predicate`: commit a new
+    * snapshot where matching rows carry the assigned values. Every
+    * assignment expression sees the PRE-update row (SQL UPDATE semantics —
+    * one projection, not a fold), non-matching rows pass through
+    * unchanged. See `rewriteWhere` for the file-granular rewrite.
+    */
+  def updateWhere(layer: String, table: String,
+      assignments: Seq[(String, Column)], predicate: Column,
+      pruneRanges: Seq[(String, Any, Any)] = Nil): Unit = {
+    import org.apache.spark.sql.functions._
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val byName = assignments.toMap
+    rewriteWhere(layer, table, pruneRanges) { df =>
+      val missing = byName.keySet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"update assigns non-existent column(s): ${missing.mkString(", ")}")
+      df.select(df.columns.toSeq.map { c =>
+        byName.get(c)
+          .map(e => when(coalesce(predicate, lit(false)), e)
+            .otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

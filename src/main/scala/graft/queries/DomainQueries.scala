@@ -817,11 +817,99 @@ object DomainQueries {
             FROM orders WHERE o_orderkey % 10 >= 5
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Delta-style DELETE through the driver gate (the `DELETE FROM … WHERE`
+    * verb the reference's Delta stack offers; reference
+    * fire_risk_processor.py:77-85 writes Delta but never exercises DML —
+    * SURVEY §1.3). The snapshot is seeded range-partitioned on the key
+    * with a file-stats sidecar, and the delete carries the matching
+    * `pruneRanges` hint, so the commit rewrites ONLY files whose
+    * `[min,max]` intersects the deleted key span — every other file is
+    * raw-copied into the new version (`TableCatalog.rewriteWhere`), which
+    * at 100 TB is the difference between a table rewrite and a targeted
+    * 0.1%-of-files commit. The oracle recomputes the post-delete table
+    * relationally, so a file wrongly skipped (rows survive), wrongly
+    * rewritten (rows lost), or copied twice all break the hash.
+    */
+  private val catalogDeleteWhere = NamedQuery(
+    "catalog_delete_where", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_del_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        cat.overwrite(
+          Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")),
+          "silver", "orders_del", statsCols = Seq("o_orderkey"))
+        cat.deleteWhere("silver", "orders_del",
+          col("o_orderkey") <= 15000L && col("o_orderstatus") === "F",
+          pruneRanges = Seq(("o_orderkey", 0L, 15000L)))
+        cat.read("silver", "orders_del")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            WHERE NOT (o_orderkey <= 15000 AND o_orderstatus = 'F')
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Delta-style UPDATE through the driver gate: `SET price = price*1.05,
+    * priority = '0-TOUCHED' WHERE key <= 15000 AND priority LIKE '1-%'`,
+    * committed with the same stats-pruned file-granular rewrite as the
+    * delete (only key-intersecting files decode; assignments see the
+    * pre-update row in one projection). The oracle applies the identical
+    * CASE rewrite relationally — a double-applied assignment, an update
+    * leaking past the predicate, or a dropped untouched row all break the
+    * hash.
+    */
+  private val catalogUpdateSet = NamedQuery(
+    "catalog_update_set", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_upd_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val cat = new TableCatalog(s, root)
+        cat.overwrite(
+          Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")),
+          "silver", "orders_upd", statsCols = Seq("o_orderkey"))
+        cat.updateWhere("silver", "orders_upd",
+          Seq("o_totalprice" -> (col("o_totalprice") * 1.05),
+              "o_orderpriority" -> lit("0-TOUCHED")),
+          col("o_orderkey") <= 15000L &&
+            col("o_orderpriority").startsWith("1-"),
+          pruneRanges = Seq(("o_orderkey", 0L, 15000L)))
+        cat.read("silver", "orders_upd")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+    Some("""WITH upd AS (
+              SELECT CASE WHEN o_orderkey <= 15000
+                            AND o_orderpriority LIKE '1-%'
+                          THEN '0-TOUCHED' ELSE o_orderpriority END
+                       AS o_orderpriority,
+                     CASE WHEN o_orderkey <= 15000
+                            AND o_orderpriority LIKE '1-%'
+                          THEN o_totalprice * 1.05 ELSE o_totalprice END
+                       AS o_totalprice
+              FROM orders)
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM upd GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
       partitionPrunedScan, catalogMergeUpsert, catalogCompactRoundtrip,
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
       catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs,
-      catalogSchemaEvolve, catalogConcurrentAppend)
+      catalogSchemaEvolve, catalogConcurrentAppend, catalogDeleteWhere,
+      catalogUpdateSet)
 }

@@ -465,6 +465,114 @@ class TableCatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("retained"))
   }
 
+  test("deleteWhere/updateWhere: SQL DML semantics, null predicate rows untouched") {
+    val cat = new TableCatalog(spark, tmpDir("cat-dml"))
+    val rows = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0))).toDF("k", "v")
+    cat.overwrite(rows, "silver", "t")
+    // DELETE WHERE v > 15: the null-v row is NOT deleted (predicate null)
+    cat.deleteWhere("silver", "t", col("v") > 15.0)
+    assert(cat.read("silver", "t").select("k").as[Long].collect().sorted
+      .toSeq === Seq(1L, 3L))
+    // UPDATE SET v = v + k WHERE k = 1: assignment sees the pre-update row
+    cat.updateWhere("silver", "t", Seq("v" -> (col("v") + col("k"))),
+      col("k") === 1L)
+    val after = cat.read("silver", "t").orderBy("k")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(after === Seq((1L, Some(11.0)), (3L, None)))
+    // each DML verb committed one new version
+    assert(cat.currentVersion("silver", "t") === Some(3))
+  }
+
+  test("updateWhere: every assignment sees the PRE-update row (one projection)") {
+    val cat = new TableCatalog(spark, tmpDir("cat-dml2"))
+    cat.overwrite(Seq((1.0, 2.0)).toDF("a", "b"), "silver", "t")
+    // swap a and b — a fold would assign b = a AFTER a was overwritten
+    cat.updateWhere("silver", "t",
+      Seq("a" -> col("b"), "b" -> col("a")), lit(true))
+    assert(cat.read("silver", "t").as[(Double, Double)].collect().toSeq ===
+      Seq((2.0, 1.0)))
+  }
+
+  test("deleteWhere with pruneRanges: untouched files copied verbatim, stats maintained") {
+    val cat = new TableCatalog(spark, tmpDir("cat-dml3"), keepVersions = 4)
+    val df = (1L to 400L).toDF("k")
+      .withColumn("v", col("k") * 2.0)
+      .repartitionByRange(4, col("k")) // 4 range-disjoint files
+    cat.overwrite(df, "silver", "t", statsCols = Seq("k"))
+    def dataFiles(v: Int): Set[String] = {
+      val dir = new java.io.File(
+        cat.livePath("silver", "t").stripPrefix("file:")).getParentFile
+      val vd = new java.io.File(dir, f"$v%05d")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().toSeq
+            .filterNot(_.getName.startsWith("_")) // skip _stats, _SUCCESS
+            .flatMap(walk)
+        else Seq(f)
+      walk(vd).map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .filterNot(_.contains("crc")).toSet
+    }
+    val v1Files = dataFiles(1)
+    assert(v1Files.size === 4)
+    // delete a range confined to one file's key span, hint the range
+    cat.deleteWhere("silver", "t",
+      col("k") >= 10L && col("k") <= 20L && col("v") > 0.0,
+      pruneRanges = Seq(("k", 10L, 20L)))
+    val v2Files = dataFiles(2)
+    // at least 2 of the 4 original files provably can't match → raw-copied
+    assert((v2Files & v1Files).size >= 2,
+      s"expected copied files, got v1=$v1Files v2=$v2Files")
+    // semantics: exactly the hinted rows are gone
+    assert(cat.read("silver", "t").select("k").as[Long].collect().sorted
+      .toSeq === ((1L to 9L) ++ (21L to 400L)))
+    // the new version's sidecar covers every live data file, so skipping
+    // still works: a range read outside the delete span prunes correctly
+    val stats = cat.fileStats("silver", "t").get.collect()
+    assert(stats.length === v2Files.size)
+    assert(cat.readRange("silver", "t", Seq(("k", 300L, 310L)))
+      .select("k").as[Long].collect().sorted.toSeq === (300L to 310L))
+    // equal-result law: the same delete WITHOUT hints on a twin table
+    val cat2 = new TableCatalog(spark, tmpDir("cat-dml3b"))
+    cat2.overwrite(df, "silver", "t", statsCols = Seq("k"))
+    cat2.deleteWhere("silver", "t",
+      col("k") >= 10L && col("k") <= 20L && col("v") > 0.0)
+    assert(cat2.read("silver", "t").select("k").as[Long].collect().sorted
+      .toSeq === cat.read("silver", "t").select("k").as[Long].collect()
+      .sorted.toSeq)
+  }
+
+  test("deleteWhere: a fully-pruned predicate is a no-op commit") {
+    val cat = new TableCatalog(spark, tmpDir("cat-dml4"))
+    val df = (1L to 100L).toDF("k").repartitionByRange(2, col("k"))
+    cat.overwrite(df, "silver", "t", statsCols = Seq("k"))
+    cat.deleteWhere("silver", "t", col("k") > 1000L,
+      pruneRanges = Seq(("k", 1001L, 2000L)))
+    // no file intersects the range → no new version committed
+    assert(cat.currentVersion("silver", "t") === Some(1))
+    assert(cat.read("silver", "t").count() === 100L)
+  }
+
+  test("updateWhere with pruneRanges on a hive-partitioned layout") {
+    val cat = new TableCatalog(spark, tmpDir("cat-dml5"))
+    val df = (1L to 200L).toDF("k")
+      .withColumn("grp", concat(lit("g"), (col("k") % 2).cast("string")))
+      .withColumn("v", col("k") * 1.0)
+      .repartitionByRange(4, col("k"))
+    cat.overwrite(df, "silver", "t", partitionBy = Seq("grp"),
+      statsCols = Seq("k"))
+    cat.updateWhere("silver", "t", Seq("v" -> lit(-1.0)),
+      col("k") <= 10L, pruneRanges = Seq(("k", 1L, 10L)))
+    val out = cat.read("silver", "t")
+    // partition layout survived the rewrite
+    assert(cat.partitionColumnsOf("silver", "t") === Seq("grp"))
+    assert(out.filter(col("v") === -1.0).count() === 10L)
+    assert(out.filter(col("v") > 0.0).count() === 190L)
+    // partition column still prunes after the DML commit
+    assert(out.filter(col("grp") === "g1").count() === 100L)
+  }
+
   test("non-parquet catalog format roundtrips through append/overwrite") {
     val cat = new TableCatalog(spark, tmpDir("cat-json"), format = "json")
     cat.append(Seq((1L, "a")).toDF("id", "v"), "silver", "j")
