@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate distinct counting via the KMV (k-minimum-values) sketch —
+  * the mergeable distinct-count summary behind theta sketches. Unlike
+  * `approx_count_distinct` (HyperLogLog++, whose register layout is an
+  * engine-internal detail no second engine reproduces), KMV is built from
+  * first principles on a portable hash: every engine that can compute
+  * md5 and sort doubles produces the SAME sketch, the same estimate, bit
+  * for bit — which is what lets the driver hash-gate an APPROXIMATE
+  * aggregate exactly (`approx_distinct_kmv`).
+  *
+  * The sketch of a key set is its k smallest distinct hash values mapped
+  * uniformly into [0, 1). With the k-th smallest at u_k, the estimator is
+  * (k−1)/u_k (Bar-Yossef et al. 2002, the classic distinct-elements
+  * sketch); when fewer than k distinct hashes exist the sketch IS the
+  * distinct set and the count is exact. Sketches merge by unioning and
+  * re-taking the k smallest — the law `SketchesSpec` pins — so partial
+  * sketches built per partition / per day / per shard combine without
+  * rescanning, the property that makes this a 100 TB operator (a daily
+  * distinct-users rollup is a k-row-per-group parquet table, not a scan).
+  *
+  * Hash: the md5-hex polynomial over the 1e9+7 field shared with
+  * `Sampling.weightedTopK` — deterministic, layout-independent,
+  * mirrorable in ANSI SQL. Its ~1e9 granularity can alias two distinct
+  * keys (birthday-bounded: ~n²/2e9 expected collisions), which perturbs
+  * the ESTIMATE negligibly and both engines identically — parity is
+  * never at risk.
+  *
+  * Scale shape: `kmvSketch` is distinct on (group, hash) — ONE shuffle
+  * with map-side partial dedup — then a per-group k-smallest window over
+  * rows already clustered by the first shuffle. No collect, no unbounded
+  * per-group state (collect_set would hold the full distinct set in one
+  * aggregation buffer; the window never materializes more than a
+  * partition's run). A TypedImperativeAggregate carrying a bounded k-heap
+  * would fuse the two exchanges into one; the declared plan keeps
+  * whole-stage codegen and AQE instead.
+  */
+object Sketches {
+
+  /** md5-polynomial uniform in [0, 1) — the shared portable-hash
+    * primitive (`Sampling.weightedTopK` uses the same construction).
+    */
+  private def uniform01(key: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.rollingHash(md5(key.cast("string")))
+      .cast("double") / lit(1000000007.0)
+
+  /** The KMV sketch: per group, the k smallest distinct uniform hash
+    * values of `key`. Columns: `<group>`, `__u` (ascending within each
+    * group by construction of downstream consumers).
+    */
+  def kmvSketch(df: DataFrame, group: String, key: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashed = df
+      .select(col(group), uniform01(col(key)).as("__u"))
+      .distinct()
+    val w = Window.partitionBy(col(group)).orderBy(col("__u"))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Estimate per group from a (merged) sketch: exact when the sketch
+    * holds fewer than k values, (k−1)/u_k otherwise. `est_distinct` is
+    * rounded to 4 decimals — far above double noise, far below the
+    * estimator's own error — so engines agree bit-for-bit.
+    */
+  def kmvEstimate(sketch: DataFrame, group: String, k: Int): DataFrame =
+    sketch.groupBy(col(group))
+      .agg(count(lit(1)).as("sketch_size"), max(col("__u")).as("__uk"))
+      .select(col(group), col("sketch_size"),
+        when(col("sketch_size") < k, col("sketch_size").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / col("__uk"), 4))
+          .as("est_distinct"))
+
+  /** Merge two sketches of the same k (union, re-take k smallest) —
+    * associative and commutative; equals the sketch of the unioned
+    * inputs (the law the spec pins).
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, group: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col("__u"))
+    a.unionByName(b).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** One-call distinct-count estimate: sketch + estimate. */
+  def kmvDistinct(df: DataFrame, group: String, key: String,
+      k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, group, key, k), group, k)
+}

@@ -776,8 +776,79 @@ object CoreQueries {
             FROM incidents JOIN stations ON abs(intensity - level) < 5.0
             ORDER BY incident_id, station_id"""))
 
+  // ------------------------------------------------------------- q32
+  // GROUPING SETS — the general form rollup (q18) and cube (q19) are
+  // special cases of: an explicit, non-lattice set list ((a,b),(a),(b),())
+  // with per-column grouping() indicators. Catalyst plans ONE Expand over
+  // the scan (4× row multiplication bounded by the set count, then a
+  // single hash aggregate) — no union of four scans, which at 100 TB is
+  // the difference between one pass and four. The oracle runs the same
+  // ANSI GROUPING SETS in DuckDB; the grouping() indicator columns pin the
+  // per-set provenance, so a missing set or a mislabeled subtotal row
+  // breaks the hash.
+  private val q32 = NamedQuery(
+    "q32_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q32_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                      CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                      count(*) AS n_orders,
+                      round(sum(o_totalprice), 2) AS total_price
+               FROM q32_orders
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                       (o_orderstatus), (o_orderpriority), ())
+               ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (o_orderpriority), ())
+            ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""))
+
+  // ------------------------------------------------------------- q33
+  // Correlated scalar subqueries — parts priced above their brand's
+  // average. Catalyst decorrelates both subqueries into ONE per-brand
+  // aggregate joined back to the scan (no per-row re-execution — the
+  // naive nested-loop reading of the SQL would be O(rows × brands) scans
+  // at 100 TB; `.explain` shows a single Aggregate + BroadcastHashJoin).
+  // The mean comparison runs in EXACT integer cents (price·100 · n vs the
+  // brand's cent sum) so the predicate cannot land on a double-summation
+  // boundary that Spark and DuckDB round differently — the same
+  // engine-stability discipline as q9.
+  private val q33 = NamedQuery(
+    "q33_scalar_subquery",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("q33_part")
+      s.sql("""SELECT p_brand, count(*) AS n_above,
+                      round(max(p_retailprice), 2) AS top_price
+               FROM q33_part p
+               WHERE CAST(round(p_retailprice * 100) AS BIGINT) *
+                     (SELECT count(*) FROM q33_part p2
+                      WHERE p2.p_brand = p.p_brand)
+                     >
+                     (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+                      FROM q33_part p2 WHERE p2.p_brand = p.p_brand)
+               GROUP BY p_brand ORDER BY p_brand""")
+    },
+    Some("""SELECT p_brand, count(*) AS n_above,
+                   round(max(p_retailprice), 2) AS top_price
+            FROM part p
+            WHERE CAST(round(p_retailprice * 100) AS BIGINT) *
+                  (SELECT count(*) FROM part p2
+                   WHERE p2.p_brand = p.p_brand)
+                  >
+                  (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+                               AS BIGINT)
+                   FROM part p2 WHERE p2.p_brand = p.p_brand)
+            GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, gold)
+    q31, q32, q33, gold)
 }

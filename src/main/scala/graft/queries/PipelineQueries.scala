@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Chunking, Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Splits, TfIdf}
+import graft.operators.{Chunking, Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Sketches, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -623,10 +623,55 @@ object PipelineQueries {
                          AS BIGINT) - 1 AS token_id
              FROM c ORDER BY 3"""))
 
+  /** KMV approximate distinct count through the driver gate — an
+    * APPROXIMATE aggregate under an EXACT hash compare, which is the
+    * point of `Sketches.kmvDistinct`'s portable-hash construction:
+    * `approx_count_distinct`'s HLL registers are engine-internal, but the
+    * k-minimum-values sketch is pure md5 + sort, so DuckDB rebuilds the
+    * identical sketch and the identical (k−1)/u_k estimate. The exact
+    * per-group distinct count rides alongside, making the estimator's
+    * error visible in the gated result itself (k=64 → ~12% RSE). A wrong
+    * k cut, a non-distinct hash feeding the window, or estimate/exact
+    * divergence beyond the formula all break the hash.
+    */
+  private val approxDistinctKmv = NamedQuery(
+    "approx_distinct_kmv",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sketch_size"),
+          col("est_distinct"), col("n_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (
+              SELECT DISTINCT l_returnflag,
+                     list_reduce(list_transform(
+                         string_split(md5(CAST(l_partkey AS VARCHAR)), ''),
+                         c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007)
+                       / 1000000007.0 AS u
+              FROM lineitem),
+            r AS (SELECT l_returnflag, u, row_number() OVER
+                    (PARTITION BY l_returnflag ORDER BY u) AS rn FROM h),
+            s AS (SELECT l_returnflag, count(*) AS sketch_size,
+                         max(u) AS uk
+                  FROM r WHERE rn <= 64 GROUP BY 1),
+            e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+                  FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, sketch_size,
+                   CASE WHEN sketch_size < 64
+                        THEN CAST(sketch_size AS DOUBLE)
+                        ELSE round(63.0 / uk, 4) END AS est_distinct,
+                   n_exact
+            FROM s JOIN e USING (l_returnflag) ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,
-        chunkWindows, vocabTopK)
+        chunkWindows, vocabTopK, approxDistinctKmv)
 }

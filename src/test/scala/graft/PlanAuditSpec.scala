@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
       "unpivot/melt is defined by Expand (one output row per measure column)"),
     "q19_cube" -> (Set("Expand"),
       "cube is defined by grouping-set Expand"),
+    "q32_grouping_sets" -> (Set("Expand"),
+      "GROUPING SETS is defined by Expand — one pass, 4× bounded by the set count"),
     "q25_conditional_kpi" -> (Set("SinglePartitionExchange"),
       "global one-row aggregate: the final combine of partials is one tiny partition"),
     "serving_kpis" -> (Set("SinglePartitionExchange"),
