@@ -847,8 +847,272 @@ object CoreQueries {
                    FROM part p2 WHERE p2.p_brand = p.p_brand)
             GROUP BY p_brand ORDER BY p_brand"""))
 
+  // ------------------------------------------------------------- q34
+  // Distribution-rank window family — percent_rank / cume_dist / nth_value
+  // / full-frame last — the remaining ANSI window functions past
+  // rank/dense_rank (q4), lead/lag (q8), range frames (q29) and ntile
+  // (q30). The ORDER BY carries the full (qty DESC, orderkey, linenumber)
+  // tiebreak so every rank value is deterministic — percent_rank over a
+  // tied prefix is engine-stable only when the sort is total. One window
+  // exchange serves all five functions (same partition + sort → Catalyst
+  // plans a single Sort + Window); the rn<=15 filter bounds output to
+  // 15 rows per returnflag while the ranks are computed over the FULL
+  // partition — at 100 TB this is the "score every row, ship a page"
+  // shape, and the shuffle is sized by the scan, not the output.
+  private val q34 = NamedQuery(
+    "q34_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("third_qty", nth_value(col("l_quantity"), 3).over(wf))
+        .withColumn("min_qty", last(col("l_quantity")).over(wf))
+        .filter(col("rn") <= 15)
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""WITH w AS (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                     row_number() OVER win AS rn,
+                     round(percent_rank() OVER win, 6) AS pr,
+                     round(cume_dist() OVER win, 6) AS cd,
+                     nth_value(l_quantity, 3) OVER winf AS third_qty,
+                     last_value(l_quantity) OVER winf AS min_qty
+              FROM lineitem
+              WINDOW win AS (PARTITION BY l_returnflag
+                             ORDER BY l_quantity DESC, l_orderkey, l_linenumber),
+                     winf AS (PARTITION BY l_returnflag
+                              ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING))
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                   rn, pr, cd, third_qty, min_qty
+            FROM w WHERE rn <= 15 ORDER BY l_returnflag, rn"""))
+
+  // ------------------------------------------------------------- q35
+  // Time-series gap fill — the dense hourly grid a dashboard or a
+  // downstream ML featurizer needs, materialized from a SPARSE event
+  // count: sequence() over the corpus [min,max] hour span, exploded to
+  // one row per hour, left-joined with the real per-hour counts, absent
+  // hours coalesced to 0. The grid is O(hours) — tiny and broadcast —
+  // while the counts side is already reduced by the aggregate, so the
+  // join never touches raw fact rows; at 100 TB the only full-scan cost
+  // is the min/max bound pass (answered by parquet footer stats) and the
+  // filtered count aggregate. Buckets ship as epoch millis so the hash
+  // is timezone-representation-proof.
+  private val q35 = NamedQuery(
+    "q35_gapfill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val grid = ev
+        .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+             max(date_trunc("hour", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+                                 expr("interval 1 hour"))).as("bucket"))
+      val hot = ev
+        .filter(col("event_type") === "purchase" && col("value") > 300.0)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_hot"))
+      grid.join(hot, Seq("bucket"), "left")
+        .select(unix_millis(col("bucket")).as("bucket_ms"),
+                coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+        .orderBy(col("bucket_ms"))
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                              date_trunc('hour', max(ts)) AS hi FROM events),
+            g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                  FROM b),
+            c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_hot
+                  FROM events WHERE event_type = 'purchase' AND value > 300.0
+                  GROUP BY 1)
+            SELECT epoch_ms(g.bucket) AS bucket_ms,
+                   coalesce(c.n_hot, 0) AS n_hot
+            FROM g LEFT JOIN c USING (bucket) ORDER BY 1"""))
+
+  // ------------------------------------------------------------- q36
+  // Linear interpolation of missing sensor readings — the time-series
+  // repair primitive: rows whose value is unusable (here: the 'error'
+  // events, the corpus's built-in missing-reading marker) get a value
+  // linearly interpolated between the user's nearest valid readings on
+  // either side, nearest-fill at the series edges. Both neighbors come
+  // from ONE sort per user (two frames over the same window exchange):
+  // last(non-null (ms,v) struct, ignoreNulls) over the preceding frame
+  // and first(...) over the following frame — no self-join, no per-gap
+  // subquery, state bounded by a row per frame. The interpolation
+  // arithmetic is written identically in both engines (same double
+  // expression tree), so round(,4) compares bit-stable; the equal-ms
+  // guard keeps a zero-width gap from dividing by zero.
+  private val q36 = NamedQuery(
+    "q36_interpolate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("value"), unix_millis(col("ts")).as("ms"))
+      val obs = when(col("event_type") =!= "error",
+        struct(col("ms").as("oms"), col("value").as("v")))
+      val ord = Seq(col("ms"), col("event_id"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("p", last(obs, ignoreNulls = true).over(wb))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wa))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          round(
+            when(col("p").isNotNull && col("nx").isNotNull,
+              when(col("nx.oms") === col("p.oms"),
+                   (col("p.v") + col("nx.v")) / lit(2.0))
+              .otherwise(col("p.v") + (col("nx.v") - col("p.v")) *
+                ((col("ms") - col("p.oms")).cast("double") /
+                 (col("nx.oms") - col("p.oms")).cast("double"))))
+            .when(col("p").isNotNull, col("p.v"))
+            .when(col("nx").isNotNull, col("nx.v")),
+            4).as("interp_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (SELECT user_id, event_id, event_type, value,
+                              epoch_ms(ts) AS ms FROM events),
+            w AS (
+              SELECT *,
+                last_value(CASE WHEN event_type <> 'error'
+                                THEN struct_pack(oms := ms, v := value) END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                first_value(CASE WHEN event_type <> 'error'
+                                 THEN struct_pack(oms := ms, v := value) END
+                            IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+              FROM u)
+            SELECT event_id, user_id,
+                   round(CASE
+                     WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+                       CASE WHEN nx.oms = p.oms THEN (p.v + nx.v) / 2.0
+                            ELSE p.v + (nx.v - p.v) *
+                                 (CAST(ms - p.oms AS DOUBLE) /
+                                  CAST(nx.oms - p.oms AS DOUBLE)) END
+                     WHEN p IS NOT NULL THEN p.v
+                     WHEN nx IS NOT NULL THEN nx.v END, 4) AS interp_value
+            FROM w WHERE event_type = 'error' ORDER BY event_id"""))
+
+  // ------------------------------------------------------------- q37
+  // As-of join with tolerance, both directions — the full production
+  // as-of surface past q26's plain backward form: for every purchase,
+  // the user's nearest click STRICTLY BEFORE and STRICTLY AFTER, each
+  // admitted only within a 2h tolerance (outside → null, row kept).
+  // The tolerance post-filter is exact BECAUSE the window picks the
+  // nearest neighbor: if the closest prior click misses the tolerance,
+  // every older one does too, so filtering the single window result
+  // equals filtering the whole set. Both directions ride ONE sort per
+  // user (running max-struct over the preceding frame, min-struct over
+  // the following frame — two frames, one window exchange, no
+  // self-join), q26's shuffle-once as-of pattern doubled.
+  private val q37 = NamedQuery(
+    "q37_asof_tolerance",
+    (s, d) => {
+      val tolMs = 7200000L
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_millis(col("ts")).as("ms"))
+      val clickStruct = when(col("event_type") === "click",
+        struct(col("ms").as("cms"), col("event_id").as("cid")))
+      val ord = Seq(col("ms"), col("event_id"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("bk", max(clickStruct).over(wb))
+        .withColumn("fw", min(clickStruct).over(wa))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("bk").isNotNull && col("ms") - col("bk.cms") <= tolMs,
+               col("bk.cid")).as("back_click_id"),
+          when(col("bk").isNotNull && col("ms") - col("bk.cms") <= tolMs,
+               col("ms") - col("bk.cms")).as("back_gap_ms"),
+          when(col("fw").isNotNull && col("fw.cms") - col("ms") <= tolMs,
+               col("fw.cid")).as("fwd_click_id"),
+          when(col("fw").isNotNull && col("fw.cms") - col("ms") <= tolMs,
+               col("fw.cms") - col("ms")).as("fwd_gap_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+              FROM events WHERE event_type IN ('click','purchase')),
+            w AS (
+              SELECT *,
+                max(CASE WHEN event_type='click'
+                         THEN struct_pack(cms := ms, cid := event_id) END)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk,
+                min(CASE WHEN event_type='click'
+                         THEN struct_pack(cms := ms, cid := event_id) END)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw
+              FROM u)
+            SELECT event_id, user_id,
+                   CASE WHEN bk IS NOT NULL AND ms - bk.cms <= 7200000
+                        THEN bk.cid END AS back_click_id,
+                   CASE WHEN bk IS NOT NULL AND ms - bk.cms <= 7200000
+                        THEN ms - bk.cms END AS back_gap_ms,
+                   CASE WHEN fw IS NOT NULL AND fw.cms - ms <= 7200000
+                        THEN fw.cid END AS fwd_click_id,
+                   CASE WHEN fw IS NOT NULL AND fw.cms - ms <= 7200000
+                        THEN fw.cms - ms END AS fwd_gap_ms
+            FROM w WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  // ------------------------------------------------- join_runtime_filter
+  // Explicit runtime semi-join reduction — the star-join optimization
+  // Spark's adaptive bloom runtime filter applies automatically, built
+  // here from the engine's own sketch machinery so the plan is explicit
+  // and auditable: the filtered dim's join keys are folded into a Bloom
+  // filter (a driver-side sketch aggregate, ~1.2 MB at 1M keys / 1% fpp
+  // — bounded by the SKETCH size, never the table), and the fact scan is
+  // pre-filtered with `bloom_might_contain_long` BEFORE the shuffle. At
+  // 100 TB the exchange then carries only ~priority-fraction of lineitem
+  // (+1% false positives) instead of all of it; the exact equi join on
+  // top removes the false positives, so the result is IDENTICAL to the
+  // plain join — which is exactly what the oracle checks (its SQL has no
+  // bloom at all).
+  private val joinRuntimeFilter = NamedQuery(
+    "join_runtime_filter",
+    (s, d) => {
+      graft.plans.GraftFunctions.ensure(s)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val nKeys = dim.count()
+      val bloom = dim.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val bytes = bos.toByteArray
+      Tables.lineitem(s, d)
+        .filter(graft.plans.GraftColumns.bloomMightContainLong(
+          lit(bytes), col("l_orderkey")))
+        .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+              Seq("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+               .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l.l_returnflag, count(*) AS n,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, gold)
+    q31, q32, q33, q34, q35, q36, q37, joinRuntimeFilter, gold)
 }

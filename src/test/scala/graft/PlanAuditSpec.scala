@@ -24,6 +24,13 @@ class PlanAuditSpec extends SparkSpec {
       "GROUPING SETS is defined by Expand — one pass, 4× bounded by the set count"),
     "q25_conditional_kpi" -> (Set("SinglePartitionExchange"),
       "global one-row aggregate: the final combine of partials is one tiny partition"),
+    "events_funnel" -> (Set("SinglePartitionExchange"),
+      "the three stage-summary rows are global one-row aggregates over " +
+        "already per-user-reduced stage tables (q25's accepted shape ×3)"),
+    "q35_gapfill" -> (Set("SinglePartitionExchange"),
+      "the [min,max] hour-bound pass is a global one-row aggregate (answered " +
+        "by parquet footer stats at scale); the exploded grid it seeds is " +
+        "O(hours), never data-sized"),
     "serving_kpis" -> (Set("SinglePartitionExchange"),
       "the KPI row is a global one-row aggregate by definition (app.py:113-123): " +
         "final combine of per-partition partials, one row each"),
