@@ -94,4 +94,62 @@ object Sketches {
   def kmvDistinct(df: DataFrame, group: String, key: String,
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, group, key, k), group, k)
+
+  // ----------------------------------------------------------- Count-Min
+  // The frequency twin of KMV: a d×w counter grid where each occurrence
+  // increments one bucket per hash row, and a key's frequency estimate is
+  // the MIN of its d counters (Cormode & Muthukrishnan 2005). One-sided
+  // error: collisions only ADD, so est ≥ exact always (CountMinSpec pins
+  // it), and est ≤ exact + εN with ε = e/w at the usual confidence.
+  // Like KMV the construction is portable — row hashes are the
+  // md5-polynomial over "i:key", so a second engine rebuilds the
+  // identical grid and the identical estimates, letting the driver
+  // hash-gate an approximate structure exactly.
+  //
+  // Scale shape: the sketch build is ONE map-side-combinable groupBy of
+  // d·|corpus| exploded rows down to ≤ d·w rows — fixed output size
+  // regardless of corpus, the property that makes CMS the streaming/
+  // shard-mergeable heavy-hitter structure (grids merge by cell-wise
+  // SUM; `cmsMerge` + the spec pin the law). Estimation joins candidate
+  // probes (d rows per candidate) against the tiny grid — hash equi,
+  // broadcast-sized.
+
+  /** Per-row bucket of `key` under hash row `i` — the md5-polynomial of
+    * "i:key" folded into [0, w). */
+  private def cmsBucket(i: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, w: Int) =
+    graft.functions.TextFunctions.rollingHash(
+      md5(concat_ws(":", i.cast("string"), key.cast("string")))) % w
+
+  /** The CMS grid of `key` occurrences in `df`: columns __i, __bucket,
+    * __n — at most d·w rows, absent cells meaning zero. */
+  def cmsSketch(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2; got d=$d w=$w")
+    df.select(col(key).cast("string").as("__k"))
+      .select(col("__k"),
+        explode(array((0 until d).map(i => lit(i)): _*)).as("__i"))
+      .withColumn("__bucket", cmsBucket(col("__i"), col("__k"), w))
+      .groupBy(col("__i"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+  }
+
+  /** Frequency estimates for `keys(key)` from a grid: min over the d
+    * probed counters, absent cells counting zero. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: String,
+      d: Int, w: Int): DataFrame =
+    keys.select(col(key))
+      .withColumn("__i",
+        explode(array((0 until d).map(i => lit(i)): _*)))
+      .withColumn("__bucket", cmsBucket(col("__i"), col(key), w))
+      .join(sketch, Seq("__i", "__bucket"), "left")
+      .na.fill(0L, Seq("__n"))
+      .groupBy(col(key))
+      .agg(min(col("__n")).as("est_n"))
+
+  /** Grids over disjoint shards merge by cell-wise sum — the law the
+    * spec pins (merge-of-sketches == sketch-of-union). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__i"), col("__bucket"))
+      .agg(sum(col("__n")).as("__n"))
 }

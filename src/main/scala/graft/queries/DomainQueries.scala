@@ -4,6 +4,7 @@ import graft.{NamedQuery, Tables}
 import graft.functions.GeoFunctions._
 import graft.functions.RiskPolicy
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Domain-surface queries over the driver corpus: the geo/risk/ingest
@@ -904,6 +905,138 @@ object DomainQueries {
                    round(sum(o_totalprice), 2) AS total_price
             FROM upd GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered funnel analysis — the product-analytics staple: users who
+    * did view → first click strictly after that view → first purchase
+    * strictly after that click, with per-stage latency and a 6h
+    * "fast-converter" count. Each stage is a per-user min-aggregate
+    * joined to the previous stage on user_id (equi, aggregated sides —
+    * no window over raw events, no self-join explosion); the stage
+    * summary rows are global one-row aggregates. Latency is computed as
+    * an EXACT integer-ms sum divided once at the end (one double
+    * division on identical integers per engine) so the 4-decimal round
+    * can never land on a double-summation boundary.
+    */
+  private val eventsFunnel = NamedQuery(
+    "events_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+                unix_millis(col("ts")).as("ms"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ms") > col("t1"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("t2"), min(col("t1")).as("t1"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), Seq("user_id"))
+        .filter(col("ms") > col("t2"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("t3"), min(col("t2")).as("t2"))
+      def stageRow(df: org.apache.spark.sql.DataFrame, stage: Int,
+          step: String, gap: Option[Column]): org.apache.spark.sql.DataFrame =
+        gap match {
+          case None =>
+            df.agg(count(lit(1)).as("users"))
+              .select(lit(stage).as("stage"), lit(step).as("step"),
+                col("users"),
+                lit(null).cast("double").as("avg_gap_h"),
+                lit(null).cast("long").as("fast_users"))
+          case Some(g) =>
+            df.agg(count(lit(1)).as("users"),
+                round(sum(g).cast("double") / count(lit(1)) / lit(3600000.0),
+                      4).as("avg_gap_h"),
+                count(when(g <= 21600000L, 1)).as("fast_users"))
+              .select(lit(stage).as("stage"), lit(step).as("step"),
+                col("users"), col("avg_gap_h"), col("fast_users"))
+        }
+      stageRow(s1, 1, "view", None)
+        .unionByName(stageRow(s2, 2, "view_click",
+          Some(col("t2") - col("t1"))))
+        .unionByName(stageRow(s3, 3, "view_click_purchase",
+          Some(col("t3") - col("t2"))))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+                        FROM events
+                        WHERE event_type IN ('view','click','purchase')),
+            s1 AS (SELECT user_id, min(ms) AS t1 FROM ev
+                   WHERE event_type='view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ms) AS t2, min(s1.t1) AS t1
+                   FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type='click' AND e.ms > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ms) AS t3, min(s2.t2) AS t2
+                   FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type='purchase' AND e.ms > s2.t2
+                   GROUP BY e.user_id)
+            SELECT 1 AS stage, 'view' AS step,
+                   (SELECT count(*) FROM s1) AS users,
+                   CAST(NULL AS DOUBLE) AS avg_gap_h,
+                   CAST(NULL AS BIGINT) AS fast_users
+            UNION ALL
+            SELECT 2, 'view_click', count(*),
+                   round(CAST(CAST(sum(t2 - t1) AS BIGINT) AS DOUBLE)
+                         / count(*) / 3600000.0, 4),
+                   count(CASE WHEN t2 - t1 <= 21600000 THEN 1 END)
+            FROM s2
+            UNION ALL
+            SELECT 3, 'view_click_purchase', count(*),
+                   round(CAST(CAST(sum(t3 - t2) AS BIGINT) AS DOUBLE)
+                         / count(*) / 3600000.0, 4),
+                   count(CASE WHEN t3 - t2 <= 21600000 THEN 1 END)
+            FROM s3
+            ORDER BY stage"""))
+
+  /** Cohort retention — the other analytics staple: users bucketed by
+    * first-purchase day, the retention grid counting what fraction of
+    * each cohort purchased again k days later. Grain is exact epoch-day
+    * arithmetic (no calendar/timezone surface), activity is deduped to
+    * (user, day) BEFORE the grid aggregate so the count is
+    * distinct-free, and retention divides two exact integers once —
+    * engine-stable at 4 decimals. Scale: two shuffles over the
+    * purchase slice (per-user min, then the deduped grid), cohort
+    * sizes broadcast back.
+    */
+  private val eventsCohort = NamedQuery(
+    "events_cohort",
+    (s, d) => {
+      val wk = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+            .as("day"))
+      val coh = wk.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+      val act = wk.join(coh, Seq("user_id"))
+        .select(col("user_id"), col("cday"),
+                (col("day") - col("cday")).as("offs"))
+        .distinct()
+      val sz = coh.groupBy(col("cday"))
+        .agg(count(lit(1)).as("cohort_users"))
+      act.groupBy(col("cday"), col("offs"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(sz, Seq("cday"))
+        .select(col("cday"), col("offs"), col("active_users"),
+          round(col("active_users").cast("double") / col("cohort_users"),
+                4).as("retention"))
+        .orderBy(col("cday"), col("offs"))
+    },
+    Some("""WITH wk AS (SELECT user_id,
+                          CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                            AS day
+                        FROM events WHERE event_type = 'purchase'),
+            coh AS (SELECT user_id, min(day) AS cday FROM wk GROUP BY 1),
+            act AS (SELECT DISTINCT w.user_id, c.cday, w.day - c.cday AS offs
+                    FROM wk w JOIN coh c ON w.user_id = c.user_id),
+            sz AS (SELECT cday, count(*) AS cohort_users FROM coh GROUP BY 1)
+            SELECT a.cday, a.offs, count(*) AS active_users,
+                   round(CAST(count(*) AS DOUBLE) / min(s.cohort_users), 4)
+                     AS retention
+            FROM act a JOIN sz s ON a.cday = s.cday
+            GROUP BY a.cday, a.offs
+            ORDER BY a.cday, a.offs"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
@@ -911,5 +1044,5 @@ object DomainQueries {
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
       catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs,
       catalogSchemaEvolve, catalogConcurrentAppend, catalogDeleteWhere,
-      catalogUpdateSet)
+      catalogUpdateSet, eventsFunnel, eventsCohort)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{NamedQuery, Tables}
-import graft.operators.{Chunking, Clusters, Decontaminate, Dedup, Mixture, Packing, Quantize, Sampling, Sketches, Splits, TfIdf}
+import graft.operators.{Chunking, Clusters, Decontaminate, Dedup, Fuzzy, Graph, Mixture, Packing, Quantize, Sampling, Sketches, Splits, TfIdf}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-curation operators layered on the dedup/text family: duplicate
@@ -668,10 +668,174 @@ object PipelineQueries {
                    n_exact
             FROM s JOIN e USING (l_returnflag) ORDER BY 1"""))
 
+  /** Edit-distance fuzzy join (`Fuzzy.editDistancePairs`): near-duplicate
+    * signature pairs within 3 edits, prefix-blocked and df-capped. The
+    * oracle replays the same blocking cascade with DuckDB's levenshtein —
+    * both engines run the identical unit-cost edit-distance definition,
+    * so every surviving (pair, dist) matches exactly. Spark's side runs
+    * the BANDED threshold DP (−1 sentinel past maxDist), which must agree
+    * with the oracle's full DP on every admitted pair — the law
+    * `FuzzySpec` pins directly.
+    */
+  private val fuzzyJoin = NamedQuery(
+    "text_fuzzy_join",
+    (s, d) => Fuzzy.editDistancePairs(
+        Tables.documents(s, d), "doc_id", "text",
+        sigLen = 16, blockLen = 4, maxDist = 3, maxBlock = 10000)
+      .orderBy(col("doc1"), col("doc2")),
+    Some("""WITH sig AS (SELECT doc_id,
+                           substr(lower(text), 1, 16) AS sig
+                         FROM documents),
+            blk AS (SELECT *, substr(sig, 1, 4) AS b FROM sig),
+            ok AS (SELECT b FROM blk GROUP BY b HAVING count(*) <= 10000)
+            SELECT a.doc_id AS doc1, c.doc_id AS doc2,
+                   levenshtein(a.sig, c.sig) AS dist
+            FROM blk a
+            JOIN blk c ON a.b = c.b AND a.doc_id < c.doc_id
+            JOIN ok ON ok.b = a.b
+            WHERE abs(length(a.sig) - length(c.sig)) <= 3
+              AND levenshtein(a.sig, c.sig) <= 3
+            ORDER BY 1, 2"""))
+
+  /** Count-Min heavy hitters (`Sketches.cmsSketch/cmsEstimate`): the
+    * 4×512 portable-hash grid over l_partkey occurrences, probed for the
+    * exact top-10 parts. est_n ≥ n_exact on every row (CMS's one-sided
+    * error, also spec-pinned); the oracle rebuilds the identical grid
+    * from the identical md5-polynomial hashes, so even the overcounts
+    * match exactly. The exact side here is the gate's ground truth — in
+    * production the grid REPLACES the exact pass (d·w cells vs a
+    * per-key shuffle), which is the entire point at 100 TB.
+    */
+  private val heavyHittersCms = NamedQuery(
+    "heavy_hitters_cms",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sketch = Sketches.cmsSketch(li, "l_partkey", d = 4, w = 512)
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+        .limit(10)
+      val est = Sketches.cmsEstimate(sketch, top, "l_partkey", d = 4, w = 512)
+      top.join(est, Seq("l_partkey"))
+        .select(col("l_partkey"), col("n_exact"), col("est_n"),
+                (col("est_n") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    },
+    Some("""WITH ek AS (SELECT l_partkey, count(*) AS n_exact
+                        FROM lineitem GROUP BY 1),
+            top AS (SELECT * FROM ek
+                    ORDER BY n_exact DESC, l_partkey LIMIT 10),
+            hs AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            sk AS (SELECT i,
+                          list_reduce(list_transform(
+                              string_split(md5(CAST(i AS VARCHAR) || ':' ||
+                                               CAST(l_partkey AS VARCHAR)), ''),
+                              c -> CAST(ord(c) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            AS bucket,
+                          count(*) AS n
+                   FROM lineitem CROSS JOIN hs GROUP BY 1, 2),
+            pr AS (SELECT t.l_partkey, hs.i,
+                          list_reduce(list_transform(
+                              string_split(md5(CAST(hs.i AS VARCHAR) || ':' ||
+                                               CAST(t.l_partkey AS VARCHAR)), ''),
+                              c -> CAST(ord(c) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            AS bucket
+                   FROM top t CROSS JOIN hs),
+            est AS (SELECT pr.l_partkey,
+                           min(CAST(coalesce(sk.n, 0) AS BIGINT)) AS est_n
+                    FROM pr LEFT JOIN sk
+                      ON sk.i = pr.i AND sk.bucket = pr.bucket
+                    GROUP BY 1)
+            SELECT t.l_partkey, t.n_exact, est.est_n,
+                   est.est_n - t.n_exact AS overcount
+            FROM top t JOIN est USING (l_partkey)
+            ORDER BY t.n_exact DESC, t.l_partkey"""))
+
+  /** Fixed-point PageRank (`Graph.pageRankFixedPoint`) over the
+    * symmetrized supplier–part purchase graph: five power iterations in
+    * BIGINT micro-units, so the oracle's five unrolled SQL iterations
+    * land on the IDENTICAL integers (integer addition commutes; double
+    * addition would drift per engine and compound per iteration). The
+    * top-20 ranking with node-id tiebreak is fully deterministic.
+    */
+  private val graphPageRank = NamedQuery(
+    "graph_pagerank",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .select((col("l_suppkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val n = edges.select(col("src")).distinct().count()
+      Graph.pageRankFixedPoint(edges, n, iterations = 5)
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
+        .select(
+          when(col("node") % 2 === 0, "supplier").otherwise("part")
+            .as("node_type"),
+          expr("node DIV 2").as("key"),
+          col("rank_fp"))
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                               l_partkey * 2 + 1 AS dst FROM lineitem),
+            edges AS (SELECT src, dst FROM e0
+                      UNION ALL SELECT dst, src FROM e0),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+            nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+            c0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS init,
+                          CAST((15 * (1000000000000 // n)) // 100 AS BIGINT)
+                            AS base
+                   FROM nn),
+            i0 AS (SELECT DISTINCT src AS node,
+                          (SELECT init FROM c0) AS r FROM edges),
+            i1 AS (SELECT e.dst AS node,
+                          CAST((SELECT base FROM c0) +
+                               (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT)
+                            AS r
+                   FROM i0 r JOIN edges e ON e.src = r.node
+                             JOIN deg d ON d.src = r.node
+                   GROUP BY e.dst),
+            i2 AS (SELECT e.dst AS node,
+                          CAST((SELECT base FROM c0) +
+                               (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT)
+                            AS r
+                   FROM i1 r JOIN edges e ON e.src = r.node
+                             JOIN deg d ON d.src = r.node
+                   GROUP BY e.dst),
+            i3 AS (SELECT e.dst AS node,
+                          CAST((SELECT base FROM c0) +
+                               (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT)
+                            AS r
+                   FROM i2 r JOIN edges e ON e.src = r.node
+                             JOIN deg d ON d.src = r.node
+                   GROUP BY e.dst),
+            i4 AS (SELECT e.dst AS node,
+                          CAST((SELECT base FROM c0) +
+                               (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT)
+                            AS r
+                   FROM i3 r JOIN edges e ON e.src = r.node
+                             JOIN deg d ON d.src = r.node
+                   GROUP BY e.dst),
+            i5 AS (SELECT e.dst AS node,
+                          CAST((SELECT base FROM c0) +
+                               (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT)
+                            AS r
+                   FROM i4 r JOIN edges e ON e.src = r.node
+                             JOIN deg d ON d.src = r.node
+                   GROUP BY e.dst)
+            SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS node_type,
+                   node // 2 AS key, r AS rank_fp
+            FROM i5 ORDER BY rank_fp DESC, node LIMIT 20"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,
-        chunkWindows, vocabTopK, approxDistinctKmv)
+        chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
+        heavyHittersCms, graphPageRank)
 }

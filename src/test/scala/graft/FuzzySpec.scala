@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Fuzzy
+import org.apache.spark.sql.functions._
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("pairs within maxDist found; beyond maxDist excluded") {
+    val d = docs(              // all exactly 16 chars = the signature
+      1L -> "hello world alp1",
+      2L -> "hello world alp2",   // 1 edit from doc 1
+      3L -> "hello wXrld aXp3",   // 3 edits from doc 1 and from doc 2
+      4L -> "hellZ ZZZZZZZZZZ",   // same block, >3 edits from all
+      5L -> "zzzz completely different")
+    val out = Fuzzy.editDistancePairs(d, "doc_id", "text",
+        sigLen = 16, blockLen = 4, maxDist = 3, maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.contains((1L, 2L, 1)))
+    assert(out.contains((1L, 3L, 3)))
+    assert(out.contains((2L, 3L, 3)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L),
+      "4 edits must not survive maxDist=3")
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L),
+      "different block prefix must never pair")
+  }
+
+  test("banded threshold DP agrees with the full DP on every admitted pair") {
+    // The engine filters with levenshtein(l, r, threshold) (banded,
+    // -1 sentinel); the oracle uses the full DP. On every pair the
+    // banded form ADMITS, the two must be equal — this is the law that
+    // makes the DuckDB oracle sound.
+    val d = docs(
+      10L -> "abcdefghijklmnop",
+      11L -> "abcdXfghijklmnop",
+      12L -> "abcdXfghXjklmnXp",
+      13L -> "abcdefghijklm",     // length-band edge: 3 shorter
+      14L -> "abcd")              // far outside the length band
+    val out = Fuzzy.editDistancePairs(d, "doc_id", "text",
+        sigLen = 16, blockLen = 4, maxDist = 3, maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // recompute each admitted pair with the un-thresholded function
+    val sigs = Map(10L -> "abcdefghijklmnop", 11L -> "abcdXfghijklmnop",
+      12L -> "abcdXfghXjklmnXp", 13L -> "abcdefghijklm", 14L -> "abcd")
+    out.foreach { case ((a, b), dist) =>
+      val full = Seq((sigs(a), sigs(b))).toDF("l", "r")
+        .select(levenshtein(col("l"), col("r"))).head().getInt(0)
+      assert(dist === full, s"banded DP disagrees with full DP on ($a,$b)")
+    }
+    assert(out.contains((10L, 13L)), "3-char length gap is inside the band")
+    assert(!out.exists(p => p._1._1 == 14L || p._1._2 == 14L),
+      "12-char length gap must be culled by the length band")
+  }
+
+  test("oversized blocks are dropped whole (df-cap discipline)") {
+    val flood = (100L to 120L).map(i => i -> s"same prefix here $i")
+    val pair = Seq(900L -> "rare block alpha", 901L -> "rare block alphX")
+    val out = Fuzzy.editDistancePairs(docs((flood ++ pair): _*),
+        "doc_id", "text", sigLen = 16, blockLen = 4, maxDist = 3,
+        maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((900L, 901L)),
+      "the 21-member block exceeds maxBlock=10 and must vanish whole")
+  }
+}

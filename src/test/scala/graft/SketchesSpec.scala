@@ -45,4 +45,37 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.kmvDistinct(df.repartition(13), "g", "k", 64).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("CMS one-sided error: est >= exact for every key, exact at large w") {
+    // zipf-ish: key i appears (200/i) times
+    val rows = (1 to 50).flatMap(i => Seq.fill(200 / i)(i.toLong)).toDF("k")
+    val d = 4; val w = 512
+    val sketch = Sketches.cmsSketch(rows, "k", d, w)
+    val exact = rows.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val joined = Sketches.cmsEstimate(sketch, exact, "k", d, w)
+      .join(exact, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    joined.foreach { case (k, est, n) =>
+      assert(est >= n, s"CMS undercounted key $k: est=$est exact=$n")
+    }
+    // 50 distinct keys across 4x512 cells: collisions are improbable
+    // enough that the min over 4 rows is exact here
+    joined.foreach { case (k, est, n) =>
+      assert(est === n, s"key $k: est=$est != exact=$n at sparse load")
+    }
+  }
+
+  test("CMS merge law: cell-wise sum of shard grids == grid of the union") {
+    val rows = (1 to 3000).map(i => (i % 97).toLong).toDF("k")
+    val d = 4; val w = 64
+    val whole = Sketches.cmsSketch(rows, "k", d, w)
+      .orderBy("__i", "__bucket").collect().toSeq
+    val s1 = Sketches.cmsSketch(rows.filter(col("k") < 40), "k", d, w)
+    val s2 = Sketches.cmsSketch(rows.filter(col("k") >= 40), "k", d, w)
+    val merged = Sketches.cmsMerge(s1, s2)
+      .orderBy("__i", "__bucket").collect().toSeq
+    assert(merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) ===
+      whole.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+  }
 }
