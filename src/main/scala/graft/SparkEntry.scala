@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, CurationQueries, DomainQueries, ExtQueries, PipelineQueries, ServingGateQueries, StreamQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DomainQueries, ExtQueries, PipelineQueries, ServingGateQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   private def inventory: Seq[NamedQuery] =
     CoreQueries.all ++ ExtQueries.all ++ DomainQueries.all ++
       PipelineQueries.all ++ StreamQueries.all ++ CurationQueries.all ++
-      ServingGateQueries.all
+      ServingGateQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full Gold pipeline shape of the reference (window dedup → broadcast

@@ -51,6 +51,22 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Typed signal that a time-travel read addressed a snapshot version the
+  * retention vacuum has already reclaimed — the caller asked for history
+  * that provably existed (the table is versioned) but is gone, which must
+  * not degrade into a generic path-not-found.
+  */
+final class VacuumedVersionException(msg: String)
+  extends RuntimeException(msg)
+
+/** Typed signal that a checked write was REJECTED: `violations` rows
+  * failed the table's CHECK constraint, and no snapshot was committed —
+  * readers keep seeing the previous version (Delta's CHECK-constraint
+  * write contract).
+  */
+final class ConstraintViolationException(msg: String, val violations: Long)
+  extends RuntimeException(msg)
+
 object TableCatalog {
   /** In-JVM serialization of the optimistic-commit critical section, per
     * table path. Needed because Hadoop's LOCAL filesystem implements both
@@ -136,8 +152,17 @@ final class TableCatalog(spark: SparkSession, root: String,
   /** Time travel: any retained snapshot, with the schema it was written
     * with (the Delta `versionAsOf` surface).
     */
-  def readVersion(layer: String, table: String, version: Int): DataFrame =
-    spark.read.format(format).load(versionDir(layer, table, version).toString)
+  def readVersion(layer: String, table: String, version: Int): DataFrame = {
+    val dir = versionDir(layer, table, version)
+    // A versioned table whose requested snapshot dir is gone means the
+    // retention vacuum reclaimed it — surface that as the typed history
+    // error, not a generic path-not-found from the reader.
+    if (!hadoopFs(dir).exists(dir) && versions(layer, table).nonEmpty)
+      throw new VacuumedVersionException(
+        s"$layer/$table version $version is not retained (vacuumed); " +
+          s"retained versions: ${versions(layer, table).mkString(",")}")
+    spark.read.format(format).load(dir.toString)
+  }
 
   /** Retained versions with their commit instants (epoch ms) — the
     * version directory's modification time, i.e. the snapshot's
@@ -717,6 +742,113 @@ final class TableCatalog(spark: SparkSession, root: String,
       else cur.repartition(numFiles,
         parts.map(org.apache.spark.sql.functions.col): _*)
     overwrite(packed, layer, table, parts)
+  }
+
+  /** Explicit retention vacuum (the Delta `VACUUM` surface, version-count
+    * flavored): reclaim every retained snapshot older than the newest
+    * `keepLast`, never touching the pointer-resolved live version. The
+    * automatic per-commit vacuum already bounds retention at
+    * `keepVersions`; this verb is for the operator who wants history gone
+    * NOW (cost, compliance) without waiting for future commits to age it
+    * out. Serialized against commits by the same `_LOCK` that orders
+    * pointer advances. Returns the versions reclaimed.
+    *
+    * Scale: pure metadata — one listing plus one recursive delete per
+    * reclaimed version; table bytes are never read.
+    */
+  def vacuum(layer: String, table: String, keepLast: Int): Seq[Int] =
+    withTableLock(layer, table) {
+      require(keepLast >= 1, "must retain at least the live version")
+      val cur = currentVersion(layer, table)
+      val fs = hadoopFs(new Path(path(layer, table)))
+      val dropped = versions(layer, table).dropRight(keepLast)
+        .filterNot(cur.contains)
+      dropped.foreach(v => fs.delete(versionDir(layer, table, v), true))
+      dropped
+    }
+
+  /** Delta-style `RESTORE TABLE … TO VERSION`: re-commit the snapshot at
+    * `version` as a NEW version, moving history forward — restore is an
+    * undo COMMIT, not a rewind, so the restored-away versions remain
+    * time-travelable for as long as the table's normal retention
+    * (`keepVersions`) keeps them. The snapshot transfers as a byte-for-byte
+    * file-level copy — partition subdirs and the `_stats` skipping sidecar
+    * included, server-side on object stores, never decoded — so restoring
+    * a 100 TB snapshot costs a copy, not a scan+re-encode. Returns the
+    * new version number.
+    */
+  def restore(layer: String, table: String, version: Int): Int = {
+    val prevCommitted = currentVersion(layer, table)
+    require(prevCommitted.isDefined,
+      s"$layer/$table is not snapshot-versioned; nothing to restore")
+    val src = versionDir(layer, table, version)
+    val fs = hadoopFs(src)
+    if (!fs.exists(src))
+      throw new VacuumedVersionException(
+        s"$layer/$table version $version is not retained (vacuumed); " +
+          s"retained versions: ${versions(layer, table).mkString(",")}")
+    val next = math.max(prevCommitted.get,
+      versions(layer, table).lastOption.getOrElse(0)) + 1
+    val target = versionDir(layer, table, next)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPath = src.toUri.getPath
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(srcPath).stripPrefix("/")
+      val dst = new Path(target, rel)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
+    }
+    publishVersion(layer, table, next, prevCommitted)
+    next
+  }
+
+  /** Declare a named CHECK constraint (a boolean SQL expression over the
+    * table's columns) enforced by `overwriteChecked`. Stored as a
+    * durable table tag, so enforcement survives restarts and vacuums.
+    */
+  def setCheck(layer: String, table: String, name: String,
+      sqlExpr: String): Unit =
+    writeTag(layer, table, s"check_$name", sqlExpr)
+
+  /** Declared CHECK constraints, name → expression. */
+  def checks(layer: String, table: String): Map[String, String] = {
+    val dir = new Path(path(layer, table))
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_TAG_check_") && !n.endsWith(".__tmp"))
+      .map(_.stripPrefix("_TAG_check_"))
+      .flatMap(n => readTag(layer, table, s"check_$n").map(n -> _))
+      .toMap
+  }
+
+  /** ACID overwrite gated by the table's CHECK constraints (Delta's
+    * write-time constraint contract): rows where any constraint evaluates
+    * FALSE are violations (NULL passes, as in SQL CHECK); any violation
+    * rejects the WHOLE batch with a typed error and commits nothing —
+    * readers keep the previous snapshot. Validation is one counting pass
+    * over the batch before the write (at scale: a pushed-down aggregate
+    * over the violation predicate, far cheaper than the write itself).
+    */
+  def overwriteChecked(df: DataFrame, layer: String, table: String,
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = checks(layer, table)
+    if (cs.nonEmpty) {
+      val violated = cs.values
+        .map(c => not(coalesce(expr(c), lit(true))))
+        .reduce(_ || _)
+      val bad = df.filter(violated).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"$layer/$table: $bad row(s) violate CHECK constraint(s) " +
+            s"${cs.keys.mkString(", ")}; batch rejected, nothing committed",
+          bad)
+    }
+    overwrite(df, layer, table, partitionBy, statsCols)
   }
 
   /** Columns the live snapshot's stats sidecar covers (empty when none) —

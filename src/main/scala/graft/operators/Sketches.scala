@@ -152,4 +152,70 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("__i"), col("__bucket"))
       .agg(sum(col("__n")).as("__n"))
+
+  // ---------------------------------------------------------- HyperLogLog
+  // The register-array distinct sketch itself, built PORTABLY: unlike
+  // `approx_count_distinct` (HLL++ with engine-private register layout),
+  // these registers come from the shared md5-polynomial hash, so a second
+  // engine rebuilds the identical array and the identical estimate. The
+  // ~30-bit hash splits as bucket = h mod 256 (p=8) and a 22-bit suffix
+  // whose leading-zero rank is the register value rho = 23 − bitlen
+  // (suffix = 0 → 23) — both pure integer/string ops. The estimator's
+  // Σ 2^−M_j is a sum of dyadic rationals with denominator ≤ 2^23 over
+  // ≤ 256 terms: every partial sum is EXACTLY representable in a double,
+  // so the aggregation is order-independent — the property that lets a
+  // float-summing aggregate through the driver's exact hash gate.
+  // Flajolet et al. 2007's small-range correction (m·ln(m/zeros)) applies
+  // under 2.5m with empty registers present.
+  //
+  // Scale shape: one map-side-combinable groupBy from corpus rows to
+  // ≤ group×256 register rows — fixed-size output, mergeable by
+  // register-wise MAX (`hllMerge`; duplicates need no pre-distinct,
+  // max absorbs them), the same shard-rollup story as KMV/CMS.
+
+  private val HllM = 256
+
+  /** Register array per group: (group, __bucket, __m), absent buckets
+    * meaning rho 0. */
+  def hllRegisters(df: DataFrame, group: String, key: String): DataFrame =
+    df.select(col(group),
+        graft.functions.TextFunctions.rollingHash(
+          md5(col(key).cast("string"))).as("__h"))
+      .select(col(group), (col("__h") % HllM).as("__bucket"),
+        expr(s"__h DIV $HllM").as("__rest"))
+      .withColumn("__rho",
+        when(col("__rest") === 0L, lit(23))
+          .otherwise(lit(23) - length(bin(col("__rest")))))
+      .groupBy(col(group), col("__bucket"))
+      .agg(max(col("__rho")).as("__m"))
+
+  /** Estimate per group from (merged) registers; `est_distinct` rounded
+    * to 4 decimals (cosmetic — the sum underneath is exact, see above).
+    */
+  def hllEstimate(regs: DataFrame, group: String): DataFrame = {
+    val m = HllM.toDouble
+    regs.groupBy(col(group))
+      .agg(count(lit(1)).as("__present"),
+        sum(pow(lit(2.0), -col("__m"))).as("__sp"))
+      .select(col(group),
+        (lit(HllM.toLong) - col("__present")).as("zeros"),
+        (lit(0.7213 / (1.0 + 1.079 / m) * m * m) /
+          (col("__sp") + (lit(HllM.toLong) - col("__present")).cast("double")))
+          .as("__raw"))
+      .select(col(group), col("zeros"),
+        round(when(col("__raw") <= lit(2.5 * m) && col("zeros") > 0,
+            lit(m) * log(lit(m) / col("zeros")))
+          .otherwise(col("__raw")), 4).as("est_distinct"))
+  }
+
+  /** Register arrays merge by register-wise MAX — associative,
+    * commutative, idempotent (the law the spec pins). */
+  def hllMerge(a: DataFrame, b: DataFrame, group: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(group), col("__bucket"))
+      .agg(max(col("__m")).as("__m"))
+
+  /** One-call HLL distinct estimate: registers + estimate. */
+  def hllDistinct(df: DataFrame, group: String, key: String): DataFrame =
+    hllEstimate(hllRegisters(df, group, key), group)
 }

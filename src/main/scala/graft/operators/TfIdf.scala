@@ -48,6 +48,61 @@ object TfIdf {
         round(col("score"), 4).as("tfidf"), col("rank"))
   }
 
+  /** BM25 retrieval scoring (Robertson k1/b form, Lucene idf) of a fixed
+    * query-term list against the corpus, top-`k` documents returned:
+    *
+    *   score(q, D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Determinism: N, df, tf, dl and Σdl are exact integers; avgdl is one
+    * double division; and the per-term contributions are summed in FIXED
+    * term order (a left fold over the query list, not a groupBy sum), so
+    * the score is one deterministic double expression — no accumulation-
+    * order noise for the oracle gate. Ties break by doc_id.
+    *
+    * Scale: tf shuffles once on (doc_id, term) pre-filtered to the query
+    * terms (the scan's pushed `term IN (...)` makes the exchange
+    * query-sized, not corpus-sized); df/N/avgdl are scalar-tiny and
+    * broadcast back; top-k is TakeOrderedAndProject.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = base.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("sum_dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+                       (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order fold: one pivoted column per query term, summed
+    // left-to-right — deterministic regardless of row order
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"c$i") }
+    val pivoted = contrib.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduce(_ + _)
+    pivoted
+      .select(col("doc_id"), round(score, 4).as("bm25"),
+        round(score, 6).as("_ord"))
+      .orderBy(col("_ord").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("bm25"))
+  }
+
   /** Corpus vocabulary: the `maxVocab` most frequent tokens with dense
     * frequency-ranked ids (0-based; ties broken by token, so the table is
     * deterministic under any layout) — the id assignment step before

@@ -27,6 +27,10 @@ object CoreQueries {
     * driver's value hash is immune to float summation-order noise. */
   private def r2(c: Column): Column = round(c, 2)
 
+  /** DuckDB mirror of `TextFunctions.normText` tokenization (the shared
+    * normalize-then-split convention of every text oracle). */
+  private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
   // ---------------------------------------------------------------- q1
   // TPC-H Q1 shape: full-scan partial aggregation (SURVEY A1-A4).
   private val q1 = NamedQuery(
@@ -1111,8 +1115,81 @@ object CoreQueries {
             WHERE o.o_orderpriority = '1-URGENT'
             GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q38
+  // Array higher-order functions — transform / filter / aggregate run
+  // INSIDE the row (zero shuffle, whole-stage codegen), the idiom that
+  // replaces explode→groupBy round trips for per-row array math. All
+  // outputs are exact integers; the oracle mirrors with DuckDB's list_*
+  // lambdas over the identical token arrays.
+  private val q38 = NamedQuery(
+    "q38_array_hof",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(expr("filter(toks, x -> length(x) > 4)")).cast("long")
+            .as("n_long"),
+          expr("aggregate(transform(toks, x -> CAST(length(x) AS BIGINT)), " +
+            "0L, (a, b) -> a + b)").as("total_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_long")).as("long_tokens"),
+          sum(col("total_chars")).as("chars"))
+        .orderBy(col("lang")),
+    Some(s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS l
+                        FROM documents),
+             p AS (SELECT doc_id, lang,
+                          CAST(len(l) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(l, x -> len(x) > 4)) AS BIGINT)
+                            AS n_long,
+                          list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              list_transform(l, x -> CAST(len(x) AS BIGINT))),
+                            (a, b) -> a + b) AS total_chars
+                   FROM t)
+             SELECT lang, count(*) AS n_docs,
+                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                    CAST(sum(n_long) AS BIGINT) AS long_tokens,
+                    CAST(sum(total_chars) AS BIGINT) AS chars
+             FROM p GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q39
+  // Regex extraction surface: regexp_extract_all + regexp_count-style
+  // stats per language. The pattern sticks to the RE2 ∩ java.util.regex
+  // common dialect (\b word boundaries, character classes) so both
+  // engines see identical matches.
+  private val q39 = NamedQuery(
+    "q39_regex_extract",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(expr("regexp_extract_all(text, '\\\\bs[a-z]+', 0)"))
+            .cast("long").as("n_s_words"),
+          regexp_extract(col("text"), "\\b(s[a-z]+)\\b", 1).as("first_s"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_s_words")).as("s_words"),
+          count(when(col("n_s_words") > 0, 1)).as("docs_with_s"),
+          min(when(col("first_s") =!= "", col("first_s"))).as("min_first_s"))
+        .orderBy(col("lang")),
+    Some("""WITH p AS (SELECT lang,
+                              CAST(len(regexp_extract_all(text, '\bs[a-z]+'))
+                                AS BIGINT) AS n_s_words,
+                              regexp_extract(text, '\b(s[a-z]+)\b', 1)
+                                AS first_s
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_s_words) AS BIGINT) AS s_words,
+                   count(CASE WHEN n_s_words > 0 THEN 1 END) AS docs_with_s,
+                   min(CASE WHEN first_s <> '' THEN first_s END)
+                     AS min_first_s
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, joinRuntimeFilter, gold)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, joinRuntimeFilter, gold)
 }

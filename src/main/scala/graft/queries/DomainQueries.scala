@@ -5,6 +5,7 @@ import graft.functions.GeoFunctions._
 import graft.functions.RiskPolicy
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Domain-surface queries over the driver corpus: the geo/risk/ingest
@@ -1037,6 +1038,305 @@ object DomainQueries {
             GROUP BY a.cday, a.offs
             ORDER BY a.cday, a.offs"""))
 
+  /** Last-touch marketing attribution: each purchase credits the most
+    * recent prior view/click by the same user within a 6h lookback
+    * (ties on the millisecond break by event_id — a total order, so the
+    * credited touch is deterministic); purchases with no touch in the
+    * window land in the 'none' channel. Revenue aggregates in exact
+    * integer cents. Scale: the touch↔purchase match is a user-keyed equi
+    * join with a time-band residual — per-user sequences are shuffle-
+    * local, and the row_number window rides the same user-clustered
+    * exchange.
+    */
+  private val eventsAttribution = NamedQuery(
+    "events_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ms").as("pms"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ms").as("tms"), col("event_id").as("tid"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("tms").desc_nulls_last, col("tid").desc_nulls_last)
+      p.join(t,
+          p("user_id") === t("user_id") &&
+            col("tms") <= col("pms") &&
+            col("tms") > col("pms") - lit(21600000L), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH p AS (SELECT event_id AS pid, user_id,
+                              epoch_ms(ts) AS pms,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel,
+                         epoch_ms(ts) AS tms, event_id AS tid
+                  FROM events WHERE event_type IN ('view', 'click')),
+            j AS (SELECT p.pid, p.cents, t.channel, t.tms, t.tid
+                  FROM p LEFT JOIN t
+                    ON p.user_id = t.user_id AND t.tms <= p.pms
+                   AND t.tms > p.pms - 21600000),
+            r AS (SELECT pid, cents, channel,
+                         row_number() OVER (PARTITION BY pid
+                           ORDER BY tms DESC NULLS LAST, tid DESC NULLS LAST)
+                           AS rn
+                  FROM j)
+            SELECT coalesce(channel, 'none') AS channel,
+                   count(*) AS n_purchases,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+
+  /** SCD Type-2 dimension build (the warehouse history-tracking surface):
+    * per user, the day's CLOSING state (last event by the (ms, event_id)
+    * total order) collapses into runs of consecutive-in-observation equal
+    * states — gaps-and-islands via the two-row_number difference — each
+    * emitted as one versioned dimension row with effective_from /
+    * effective_to / is_current. Every column is an exact integer/string.
+    * Scale: one user-keyed window exchange end to end (daily close, lag,
+    * island id, and run bounds all ride the same partitioning).
+    */
+  private val scd2Dimension = NamedQuery(
+    "scd2_dimension",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ms").desc, col("event_id").desc)
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("event_id"),
+          expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+            .as("day"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("event_type").as("state"))
+      val wd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val ws = Window.partitionBy(col("user_id"), col("state"))
+        .orderBy(col("day"))
+      val islands = daily
+        .withColumn("island",
+          row_number().over(wd) - row_number().over(ws))
+      val wu = Window.partitionBy(col("user_id"))
+      islands.groupBy(col("user_id"), col("state"), col("island"))
+        .agg(min(col("day")).as("effective_from"),
+          max(col("day")).as("effective_to"),
+          count(lit(1)).as("n_days"))
+        .withColumn("is_current",
+          col("effective_to") === max(col("effective_to")).over(wu))
+        .drop("island")
+        .orderBy(col("user_id"), col("effective_from"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+                              epoch_ms(ts) AS ms,
+                              CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                                AS day
+                       FROM events),
+            daily AS (SELECT user_id, day, event_type AS state
+                      FROM (SELECT *, row_number() OVER (
+                              PARTITION BY user_id, day
+                              ORDER BY ms DESC, event_id DESC) AS rn
+                            FROM e)
+                      WHERE rn = 1),
+            isl AS (SELECT user_id, day, state,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY day)
+                           - row_number() OVER (PARTITION BY user_id, state
+                               ORDER BY day) AS island
+                    FROM daily),
+            runs AS (SELECT user_id, state, island,
+                            min(day) AS effective_from,
+                            max(day) AS effective_to,
+                            count(*) AS n_days
+                     FROM isl GROUP BY 1, 2, 3)
+            SELECT user_id, state, effective_from, effective_to, n_days,
+                   effective_to = max(effective_to)
+                     OVER (PARTITION BY user_id) AS is_current
+            FROM runs ORDER BY user_id, effective_from"""))
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next | current) from lead() pairs on the (ts, event_id) total
+    * order. The probability is exact-integer round-half-up parts-per-
+    * million — `(n·2e6 + t) DIV (2t)` — so no float ever touches the
+    * gate. Scale: one window shuffle on user_id (sequences are per-user
+    * local), then a transition-matrix-sized (≤ types²) aggregation.
+    */
+  private val eventsMarkov = NamedQuery(
+    "events_markov",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+      tr.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          expr("CAST((n * 2000000 + t) DIV (2 * t) AS BIGINT)").as("p_ppm"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""WITH sq AS (SELECT user_id, event_type, ts, event_id,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_type
+                        FROM events),
+            tr AS (SELECT event_type, next_type, count(*) AS n
+                   FROM sq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+                    FROM tr GROUP BY 1)
+            SELECT tr.event_type, tr.next_type, tr.n,
+                   CAST((tr.n * 2000000 + tot.t) // (2 * tot.t) AS BIGINT)
+                     AS p_ppm
+            FROM tr JOIN tot USING (event_type)
+            ORDER BY 1, 2"""))
+
+  /** Explicit VACUUM through the driver gate: three commits, then
+    * `vacuum(keepLast = 1)` reclaims v1+v2 NOW (not waiting for future
+    * commits to age them out). The gate pins all three contract points at
+    * once: the live snapshot is untouched (its agg is the hash), the
+    * reclaimed set is exactly {v1, v2} (`dropped_versions`), and a
+    * time-travel read of reclaimed history fails with the TYPED
+    * `VacuumedVersionException` rather than a generic path error
+    * (`old_read_typed`). keepVersions=10 keeps the automatic per-commit
+    * vacuum out of the frame so the explicit verb is what's measured.
+    */
+  private val catalogVacuum = NamedQuery(
+    "catalog_vacuum", {
+      (s, d) => {
+        import graft.catalog.{TableCatalog, VacuumedVersionException}
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_vac")
+        cat.overwrite(orders.withColumn("o_totalprice",
+          col("o_totalprice") * 2.0), "silver", "orders_vac")
+        cat.overwrite(orders.withColumn("o_totalprice",
+          col("o_totalprice") * 3.0), "silver", "orders_vac")
+        val dropped = cat.vacuum("silver", "orders_vac", keepLast = 1)
+        val typedFail =
+          try { cat.readVersion("silver", "orders_vac", 1).count(); false }
+          catch { case _: VacuumedVersionException => true }
+        cat.read("silver", "orders_vac")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .withColumn("dropped_versions", lit(dropped.mkString(",")))
+          .withColumn("retained", lit(cat.versions("silver", "orders_vac").length))
+          .withColumn("old_read_typed", lit(typedFail))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice * 3.0), 2) AS total_price,
+                   '1,2' AS dropped_versions, 1 AS retained,
+                   true AS old_read_typed
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Delta-style RESTORE through the driver gate: v1 orders, v2 doubled,
+    * `restore(v1)` commits v3 as a file-level copy of v1. The hash pins
+    * the undo-commit contract end to end: the live read is v1's content
+    * again (`restored_live`), history moved FORWARD (new version is 3,
+    * constant-columned), and the restored-away v2 is still
+    * time-travelable (`v2` rows stay doubled). A restore that rewound the
+    * pointer (live=3 but v2 gone), re-encoded rows (price drift), or
+    * re-committed the wrong snapshot all break the hash.
+    */
+  private val catalogRestore = NamedQuery(
+    "catalog_restore", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_res_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_res")
+        cat.overwrite(orders.withColumn("o_totalprice",
+          col("o_totalprice") * 2.0), "silver", "orders_res")
+        val newV = cat.restore("silver", "orders_res", version = 1)
+        def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+                 round(sum(col("o_totalprice")), 2).as("total_price"))
+            .withColumn("snapshot", lit(label))
+        agg(cat.read("silver", "orders_res"), "restored_live")
+          .unionByName(agg(cat.readVersion("silver", "orders_res", 2), "v2"))
+          .withColumn("new_version", lit(newV))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   'restored_live' AS snapshot, 3 AS new_version
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT o_orderstatus, count(*),
+                   round(sum(o_totalprice * 2.0), 2), 'v2', 3
+            FROM orders GROUP BY 1
+            ORDER BY 4, 1"""))
+
+  /** Write-time CHECK constraints through the driver gate: declare
+    * `o_totalprice >= 0`, commit a valid snapshot, then attempt a batch
+    * where 'F'-status prices are negated. The violating write must be
+    * REJECTED atomically — typed error carrying the exact violation count
+    * (= the F-order count, recomputed relationally by the oracle), no new
+    * version, live snapshot still the valid one. A constraint that
+    * filtered instead of rejecting, miscounted NULL semantics, or
+    * half-committed before validating all break the hash.
+    */
+  private val catalogCheckConstraint = NamedQuery(
+    "catalog_check_constraint", {
+      (s, d) => {
+        import graft.catalog.{TableCatalog, ConstraintViolationException}
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_chk_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.setCheck("silver", "orders_chk", "nonneg", "o_totalprice >= 0")
+        cat.overwriteChecked(orders, "silver", "orders_chk")
+        val bad = orders.withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        val violations =
+          try { cat.overwriteChecked(bad, "silver", "orders_chk"); -1L }
+          catch { case e: ConstraintViolationException => e.violations }
+        cat.read("silver", "orders_chk")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .withColumn("violations", lit(violations))
+          .withColumn("live_version",
+            lit(cat.currentVersion("silver", "orders_chk").get))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+                     AS violations,
+                   1 AS live_version
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(geoHaversine, geoGridJoin, alertFlags, bpeishTokens, sqlSurface,
       approxStats, privacyK, profileLineitem, layoutZorder,
@@ -1044,5 +1344,7 @@ object DomainQueries {
       catalogStatsSkipping, catalogBucketedJoin, catalogChangeFeed,
       catalogIncrementalGold, catalogTimeTravel, catalogTimeTravelTs,
       catalogSchemaEvolve, catalogConcurrentAppend, catalogDeleteWhere,
-      catalogUpdateSet, eventsFunnel, eventsCohort)
+      catalogUpdateSet, catalogVacuum, catalogRestore,
+      catalogCheckConstraint, eventsFunnel, eventsCohort, eventsMarkov,
+      eventsAttribution, scd2Dimension)
 }

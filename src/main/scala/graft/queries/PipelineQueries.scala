@@ -92,6 +92,43 @@ object PipelineQueries {
                        FROM documents)
             SELECT doc_id, lang FROM r WHERE rn <= 25 ORDER BY doc_id"""))
 
+  /** BM25 retrieval of a 3-term query over the corpus, top-20 docs — the
+    * RAG/passage-retrieval scoring surface (k1=1.2, b=0.75, Lucene idf).
+    * The oracle rebuilds the identical cascade; the per-term score fold is
+    * FIXED-ORDER on both engines (see TfIdf.bm25TopK), so the hash pins
+    * tf, df, dl, avgdl, idf, the saturation curve, and the tiebreak.
+    */
+  private val bm25TopK = NamedQuery(
+    "text_bm25_topk",
+    (s, d) =>
+      TfIdf.bm25TopK(Tables.documents(s, d),
+        terms = Seq("hash", "vector", "spark"), k = 20),
+    Some(s"""WITH tokl AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                           FROM documents),
+             base AS (SELECT doc_id, unnest(l) AS term,
+                             CAST(len(l) AS BIGINT) AS dl FROM tokl),
+             tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                    FROM base WHERE term IN ('hash', 'vector', 'spark')
+                    GROUP BY 1, 2),
+             st AS (SELECT count(*) AS n_docs,
+                           CAST(sum(len(l)) AS BIGINT) AS sum_dl FROM tokl),
+             dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             ct AS (SELECT tf.doc_id, tf.term,
+                           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                             * (tf.tf * (1.2 + 1.0))
+                             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+                             AS contrib
+                    FROM tf JOIN dfq USING (term) CROSS JOIN st),
+             pv AS (SELECT doc_id,
+                           coalesce(max(CASE WHEN term = 'hash' THEN contrib END), 0.0) AS c0,
+                           coalesce(max(CASE WHEN term = 'vector' THEN contrib END), 0.0) AS c1,
+                           coalesce(max(CASE WHEN term = 'spark' THEN contrib END), 0.0) AS c2
+                    FROM ct GROUP BY 1)
+             SELECT doc_id, round(c0 + c1 + c2, 4) AS bm25
+             FROM pv ORDER BY round(c0 + c1 + c2, 6) DESC, doc_id
+             LIMIT 20"""))
+
   /** Top-3 TF-IDF terms per document. */
   private val tfidfTopK = NamedQuery(
     "text_tfidf_topk",
@@ -668,6 +705,56 @@ object PipelineQueries {
                    n_exact
             FROM s JOIN e USING (l_returnflag) ORDER BY 1"""))
 
+  /** Portable HyperLogLog distinct estimate (m=256 registers) beside the
+    * exact count — the REGISTER-ARRAY sketch itself driver-hash-gated,
+    * which `approx_count_distinct`'s engine-private HLL++ can never be.
+    * Exactness of the gate rests on two design points pinned in
+    * SketchesSpec: the registers are integer/string ops on the shared
+    * md5-polynomial hash, and the estimator's Σ2^−rho is dyadic-exact in
+    * doubles, so summation order cannot move a bit.
+    */
+  private val approxDistinctHll = NamedQuery(
+    "approx_distinct_hll",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("zeros"), col("est_distinct"),
+          col("n_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (
+              SELECT l_returnflag,
+                     list_reduce(list_transform(
+                         string_split(md5(CAST(l_partkey AS VARCHAR)), ''),
+                         c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS hh
+              FROM lineitem),
+            b AS (SELECT l_returnflag, hh % 256 AS bucket, hh // 256 AS rest
+                  FROM h),
+            r AS (SELECT l_returnflag, bucket,
+                         max(CASE WHEN rest = 0 THEN 23
+                                  ELSE 23 - length(format('{:b}', rest)) END)
+                           AS m
+                  FROM b GROUP BY 1, 2),
+            s AS (SELECT l_returnflag, count(*) AS present,
+                         sum(power(2.0, -m)) AS sp
+                  FROM r GROUP BY 1),
+            raw AS (SELECT l_returnflag, 256 - present AS zeros,
+                           0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 /
+                             (sp + CAST(256 - present AS DOUBLE)) AS rawe
+                    FROM s),
+            e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+                  FROM lineitem GROUP BY 1)
+            SELECT raw.l_returnflag, raw.zeros,
+                   round(CASE WHEN rawe <= 2.5 * 256.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE rawe END, 4) AS est_distinct,
+                   e.n_exact
+            FROM raw JOIN e USING (l_returnflag) ORDER BY 1"""))
+
   /** Edit-distance fuzzy join (`Fuzzy.editDistancePairs`): near-duplicate
     * signature pairs within 3 edits, prefix-blocked and df-capped. The
     * oracle replays the same blocking cascade with DuckDB's levenshtein —
@@ -837,5 +924,5 @@ object PipelineQueries {
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,
         chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
-        heavyHittersCms, graphPageRank)
+        heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll)
 }

@@ -74,7 +74,14 @@ class PlanAuditSpec extends SparkSpec {
         "collect combine — the ivfTopK seed pattern; the corpus never shuffles"),
     "dedup_semantic" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "same 1-row centroid-array attach as cluster_kmeans_assign feeding the " +
-        "blocked pair join (hash equi on the learned cluster)"))
+        "blocked pair join (hash equi on the learned cluster)"),
+    "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
+        "global count combine (text_tfidf_topk's accepted shape)"),
+    "text_bm25_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row corpus-stats (N, Σdl) broadcast attach + its global combine — " +
+        "the tf/df joins themselves are hash equi on the query-term-filtered " +
+        "exchange (query-sized, not corpus-sized)"))
 
   test("no driver query carries an unaccepted scale-hostile plan shape") {
     val results = PlanAudit.audit(spark, "/root/testdata/sf0.001")

@@ -78,4 +78,43 @@ class SketchesSpec extends SparkSpec {
     assert(merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) ===
       whole.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("HLL: estimate within the m=256 error envelope, duplicate-insensitive") {
+    val rows = (1 to 5000).map(i => ("g", (i % 2000).toLong)).toDF("g", "k")
+    val out = Sketches.hllDistinct(rows, "g", "k").collect().head
+    val est = out.getAs[Double]("est_distinct")
+    // RSE ≈ 1.04/sqrt(256) ≈ 6.5%; 4σ keeps flake negligible
+    assert(est > 2000 * 0.74 && est < 2000 * 1.26,
+      s"estimate $est implausible for 2000 distinct")
+    // duplicates never move a register (max absorbs them)
+    val dup = Sketches.hllDistinct(
+      rows.unionByName(rows), "g", "k").collect().head
+    assert(dup.getAs[Double]("est_distinct") === est)
+  }
+
+  test("HLL small-range correction engages and is near-exact at tiny n") {
+    val rows = (1 to 20).map(i => ("g", i.toLong)).toDF("g", "k")
+    val out = Sketches.hllDistinct(rows, "g", "k").collect().head
+    assert(out.getAs[Long]("zeros") >= 236) // ≥ 256 − 20 empty registers
+    val est = out.getAs[Double]("est_distinct")
+    assert(est > 15 && est < 25, s"linear-counting estimate $est for n=20")
+  }
+
+  test("HLL merge law: register-wise max of shards == registers of the union") {
+    val rows = (1 to 4000).map(i => ("g" + (i % 3), (i * 13).toLong))
+      .toDF("g", "k")
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(rows, "g", "k"), "g")
+      .orderBy("g").collect().toSeq
+    val h1 = Sketches.hllRegisters(rows.filter(col("k") % 2 === 0), "g", "k")
+    val h2 = Sketches.hllRegisters(rows.filter(col("k") % 2 =!= 0), "g", "k")
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMerge(h1, h2, "g"), "g").orderBy("g").collect().toSeq
+    assert(merged === whole)
+    // idempotence: merging a shard with itself changes nothing
+    val self = Sketches.hllEstimate(
+      Sketches.hllMerge(h1, h1, "g"), "g").orderBy("g").collect().toSeq
+    val alone = Sketches.hllEstimate(h1, "g").orderBy("g").collect().toSeq
+    assert(self === alone)
+  }
 }

@@ -581,4 +581,73 @@ class TableCatalogSpec extends SparkSpec {
     cat.overwrite(Seq((9L, "z")).toDF("id", "v"), "silver", "j")
     assert(cat.read("silver", "j").select("id").as[Long].collect().toSeq === Seq(9L))
   }
+
+  test("vacuum: reclaims old versions only, never the live one, typed reads after") {
+    import graft.catalog.VacuumedVersionException
+    val cat = new TableCatalog(spark, tmpDir("cat-vac"), keepVersions = 10)
+    (1 to 4).foreach(i => cat.overwrite(Seq(i).toDF("x"), "silver", "t"))
+    assert(cat.versions("silver", "t") === Seq(1, 2, 3, 4))
+    assert(cat.vacuum("silver", "t", keepLast = 2) === Seq(1, 2))
+    assert(cat.versions("silver", "t") === Seq(3, 4))
+    // live untouched; vacuumed history is a TYPED error, retained still reads
+    assert(cat.read("silver", "t").as[Int].collect().toSeq === Seq(4))
+    assert(cat.readVersion("silver", "t", 3).as[Int].collect().toSeq === Seq(3))
+    val e = intercept[VacuumedVersionException] {
+      cat.readVersion("silver", "t", 1)
+    }
+    assert(e.getMessage.contains("retained versions: 3,4"))
+    // keepLast beyond history: no-op; keepLast=1 keeps exactly the live one
+    assert(cat.vacuum("silver", "t", keepLast = 5) === Nil)
+    assert(cat.vacuum("silver", "t", keepLast = 1) === Seq(3))
+    assert(cat.read("silver", "t").as[Int].collect().toSeq === Seq(4))
+  }
+
+  test("restore: undo commit moves history forward, file copy preserves stats sidecar") {
+    val cat = new TableCatalog(spark, tmpDir("cat-res"), keepVersions = 10)
+    cat.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "t",
+      statsCols = Seq("id"))
+    cat.overwrite(Seq((9L, "z")).toDF("id", "v"), "silver", "t",
+      statsCols = Seq("id"))
+    assert(cat.restore("silver", "t", version = 1) === 3)
+    assert(cat.currentVersion("silver", "t") === Some(3))
+    assert(cat.read("silver", "t").select("id").as[Long].collect().sorted
+      === Seq(1L, 2L))
+    // restored-away v2 still time-travels; stats sidecar rode the copy
+    assert(cat.readVersion("silver", "t", 2).select("id").as[Long]
+      .collect().toSeq === Seq(9L))
+    val stats = cat.fileStats("silver", "t")
+    assert(stats.isDefined)
+    assert(stats.get.agg(min(col("min_id")), max(col("max_id")))
+      .as[(Long, Long)].collect().head === ((1L, 2L)))
+    // restoring a vacuumed version is the typed history error
+    cat.vacuum("silver", "t", keepLast = 1)
+    intercept[graft.catalog.VacuumedVersionException] {
+      cat.restore("silver", "t", version = 1)
+    }
+  }
+
+  test("CHECK constraints: violations reject atomically, NULL passes (SQL CHECK)") {
+    import graft.catalog.ConstraintViolationException
+    val cat = new TableCatalog(spark, tmpDir("cat-chk"), keepVersions = 10)
+    cat.setCheck("silver", "t", "pos", "x > 0")
+    cat.overwriteChecked(Seq(Some(1), Some(2), None).toDF("x"), "silver", "t")
+    // NULL passes SQL CHECK: three rows committed
+    assert(cat.read("silver", "t").count() === 3)
+    val e = intercept[ConstraintViolationException] {
+      cat.overwriteChecked(Seq(Some(5), Some(-1), Some(0)).toDF("x"),
+        "silver", "t")
+    }
+    assert(e.violations === 2) // -1 and 0 both fail x > 0
+    // nothing committed: same version, same content
+    assert(cat.currentVersion("silver", "t") === Some(1))
+    assert(cat.read("silver", "t").count() === 3)
+    // two constraints compose (violate EITHER → reject)
+    cat.setCheck("silver", "t", "cap", "x < 100")
+    val e2 = intercept[ConstraintViolationException] {
+      cat.overwriteChecked(Seq(Some(50), Some(500)).toDF("x"), "silver", "t")
+    }
+    assert(e2.violations === 1)
+    cat.overwriteChecked(Seq(Some(50), Some(99)).toDF("x"), "silver", "t")
+    assert(cat.currentVersion("silver", "t") === Some(2))
+  }
 }
