@@ -768,4 +768,80 @@ object Similarity {
     emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(groupCol), col("dim"))
       .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
+
+  /** MMR (maximal marginal relevance) diversified re-rank: greedily select
+    * `k` of the query's top-`pool` neighbours maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    * redundancy-suppressing re-rank of a retrieval stage (Carbonell &
+    * Goldstein 1998). Output: (rank, vec_id, rel) in selection order.
+    *
+    * Scale + determinism: the DISTRIBUTED work is candidate generation
+    * (any top-k op) and the pool×pool pair-sim table — pool is a caller
+    * PARAMETER (`require`d ≤ 1000), so both are re-rank-sized, never
+    * corpus-sized. The greedy itself is inherently sequential (each pick
+    * conditions the next), so it runs on the collected ≤pool² pair table
+    * — the same counted-driver-gate pattern as `Clusters`' union-find.
+    * Relevance and pair sims come from the SAME dot/norm kernels the
+    * oracle's list_cosine_similarity matches bit-for-bit; comparisons use
+    * raw doubles with a vec_id tiebreak, so no rounding boundary exists
+    * anywhere in the selection.
+    */
+  def mmrRerank(corpus: DataFrame, queryId: Long, pool: Int, k: Int,
+      lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(pool >= k && k >= 1, s"need pool >= k >= 1; got pool=$pool k=$k")
+    require(pool <= 1000,
+      s"pool=$pool: the greedy's driver pair table is pool²-bounded; " +
+        "cap the candidate stage, not the corpus")
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.ensure(spark)
+    // raw-cos candidate pool (NOT bruteForceTopK's round-4 output: the
+    // greedy must compare the same raw doubles the oracle computes)
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm2Fast(col(vecCol)).as("qn"))
+    val cand = corpus.filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2Fast(col(vecCol)).as("cn"))
+      .crossJoin(broadcast(q))
+      .select(col("neighbor_id"),
+        (dotFast(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rel"))
+      // TakeOrderedAndProject, not a single-partition row_number sort
+      .orderBy(col("rel").desc, col("neighbor_id")).limit(pool)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("v"), norm2Fast(col(vecCol)).as("n"))
+      .join(cand, Seq("neighbor_id"))
+    val a = vecs.select(col("neighbor_id").as("a"), col("v").as("va"),
+      col("n").as("na"))
+    val b = vecs.select(col("neighbor_id").as("b"), col("v").as("vb"),
+      col("n").as("nb"))
+    val pairs = a.join(broadcast(b), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dotFast(col("va"), col("vb")) / (col("na") * col("nb"))).as("s"))
+    // pool²-bounded collects (counted gate above): the greedy is sequential
+    val rel = cand.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = pairs.collect().flatMap { r =>
+      val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((x, y) -> s, (y, x) -> s)
+    }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (selected.length < math.min(k, rel.size)) {
+      val remaining = rel.keysIterator.filterNot(selected.contains).toSeq
+      val best = remaining.minBy { d =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sim((d, s))).max
+        val score =
+          if (selected.isEmpty) rel(d) // seed = pure relevance
+          else lambda * rel(d) - (1.0 - lambda) * maxSim
+        (-score, d) // max score, ties to the smaller id
+      }
+      selected += best
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case (id, i) =>
+      (i + 1, id, BigDecimal(rel(id)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("rank", "vec_id", "rel")
+  }
 }

@@ -333,7 +333,193 @@ object AnalyticsQueries {
              SELECT event_type, day, cnt, z, abs(z) >= 2.0 AS anomaly
              FROM z ORDER BY event_type, day"""))
 
+  // ------------------------------------------------- stats_outliers
+  // Tukey-fence outlier detection with NO floats anywhere: quartiles of
+  // integer cents interpolate at quarter fractions, so 4·q is an exact
+  // integer; the 1.5·IQR fences scale to ×8 integers
+  // (lo×8 = 2·p25×4 − 3·iqr×4), and membership tests compare 8·cents
+  // against them — pure BIGINT end to end.
+  private val statsOutliers = NamedQuery(
+    "stats_outliers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val qs = o.groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(cents, 0.25D)") * 4).cast("long")
+            .as("p25_x4"),
+          round(expr("percentile(cents, 0.75D)") * 4).cast("long")
+            .as("p75_x4"),
+          count(lit(1)).as("n"))
+        .withColumn("iqr_x4", col("p75_x4") - col("p25_x4"))
+        .withColumn("lo_x8", lit(2L) * col("p25_x4") - lit(3L) * col("iqr_x4"))
+        .withColumn("hi_x8", lit(2L) * col("p75_x4") + lit(3L) * col("iqr_x4"))
+      o.join(qs, Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("p25_x4")).as("p25_x4"),
+          min(col("p75_x4")).as("p75_x4"),
+          min(col("iqr_x4")).as("iqr_x4"),
+          count(when(lit(8L) * col("cents") < col("lo_x8") ||
+            lit(8L) * col("cents") > col("hi_x8"), 1)).as("n_outliers"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+            q AS (SELECT o_orderpriority,
+                         CAST(round(quantile_cont(cents, 0.25) * 4) AS BIGINT)
+                           AS p25_x4,
+                         CAST(round(quantile_cont(cents, 0.75) * 4) AS BIGINT)
+                           AS p75_x4
+                  FROM c GROUP BY 1),
+            f AS (SELECT *, p75_x4 - p25_x4 AS iqr_x4,
+                         2 * p25_x4 - 3 * (p75_x4 - p25_x4) AS lo_x8,
+                         2 * p75_x4 + 3 * (p75_x4 - p25_x4) AS hi_x8
+                  FROM q)
+            SELECT c.o_orderpriority, min(f.p25_x4) AS p25_x4,
+                   min(f.p75_x4) AS p75_x4, min(f.iqr_x4) AS iqr_x4,
+                   count(CASE WHEN 8 * c.cents < f.lo_x8
+                               OR 8 * c.cents > f.hi_x8 THEN 1 END)
+                     AS n_outliers
+            FROM c JOIN f USING (o_orderpriority)
+            GROUP BY 1 ORDER BY 1"""))
+
+  // -------------------------------------------------- stats_ab_ttest
+  // Welch's two-sample t (the A/B-test statistic) between O- and F-status
+  // order totals: per-group n/S1/S2 are exact decimal sums over cents;
+  // mean, variance, t, and the Welch–Satterthwaite df are one fixed
+  // double chain over those exact inputs — deterministic by construction.
+  private val statsAbTtest = NamedQuery(
+    "stats_ab_ttest",
+    (s, d) => {
+      val g = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("cents")).cast("double").as("s1"),
+          dsum(col("cents").cast("decimal(38,0)") * col("cents"))
+            .cast("double").as("s2"))
+      def side(st: String, c: String) =
+        max(when(col("o_orderstatus") === st, col(c))).as(s"${c}_$st")
+      val wide = g.agg(side("O", "n"), side("O", "s1"), side("O", "s2"),
+        side("F", "n"), side("F", "s1"), side("F", "s2"))
+      val m1 = col("s1_O") / col("n_O")
+      val m2 = col("s1_F") / col("n_F")
+      val v1 = (col("n_O") * col("s2_O") - col("s1_O") * col("s1_O")) /
+        (col("n_O") * (col("n_O") - lit(1.0)))
+      val v2 = (col("n_F") * col("s2_F") - col("s1_F") * col("s1_F")) /
+        (col("n_F") * (col("n_F") - lit(1.0)))
+      val se2 = v1 / col("n_O") + v2 / col("n_F")
+      val t = (m1 - m2) / sqrt(se2)
+      val dfW = (se2 * se2) /
+        ((v1 / col("n_O")) * (v1 / col("n_O")) / (col("n_O") - lit(1.0)) +
+         (v2 / col("n_F")) * (v2 / col("n_F")) / (col("n_F") - lit(1.0)))
+      wide.select(col("n_O").cast("long").as("n_o"),
+        col("n_F").cast("long").as("n_f"),
+        round(m1, 4).as("mean_cents_o"), round(m2, 4).as("mean_cents_f"),
+        round(t, 6).as("t_stat"), round(dfW, 2).as("welch_df"))
+    },
+    Some("""WITH c AS (SELECT o_orderstatus,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders WHERE o_orderstatus IN ('O', 'F')),
+            g AS (SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(cents) AS DOUBLE) AS s1,
+                         CAST(sum(cents * cents) AS DOUBLE) AS s2
+                  FROM c GROUP BY 1),
+            w AS (SELECT max(CASE WHEN o_orderstatus = 'O' THEN n END) AS n_o,
+                         max(CASE WHEN o_orderstatus = 'O' THEN s1 END) AS s1_o,
+                         max(CASE WHEN o_orderstatus = 'O' THEN s2 END) AS s2_o,
+                         max(CASE WHEN o_orderstatus = 'F' THEN n END) AS n_f,
+                         max(CASE WHEN o_orderstatus = 'F' THEN s1 END) AS s1_f,
+                         max(CASE WHEN o_orderstatus = 'F' THEN s2 END) AS s2_f
+                  FROM g),
+            m AS (SELECT n_o, n_f,
+                         s1_o / n_o AS m1, s1_f / n_f AS m2,
+                         (n_o * s2_o - s1_o * s1_o) / (n_o * (n_o - 1.0))
+                           AS v1,
+                         (n_f * s2_f - s1_f * s1_f) / (n_f * (n_f - 1.0))
+                           AS v2
+                  FROM w),
+            z AS (SELECT *, v1 / n_o + v2 / n_f AS se2 FROM m)
+            SELECT CAST(n_o AS BIGINT) AS n_o, CAST(n_f AS BIGINT) AS n_f,
+                   round(m1, 4) AS mean_cents_o, round(m2, 4) AS mean_cents_f,
+                   round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+                   round((se2 * se2) /
+                         ((v1 / n_o) * (v1 / n_o) / (n_o - 1.0) +
+                          (v2 / n_f) * (v2 / n_f) / (n_f - 1.0)), 2)
+                     AS welch_df
+            FROM z"""))
+
+  // ------------------------------------------------ stats_chi_square
+  // Chi-square independence test of event_type × weekday (epoch-day mod 7
+  // — no calendar/timezone surface): O and the E = row·col/total inputs
+  // are exact integers; each cell's (O−E)²/E is one deterministic double;
+  // and the 35-cell sum folds in FIXED (type, weekday) order on both
+  // engines (sorted collect + aggregate() vs ordered list + list_reduce),
+  // so accumulation order is pinned, not assumed.
+  private val statsChiSquare = NamedQuery(
+    "stats_chi_square",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"CAST(floor(unix_millis(ts) / $dayMs) AS BIGINT) % 7")
+            .as("wd"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("wd")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("t"))
+      val contrib = cells.join(rt, Seq("event_type")).join(ct, Seq("wd"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("wd"),
+          (col("rt").cast("double") * col("ct") / col("t")).as("e"),
+          col("o"))
+        .select(col("event_type"), col("wd"),
+          ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+            .as("contrib"))
+      // nr/nc derived from the one collected cell array — no multi-
+      // count_distinct Expand, no second aggregation
+      contrib
+        .agg(sort_array(collect_list(
+          struct(col("event_type"), col("wd"), col("contrib")))).as("cs"))
+        .select(
+          round(expr("aggregate(cs, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + x.contrib)"), 6).as("chi2"),
+          ((size(array_distinct(expr("transform(cs, x -> x.event_type)")))
+            - 1) *
+           (size(array_distinct(expr("transform(cs, x -> x.wd)"))) - 1))
+            .cast("long").as("dof"))
+    },
+    Some("""WITH cells AS (SELECT event_type,
+                                  CAST(floor(epoch_ms(ts) / 86400000.0)
+                                    AS BIGINT) % 7 AS wd,
+                                  count(*) AS o
+                           FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+            ct AS (SELECT wd, sum(o) AS ct FROM cells GROUP BY 1),
+            tt AS (SELECT sum(o) AS t FROM cells),
+            con AS (SELECT c.event_type, c.wd,
+                           (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / tt.t)
+                           * (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / tt.t)
+                           / (CAST(rt.rt AS DOUBLE) * ct.ct / tt.t)
+                             AS contrib
+                    FROM cells c
+                    JOIN rt USING (event_type) JOIN ct USING (wd)
+                    CROSS JOIN tt)
+            SELECT round(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(contrib ORDER BY event_type, wd)),
+                     (a, x) -> a + x), 6) AS chi2,
+                   (count(DISTINCT event_type) - 1)
+                     * (count(DISTINCT wd) - 1) AS dof
+            FROM con"""))
+
   val all: Seq[NamedQuery] =
     Seq(statsRegression, statsHistogram, statsModeMedian, statsEntropy,
-      tsEwma, tsAutocorr, tsRollingZscore)
+      tsEwma, tsAutocorr, tsRollingZscore, statsOutliers, statsAbTtest,
+      statsChiSquare)
 }

@@ -1188,8 +1188,76 @@ object CoreQueries {
                      AS min_first_s
             FROM p GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q40
+  // Calendar/datetime surface on UTC-pinned epoch arithmetic: ISO week
+  // truncation, month bucketing, and day-of-week — all derived from
+  // epoch-day integers (ms/86400000; day 0 = Thursday), so no engine
+  // calendar library or timezone rule is ever consulted and parity is
+  // arithmetic, not configurational.
+  private val q40 = NamedQuery(
+    "q40_datetime_family",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+          .as("day"))
+        // ISO-ish week id: days since the Monday of epoch week 0
+        // (epoch day 0 = Thu → shift +3 puts Monday at week boundaries)
+        .select(col("day"),
+          expr("(day + 3) DIV 7").as("week"),
+          expr("(day + 4) % 7").as("dow"), // 0=Sunday … 6=Saturday
+          expr("day DIV 30").as("month30"))
+        .groupBy(col("week"), col("dow"), col("month30"))
+        .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"))
+        .orderBy(col("week"), col("dow"), col("month30")),
+    Some("""WITH e AS (SELECT CAST(floor(epoch_ms(ts) / 86400000.0)
+                                AS BIGINT) AS day
+                       FROM events)
+            SELECT (day + 3) // 7 AS week, (day + 4) % 7 AS dow,
+                   day // 30 AS month30,
+                   count(*) AS n, min(day) AS first_day,
+                   max(day) AS last_day
+            FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // ---------------------------------------------------------------- q41
+  // Null-semantics surface: null-safe equality (<=> / IS NOT DISTINCT
+  // FROM), three-valued-logic filters, coalesce/nullif. The probe column
+  // nullifies one value so every construct exercises a real null.
+  private val q41 = NamedQuery(
+    "q41_null_semantics",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pr"))
+      val a = o.select(col("o_orderkey").as("k"), col("pr").as("pa"))
+      val b = o.select((col("o_orderkey") + 1).as("k"), col("pr").as("pb"))
+      a.join(b, Seq("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("pa") <=> col("pb"), 1)).as("nullsafe_eq"),
+          count(when(col("pa") === col("pb"), 1)).as("plain_eq"),
+          count(when(col("pa").isNull && col("pb").isNull, 1))
+            .as("both_null"),
+          count(when(coalesce(col("pa"), lit("none")) === "none", 1))
+            .as("a_null"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+                              nullif(o_orderpriority, '3-MEDIUM') AS pr
+                       FROM orders),
+            a AS (SELECT o_orderkey AS k, pr AS pa FROM o),
+            b AS (SELECT o_orderkey + 1 AS k, pr AS pb FROM o)
+            SELECT count(*) AS n_pairs,
+                   count(CASE WHEN pa IS NOT DISTINCT FROM pb THEN 1 END)
+                     AS nullsafe_eq,
+                   count(CASE WHEN pa = pb THEN 1 END) AS plain_eq,
+                   count(CASE WHEN pa IS NULL AND pb IS NULL THEN 1 END)
+                     AS both_null,
+                   count(CASE WHEN coalesce(pa, 'none') = 'none' THEN 1 END)
+                     AS a_null
+            FROM a JOIN b USING (k)"""))
+
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, joinRuntimeFilter, gold)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    joinRuntimeFilter, gold)
 }

@@ -1160,6 +1160,92 @@ object DomainQueries {
                      OVER (PARTITION BY user_id) AS is_current
             FROM runs ORDER BY user_id, effective_from"""))
 
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchases, the classic CRM scoring op — built SCALE-RIGHT: no global
+    * ntile window anywhere. Quintile boundaries come from one exact-input
+    * percentile aggregate over the per-user rollup (a single broadcast
+    * row), and each score is 5 minus / 1 plus the count of boundaries the
+    * user's metric strictly exceeds — pure comparisons against
+    * deterministic doubles, identical in both engines. Output is the
+    * segment grid with user counts and exact-cents revenue.
+    */
+  private val eventsRfm = NamedQuery(
+    "events_rfm",
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+            .as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val per = p.groupBy(col("user_id"))
+        .agg(max(col("day")).as("lastd"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("mon"))
+      val mx = p.agg(max(col("day")).as("maxd"))
+      val u = per.crossJoin(broadcast(mx))
+        .withColumn("rec", col("maxd") - col("lastd"))
+      val qs = Seq(20, 40, 60, 80)
+      val boundCols =
+        qs.map(q => expr(s"percentile(rec, 0.${q}D)").as(s"r$q")) ++
+        qs.map(q => expr(s"percentile(freq, 0.${q}D)").as(s"f$q")) ++
+        qs.map(q => expr(s"percentile(mon, 0.${q}D)").as(s"m$q"))
+      val bounds = u.agg(boundCols.head, boundCols.tail: _*)
+      def above(c: String, p: String) =
+        qs.map(q => when(col(c) > col(s"$p$q"), 1L).otherwise(0L))
+          .reduce(_ + _)
+      u.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("mon"),
+          (lit(5L) - above("rec", "r")).as("r_score"),
+          (lit(1L) + above("freq", "f")).as("f_score"),
+          (lit(1L) + above("mon", "m")).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("revenue_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                                AS day,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            per AS (SELECT user_id, max(day) AS lastd, count(*) AS freq,
+                           CAST(sum(cents) AS BIGINT) AS mon
+                    FROM p GROUP BY 1),
+            mx AS (SELECT max(day) AS maxd FROM p),
+            u AS (SELECT per.*, mx.maxd - per.lastd AS rec FROM per, mx),
+            b AS (SELECT quantile_cont(rec, 0.2) AS r20,
+                         quantile_cont(rec, 0.4) AS r40,
+                         quantile_cont(rec, 0.6) AS r60,
+                         quantile_cont(rec, 0.8) AS r80,
+                         quantile_cont(freq, 0.2) AS f20,
+                         quantile_cont(freq, 0.4) AS f40,
+                         quantile_cont(freq, 0.6) AS f60,
+                         quantile_cont(freq, 0.8) AS f80,
+                         quantile_cont(mon, 0.2) AS m20,
+                         quantile_cont(mon, 0.4) AS m40,
+                         quantile_cont(mon, 0.6) AS m60,
+                         quantile_cont(mon, 0.8) AS m80
+                  FROM u),
+            sc AS (SELECT user_id, mon,
+                          5 - ((CASE WHEN rec > r20 THEN 1 ELSE 0 END)
+                             + (CASE WHEN rec > r40 THEN 1 ELSE 0 END)
+                             + (CASE WHEN rec > r60 THEN 1 ELSE 0 END)
+                             + (CASE WHEN rec > r80 THEN 1 ELSE 0 END))
+                            AS r_score,
+                          1 + ((CASE WHEN freq > f20 THEN 1 ELSE 0 END)
+                             + (CASE WHEN freq > f40 THEN 1 ELSE 0 END)
+                             + (CASE WHEN freq > f60 THEN 1 ELSE 0 END)
+                             + (CASE WHEN freq > f80 THEN 1 ELSE 0 END))
+                            AS f_score,
+                          1 + ((CASE WHEN mon > m20 THEN 1 ELSE 0 END)
+                             + (CASE WHEN mon > m40 THEN 1 ELSE 0 END)
+                             + (CASE WHEN mon > m60 THEN 1 ELSE 0 END)
+                             + (CASE WHEN mon > m80 THEN 1 ELSE 0 END))
+                            AS m_score
+                   FROM u, b)
+            SELECT r_score, f_score, m_score, count(*) AS n_users,
+                   CAST(sum(mon) AS BIGINT) AS revenue_cents
+            FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next | current) from lead() pairs on the (ts, event_id) total
     * order. The probability is exact-integer round-half-up parts-per-
@@ -1346,5 +1432,5 @@ object DomainQueries {
       catalogSchemaEvolve, catalogConcurrentAppend, catalogDeleteWhere,
       catalogUpdateSet, catalogVacuum, catalogRestore,
       catalogCheckConstraint, eventsFunnel, eventsCohort, eventsMarkov,
-      eventsAttribution, scd2Dimension)
+      eventsAttribution, scd2Dimension, eventsRfm)
 }

@@ -314,6 +314,55 @@ object ExtQueries {
        SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cos, rank
        FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** MMR diversified re-rank of vec 0's top-25 pool (λ=0.7, k=5): the
+    * redundancy-suppressing stage between retrieval and serving. The
+    * oracle replays the EXACT greedy — pool, seed, and every conditional
+    * argmax — as a recursive CTE accumulating the selection list, so a
+    * wrong pool cut, a wrong seed tiebreak, or any divergence in the
+    * marginal-score comparison at any step breaks the hash. (1−λ) is
+    * written as the expression `(1.0 − 0.7)` on BOTH engines: the folded
+    * double differs from the literal 0.3 in the last ulp, and the greedy
+    * compares raw doubles.)
+    */
+  private val simMmr = NamedQuery(
+    "sim_mmr_rerank",
+    (s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), queryId = 0L,
+        pool = 25, k = 5, lambda = 0.7),
+    Some("""WITH RECURSIVE
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cand AS (SELECT vec_id AS id,
+                            list_cosine_similarity(qv, embedding) AS rel
+                     FROM embeddings, q WHERE vec_id <> 0
+                     ORDER BY rel DESC, vec_id LIMIT 25),
+            ps AS (SELECT a.id AS a, b.id AS b,
+                          list_cosine_similarity(ea.embedding, eb.embedding)
+                            AS s
+                   FROM cand a JOIN cand b ON a.id <> b.id
+                   JOIN embeddings ea ON ea.vec_id = a.id
+                   JOIN embeddings eb ON eb.vec_id = b.id),
+            seed AS (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+            sel AS (SELECT 1 AS it, [(SELECT id FROM seed)] AS ids
+                    UNION ALL
+                    SELECT it + 1, list_append(ids, (
+                      SELECT c.id FROM cand c
+                      WHERE NOT list_contains(ids, c.id)
+                      ORDER BY (0.7 * c.rel - (1.0 - 0.7) * (
+                          SELECT max(s) FROM ps
+                          WHERE ps.a = c.id AND list_contains(ids, ps.b)))
+                        DESC, c.id
+                      LIMIT 1))
+                    FROM sel WHERE it < 5),
+            fin AS (SELECT ids FROM sel WHERE it = 5),
+            ex AS (SELECT unnest([{'rank': i, 'vec_id': ids[i]}
+                                  FOR i IN range(1, len(ids) + 1)],
+                                 recursive := true)
+                   FROM fin)
+            SELECT CAST(ex.rank AS INTEGER) AS rank, ex.vec_id,
+                   round(CAST(c.rel AS DOUBLE), 4) AS rel
+            FROM ex JOIN cand c ON c.id = ex.vec_id
+            ORDER BY ex.rank"""))
+
   private val simTopK = NamedQuery(
     "sim_topk_bruteforce",
     (s, d) => {
@@ -1183,7 +1232,7 @@ object ExtQueries {
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simAnn, simIvf, simPq, simIvfPq, simIvfPqFiltered,
+    simTopK, simMmr, simAnn, simIvf, simPq, simIvfPq, simIvfPqFiltered,
     simIvfPqResidual,
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,

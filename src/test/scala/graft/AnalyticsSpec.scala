@@ -124,6 +124,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(7) === -1.0) // odd lag of a period-2 series is also anti-phase
   }
 
+  test("stats_outliers: exact integer Tukey fences flag the planted spike") {
+    val dir = tmpDir("an-out")
+    // 11 orders at 100.00 plus one 10000.00 spike: q1=q3=10000 cents,
+    // iqr=0 → fences collapse to the cluster; only the spike is outside.
+    val rows = (1 to 11).map(i =>
+      (i.toLong, 1L, "O", 100.0, new Timestamp(0L), "A")) :+
+      (12L, 1L, "O", 10000.0, new Timestamp(0L), "A")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = q("stats_outliers")(spark, dir).collect().head
+    assert(r.getAs[Long]("p25_x4") === 40000L) // 4 × 10000 cents
+    assert(r.getAs[Long]("iqr_x4") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("stats_ab_ttest: Welch t matches the closed form on planted groups") {
+    val dir = tmpDir("an-t")
+    // O: 100, 200, 300 (mean 200); F: 400, 500, 600, 700 (mean 550) — in
+    // dollars; cents internally. Exact moments: O n=3 s1=60000 s2=1.4e9;
+    // F n=4 s1=220000 s2=1.26e10.
+    val rows = Seq(100.0, 200.0, 300.0).zipWithIndex.map { case (p, i) =>
+      (i.toLong, 1L, "O", p, new Timestamp(0L), "A") } ++
+      Seq(400.0, 500.0, 600.0, 700.0).zipWithIndex.map { case (p, i) =>
+        (10L + i, 1L, "F", p, new Timestamp(0L), "A") }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = q("stats_ab_ttest")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_o") === 3L)
+    assert(r.getAs[Double]("mean_cents_o") === 20000.0)
+    assert(r.getAs[Double]("mean_cents_f") === 55000.0)
+    // v1 = 1e8 cents² (sd $100), v2 = 1.6666…e8; se² = v1/3 + v2/4
+    val v1 = 1.0e8; val v2 = (4.0 * 1.26e10 - 2.2e5 * 2.2e5) / (4.0 * 3.0)
+    val se2 = v1 / 3.0 + v2 / 4.0
+    val t = (20000.0 - 55000.0) / math.sqrt(se2)
+    val want = BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(r.getAs[Double]("t_stat") === want)
+  }
+
+  test("stats_chi_square: an exactly independent table scores chi2 = 0") {
+    val dir = tmpDir("an-chi")
+    // counts(type, day) = rowWeight × colWeight → O == E for every cell.
+    val types = Seq("view" -> 1, "click" -> 2)
+    val days = Seq(0 -> 1, 1 -> 3) // epoch days (both map to wd 0, 1)
+    val rows = for ((t, rw) <- types; (d, cw) <- days) yield (t, d, rw * cw)
+    writeEvents(dir, rows)
+    val r = q("stats_chi_square")(spark, dir).collect().head
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Long]("dof") === 1L) // (2−1)(2−1)
+  }
+
   test("stats_entropy: uniform mix hits ln(k), degenerate mix hits 0") {
     val dir = tmpDir("an-e")
     writeEvents(dir,

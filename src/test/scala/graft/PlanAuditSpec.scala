@@ -78,6 +78,20 @@ class PlanAuditSpec extends SparkSpec {
     "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
         "global count combine (text_tfidf_topk's accepted shape)"),
+    "q41_null_semantics" -> (Set("SinglePartitionExchange"),
+      "the five probe counters are ONE global row by definition (q25's " +
+        "accepted shape)"),
+    "events_rfm" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "two 1-row attaches (corpus max-day + the quintile-boundary row) onto " +
+        "the per-user rollup — the scale-right replacement for a global " +
+        "ntile window; the rollup itself is a user-keyed hash agg"),
+    "stats_ab_ttest" -> (Set("SinglePartitionExchange"),
+      "the test statistic is ONE row by definition: a global wide-pivot " +
+        "combine of two groups' exact moment sums (q25's accepted shape)"),
+    "stats_chi_square" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "1-row grand-total attach onto the ≤types×7 cell table + the single " +
+        "chi² output row's global fold (the cell table, not the corpus, " +
+        "is what aggregates)"),
     "text_bm25_topk" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row corpus-stats (N, Σdl) broadcast attach + its global combine — " +
         "the tf/df joins themselves are hash equi on the query-term-filtered " +
@@ -109,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
     "catalog/TableCatalog.scala" ->
       "collects file NAMES for the stats manifest, never table rows",
     "Bench.scala" ->
-      "JVM warm-up scalar (sum over range), not query data")
+      "JVM warm-up scalar (sum over range), not query data",
+    "operators/Similarity.scala" ->
+      ("MMR greedy is inherently sequential; its collects are pool²-bounded " +
+        "by the require(pool <= 1000) gate, never corpus-sized"))
 
   /** The no-driver-feed gate (round-8 upgrade): every streaming replay is
     * executor-fed through `FileReplay`, so NO query-builder source may

@@ -310,4 +310,36 @@ class SimilaritySpec extends SparkSpec {
       .select($"centroid").as[Double].collect().toSeq
     assert(got === Seq(2.0, 4.0, 10.0, 20.0))
   }
+
+  test("MMR rerank: diversity beats a redundant higher-rel candidate") {
+    // query along x; A (id 1) best rel, A' (id 2) is A's near-duplicate
+    // (sim ≈ 1 ⇒ marginal score ≈ 0.5·rel − 0.5·1 < 0), C (id 3) diverse
+    // with decent rel. Pure top-k picks (1, 2); MMR at λ=0.5 must pick
+    // (1, 3).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.99f, 0.11f, 0.0f)),
+      (3L, Array(0.8f, -0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, queryId = 0L, pool = 3, k = 2,
+      lambda = 0.5).orderBy($"rank")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("MMR rerank: λ = 1 degenerates to pure relevance order") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(emb, queryId = 0L, pool = 4, k = 4,
+      lambda = 1.0).orderBy($"rank")
+      .select($"vec_id").as[Long].collect().toSeq
+    val topk = Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0L), k = 4)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(mmr === topk)
+  }
 }
