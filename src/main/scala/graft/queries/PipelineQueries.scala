@@ -755,6 +755,68 @@ object PipelineQueries {
                    e.n_exact
             FROM raw JOIN e USING (l_returnflag) ORDER BY 1"""))
 
+  /** PMI collocations: top-20 adjacent-token bigrams by pointwise mutual
+    * information ln(p(ab) / (p(a)·p(b))) with min-support 5 — the
+    * phrase-mining signal of a corpus-curation pipeline. All counts are
+    * exact integers; PMI is one fixed double expression over their casts
+    * (products kept in doubles so no BIGINT overflow cliff at larger SFs),
+    * ranked by round-6 PMI with a bigram tiebreak.
+    * Scale: bigram and unigram counts are two map-side-combinable
+    * groupBys off the same tokenized scan; the two 1-row totals broadcast
+    * back; top-20 is TakeOrderedAndProject.
+    */
+  private val pmiBigrams = NamedQuery(
+    "text_pmi_bigrams",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val uni = toks.select(explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val bi = toks.select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i-1], ' ', toks[i]))")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val nt = uni.agg(sum(col("c")).as("nt"))
+      val nb = toks.agg(sum(size(col("toks")) - lit(1)).as("nb"))
+      val first = bi.withColumn("a",
+        expr("split_part(bg, ' ', 1)"))
+        .withColumn("b", expr("split_part(bg, ' ', 2)"))
+      first
+        .join(broadcast(uni.select(col("t").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(uni.select(col("t").as("b"), col("c").as("cb"))), Seq("b"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .select(col("bg"), col("cab"),
+          round(log((col("cab").cast("double") * col("nt") * col("nt")) /
+            (col("nb").cast("double") * col("ca") * col("cb"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(20)
+    },
+    Some(s"""WITH tk AS (SELECT string_split($normSql, ' ') AS l
+                         FROM documents),
+             tk2 AS (SELECT l FROM tk WHERE len(l) >= 2),
+             uni AS (SELECT t, count(*) AS c
+                     FROM (SELECT unnest(l) AS t FROM tk2) GROUP BY 1),
+             bi AS (SELECT bg, count(*) AS cab
+                    FROM (SELECT unnest([l[i] || ' ' || l[i+1]
+                                         FOR i IN range(1, len(l))]) AS bg
+                          FROM tk2)
+                    GROUP BY 1 HAVING count(*) >= 5),
+             nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+             nb AS (SELECT CAST(sum(len(l) - 1) AS BIGINT) AS nb FROM tk2),
+             sc AS (SELECT bg, cab,
+                           round(ln((CAST(cab AS DOUBLE) * nt.nt * nt.nt) /
+                             (CAST(nb.nb AS DOUBLE) * ua.c * ub.c)), 6)
+                             AS pmi
+                    FROM bi
+                    JOIN uni ua ON ua.t = split_part(bg, ' ', 1)
+                    JOIN uni ub ON ub.t = split_part(bg, ' ', 2)
+                    CROSS JOIN nt CROSS JOIN nb)
+             SELECT bg, cab, pmi FROM sc
+             ORDER BY pmi DESC, bg LIMIT 20"""))
+
   /** Edit-distance fuzzy join (`Fuzzy.editDistancePairs`): near-duplicate
     * signature pairs within 3 edits, prefix-blocked and df-capped. The
     * oracle replays the same blocking cascade with DuckDB's levenshtein —
@@ -924,5 +986,6 @@ object PipelineQueries {
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,
         chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
-        heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll)
+        heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll,
+        pmiBigrams)
 }

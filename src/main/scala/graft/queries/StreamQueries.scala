@@ -1067,10 +1067,124 @@ object StreamQueries {
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Watermarked stream-stream LEFT SEMI join — the existence-test member
+    * of the join family (clicks that led to ANY purchase within 6h, each
+    * emitted once, no purchase columns): the engine must emit a click on
+    * its FIRST match and then ignore further matches without re-emission,
+    * the opposite discipline from the inner join's per-pair fan-out. Same
+    * two-batch event-time-split replay and per-side retention math as
+    * `events_stream_stream_join`; the oracle is the relational EXISTS.
+    * A duplicate emission (semi degraded to inner), a dropped
+    * cross-batch match (premature eviction), or a leaked right column all
+    * break the hash.
+    */
+  private val streamStreamSemi = NamedQuery(
+    "events_stream_stream_semi",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("b_ts"),
+          col("user_id").as("b_user"))
+      val mm = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val splitTs = lo + (hi - lo) / 2
+      val feedC = FileReplay(s, clicks.schema)
+      val feedB = FileReplay(s, buys.schema)
+      val sink = "graft_sssemi_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = feedC.stream.withWatermark("c_ts", "1 hour")
+        .join(feedB.stream.withWatermark("b_ts", "1 hour"),
+          expr("c_user = b_user AND b_ts > c_ts AND " +
+               "b_ts <= c_ts + interval 6 hours"),
+          "left_semi")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
+        q.processAllAvailable()
+        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
+        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feedC.close(); feedB.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .select(col("c_user").as("user_id"), col("click_id"),
+          unix_millis(col("c_ts")).as("c_ms"))
+        .orderBy(col("user_id"), col("click_id"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS click_id,
+                   epoch_ms(a.ts) AS c_ms
+            FROM events a
+            WHERE a.event_type = 'click' AND EXISTS (
+              SELECT 1 FROM events b
+              WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR)
+            ORDER BY 1, 2"""))
+
+  /** `Trigger.AvailableNow` backfill-then-incremental — the operational
+    * pattern of every production table bootstrap: run 1 drains BOTH
+    * pre-staged batches in one bounded invocation and STOPS; run 2 (same
+    * checkpoint) picks up only the later-staged delta; run 3 has nothing
+    * available and must be a no-op. The sink is the exactly-once FILE
+    * sink (its `_spark_metadata` commit log is what makes a re-run
+    * duplicate-free), and the final read-back must equal the plain batch
+    * aggregate of the whole corpus — a duplicated batch, a missed delta,
+    * or a phantom third-run emission all break the hash.
+    */
+  private val backfillStream = NamedQuery(
+    "events_backfill_stream",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val feed = FileReplay(s, ev.schema)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_backfill_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      def run(): Unit = {
+        val q = feed.stream.writeStream
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        // backfill: two batches staged BEFORE the first bounded run
+        feed.stage(ev.filter(col("event_id") % 3 === 0))
+        feed.stage(ev.filter(col("event_id") % 3 === 1))
+        run()
+        // incremental: only the delta is unprocessed
+        feed.stage(ev.filter(col("event_id") % 3 === 2))
+        run()
+        // idempotence: nothing available → no-op run
+        run()
+      } finally feed.close()
+      s.read.parquet(s"$root/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
         slidingWindowStream, completeModeStream, updateModeStream,
         lateDropStream, dedupStream,
         mergeStream, incrementalGoldStream, streamStreamJoin,
-        streamStreamOuter, streamStreamFullOuter, enrichStream)
+        streamStreamOuter, streamStreamFullOuter, enrichStream,
+        streamStreamSemi, backfillStream)
 }

@@ -78,6 +78,10 @@ class PlanAuditSpec extends SparkSpec {
     "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
         "global count combine (text_tfidf_topk's accepted shape)"),
+    "text_pmi_bigrams" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "two 1-row totals (token count, bigram count) broadcast onto the " +
+        "min-support-filtered bigram table + their global combines; the " +
+        "unigram joins are broadcast hash equi"),
     "q41_null_semantics" -> (Set("SinglePartitionExchange"),
       "the five probe counters are ONE global row by definition (q25's " +
         "accepted shape)"),
