@@ -712,6 +712,7 @@ final class TableCatalog(spark: SparkSession, root: String,
       val merged = all.withColumn(mergeRnCol, row_number().over(w))
         .filter(col(mergeRnCol) === 1).drop(mergeRnCol, mergeSrcCol)
       overwrite(merged, layer, table, parts)
+      recordOp(layer, table, "MERGE")
     }
   }
 
@@ -742,6 +743,7 @@ final class TableCatalog(spark: SparkSession, root: String,
       else cur.repartition(numFiles,
         parts.map(org.apache.spark.sql.functions.col): _*)
     overwrite(packed, layer, table, parts)
+    recordOp(layer, table, "OPTIMIZE")
   }
 
   /** Explicit retention vacuum (the Delta `VACUUM` surface, version-count
@@ -801,7 +803,43 @@ final class TableCatalog(spark: SparkSession, root: String,
       org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
     }
     publishVersion(layer, table, next, prevCommitted)
+    recordOp(layer, table, "RESTORE")
     next
+  }
+
+  /** Delta-style CLONE: create `dstLayer/dstTable` whose v1 is a
+    * byte-level copy of the SOURCE's live snapshot — partition subdirs
+    * and the `_stats` skipping sidecar included, server-side copy on
+    * object stores, never decoded. The clone is fully independent
+    * afterwards: its commits never touch the source and vice versa
+    * (Delta's deep-clone contract; a shallow clone's shared-file
+    * semantics don't survive either table's vacuum, so deep is the only
+    * honest offline clone). Constraint tags are NOT copied — a clone is
+    * new data ownership, and Delta likewise re-declares constraints.
+    */
+  def cloneTable(srcLayer: String, srcTable: String,
+      dstLayer: String, dstTable: String): Unit = {
+    require(currentVersion(srcLayer, srcTable).isDefined,
+      s"$srcLayer/$srcTable is not snapshot-versioned; overwrite once " +
+        "before cloning")
+    require(currentVersion(dstLayer, dstTable).isEmpty &&
+        !hasFlatData(dstLayer, dstTable),
+      s"$dstLayer/$dstTable already exists; clone refuses to clobber")
+    val src = new Path(livePath(srcLayer, srcTable))
+    val fs = hadoopFs(src)
+    val target = versionDir(dstLayer, dstTable, 1)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPath = src.toUri.getPath
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(srcPath).stripPrefix("/")
+      val dst = new Path(target, rel)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
+    }
+    publishVersion(dstLayer, dstTable, 1, None)
+    recordOp(dstLayer, dstTable, "CLONE")
   }
 
   /** Declare a named CHECK constraint (a boolean SQL expression over the
@@ -825,17 +863,33 @@ final class TableCatalog(spark: SparkSession, root: String,
       .toMap
   }
 
-  /** ACID overwrite gated by the table's CHECK constraints (Delta's
-    * write-time constraint contract): rows where any constraint evaluates
-    * FALSE are violations (NULL passes, as in SQL CHECK); any violation
-    * rejects the WHOLE batch with a typed error and commits nothing —
-    * readers keep the previous snapshot. Validation is one counting pass
-    * over the batch before the write (at scale: a pushed-down aggregate
-    * over the violation predicate, far cheaper than the write itself).
+  /** Declare a UNIQUE KEY constraint (primary-key-shaped) enforced by
+    * `overwriteChecked`: a batch carrying two rows with the same key
+    * tuple is rejected whole. Stored as a durable tag like CHECKs.
+    */
+  def setUniqueKey(layer: String, table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "unique key needs at least one column")
+    writeTag(layer, table, "unique_key", cols.mkString(","))
+  }
+
+  /** Declared unique-key columns, if any. */
+  def uniqueKey(layer: String, table: String): Option[Seq[String]] =
+    readTag(layer, table, "unique_key").map(_.split(",").toSeq)
+
+  /** ACID overwrite gated by the table's declared constraints (Delta's
+    * write-time contract): CHECK expressions — rows where any evaluates
+    * FALSE are violations (NULL passes, as in SQL CHECK) — and the
+    * UNIQUE KEY — each surplus row of an over-represented key tuple is a
+    * violation. Any violation rejects the WHOLE batch with a typed error
+    * and commits nothing; readers keep the previous snapshot. Validation
+    * is one counting pass per constraint family before the write (at
+    * scale: a pushed-down aggregate, far cheaper than the write itself;
+    * the unique probe is a key-grouped count, the same exchange a MERGE
+    * would pay anyway).
     */
   def overwriteChecked(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not}
     val cs = checks(layer, table)
     if (cs.nonEmpty) {
       val violated = cs.values
@@ -848,7 +902,46 @@ final class TableCatalog(spark: SparkSession, root: String,
             s"${cs.keys.mkString(", ")}; batch rejected, nothing committed",
           bad)
     }
+    uniqueKey(layer, table).foreach { keyCols =>
+      val dupsRow = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .agg(org.apache.spark.sql.functions.sum(col("__n") - 1))
+        .head()
+      // sum over zero dup groups is SQL NULL — a clean batch, not an error
+      val dups = if (dupsRow.isNullAt(0)) 0L else dupsRow.getLong(0)
+      if (dups > 0)
+        throw new ConstraintViolationException(
+          s"$layer/$table: $dups surplus row(s) violate UNIQUE KEY " +
+            s"(${keyCols.mkString(", ")}); batch rejected, nothing committed",
+          dups)
+    }
     overwrite(df, layer, table, partitionBy, statsCols)
+    recordOp(layer, table, "WRITE")
+  }
+
+  /** Record the operation name of the current committed version — the
+    * DESCRIBE HISTORY surface's op column. Last write per version wins
+    * (a DML verb overrides the generic WRITE its inner overwrite logged).
+    */
+  private[catalog] def recordOp(layer: String, table: String,
+      op: String): Unit =
+    currentVersion(layer, table).foreach(v =>
+      writeTag(layer, table, f"op_$v%05d", op))
+
+  /** Commit history (Delta `DESCRIBE HISTORY` surface): one row per
+    * RETAINED version — version, recorded operation (WRITE when the verb
+    * predates op recording or wrote directly), commit instant (epoch ms,
+    * from the version dir's mtime), and whether it is the live version.
+    * Metadata-only: a listing plus one tag read per version.
+    */
+  def history(layer: String, table: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(layer, table)
+    versionsWithTimes(layer, table).map { case (v, ms) =>
+      (v, readTag(layer, table, f"op_$v%05d").getOrElse("WRITE"), ms,
+        cur.contains(v))
+    }.toDF("version", "operation", "commit_ms", "is_live")
   }
 
   /** Columns the live snapshot's stats sidecar covers (empty when none) —
@@ -1010,10 +1103,15 @@ final class TableCatalog(spark: SparkSession, root: String,
     * TRUE).
     */
   def deleteWhere(layer: String, table: String, predicate: Column,
-      pruneRanges: Seq[(String, Any, Any)] = Nil): Unit =
+      pruneRanges: Seq[(String, Any, Any)] = Nil): Unit = {
+    val before = currentVersion(layer, table)
     rewriteWhere(layer, table, pruneRanges)(df =>
       df.filter(!org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))))
+    // label only when a commit actually landed (fully-pruned is a no-op)
+    if (currentVersion(layer, table) != before)
+      recordOp(layer, table, "DELETE")
+  }
 
   /** Delta-style `UPDATE … SET c = expr, … WHERE predicate`: commit a new
     * snapshot where matching rows carry the assigned values. Every
@@ -1027,6 +1125,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "update needs at least one assignment")
     val byName = assignments.toMap
+    val before = currentVersion(layer, table)
     rewriteWhere(layer, table, pruneRanges) { df =>
       val missing = byName.keySet -- df.columns.toSet
       require(missing.isEmpty,
@@ -1038,6 +1137,8 @@ final class TableCatalog(spark: SparkSession, root: String,
           .getOrElse(col(c))
       }: _*)
     }
+    if (currentVersion(layer, table) != before)
+      recordOp(layer, table, "UPDATE")
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

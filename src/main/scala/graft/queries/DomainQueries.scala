@@ -1160,6 +1160,268 @@ object DomainQueries {
                      OVER (PARTITION BY user_id) AS is_current
             FROM runs ORDER BY user_id, effective_from"""))
 
+  /** UNIQUE KEY constraint through the driver gate (the primary-key twin
+    * of catalog_check_constraint): declare uniqueness on o_orderkey,
+    * commit a clean snapshot, then attempt a batch with every
+    * key%100==0 row duplicated. The write must reject atomically with
+    * the surplus-row count (recomputed relationally by the oracle), no
+    * new version, live snapshot unchanged.
+    */
+  private val catalogUniqueConstraint = NamedQuery(
+    "catalog_unique_constraint", {
+      (s, d) => {
+        import graft.catalog.{TableCatalog, ConstraintViolationException}
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_uk_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.setUniqueKey("silver", "orders_uk", Seq("o_orderkey"))
+        cat.overwriteChecked(orders, "silver", "orders_uk")
+        val dup = orders.unionByName(
+          orders.filter(col("o_orderkey") % 100 === 0))
+        val violations =
+          try { cat.overwriteChecked(dup, "silver", "orders_uk"); -1L }
+          catch { case e: ConstraintViolationException => e.violations }
+        cat.read("silver", "orders_uk")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_price"))
+          .withColumn("violations", lit(violations))
+          .withColumn("live_version",
+            lit(cat.currentVersion("silver", "orders_uk").get))
+          .orderBy(col("o_orderstatus"))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0)
+                     AS violations,
+                   1 AS live_version
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** DESCRIBE HISTORY through the driver gate: five commits through five
+    * different verbs — plain overwrite (WRITE), keyed MERGE, DELETE,
+    * OPTIMIZE compaction, RESTORE — then `history()` must carry the five
+    * (version, operation) rows with exactly the last one live. Wrong op
+    * labels, a missed no-op guard, or a restore that rewound instead of
+    * committing all break the hash. The live content after
+    * RESTORE(v1) must equal the original snapshot (checksummed into the
+    * same output).
+    */
+  private val catalogHistory = NamedQuery(
+    "catalog_history", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_hist_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_h")
+        cat.merge(orders.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+          "silver", "orders_h", keys = Seq("o_orderkey"))
+        cat.deleteWhere("silver", "orders_h", col("o_orderstatus") === "P")
+        cat.compact("silver", "orders_h", numFiles = 2)
+        cat.restore("silver", "orders_h", version = 1)
+        val live = cat.read("silver", "orders_h")
+          .agg(count(lit(1)).as("live_rows"),
+            round(sum(col("o_totalprice")), 2).as("live_total"))
+        cat.history("silver", "orders_h")
+          .select(col("version"), col("operation"), col("is_live"))
+          .crossJoin(broadcast(live))
+          .orderBy(col("version"))
+      }
+    },
+    Some("""WITH live AS (SELECT count(*) AS live_rows,
+                                 round(sum(o_totalprice), 2) AS live_total
+                          FROM orders)
+            SELECT v.version, v.operation, v.is_live,
+                   live.live_rows, live.live_total
+            FROM (VALUES (1, 'WRITE', false), (2, 'MERGE', false),
+                         (3, 'DELETE', false), (4, 'OPTIMIZE', false),
+                         (5, 'RESTORE', true)) v(version, operation, is_live),
+                 live
+            ORDER BY v.version"""))
+
+  /** Deep CLONE through the driver gate: clone the live snapshot, then
+    * DIVERGE both sides — double prices in the clone, delete 'P' rows in
+    * the source — and emit both tables' aggregates plus both histories.
+    * A clone sharing files with the source (either table's later commit
+    * bleeding into the other), a missed stats-sidecar copy, or a wrong
+    * op label all break the hash.
+    */
+  private val catalogClone = NamedQuery(
+    "catalog_clone", {
+      (s, d) => {
+        import graft.catalog.TableCatalog
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_clone_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        cat.overwrite(orders, "silver", "orders_src")
+        cat.cloneTable("silver", "orders_src", "silver", "orders_cl")
+        // diverge: the clone doubles, the source deletes — independence
+        cat.overwrite(cat.read("silver", "orders_cl")
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+          "silver", "orders_cl")
+        cat.deleteWhere("silver", "orders_src", col("o_orderstatus") === "P")
+        def agg(t: String, label: String) =
+          cat.read("silver", t)
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("o_totalprice")), 2).as("total"))
+            .select(lit(label).as("side"), col("n"), col("total"))
+        val hist = cat.history("silver", "orders_cl")
+          .agg(count(lit(1)).as("clone_commits"))
+        agg("orders_src", "source").unionByName(agg("orders_cl", "clone"))
+          .crossJoin(broadcast(hist))
+          .orderBy(col("side"))
+      }
+    },
+    Some("""SELECT 'clone' AS side, count(*) AS n,
+                   round(sum(o_totalprice * 2.0), 2) AS total,
+                   2 AS clone_commits
+            FROM orders
+            UNION ALL
+            SELECT 'source', count(*), round(sum(o_totalprice), 2), 2
+            FROM orders WHERE o_orderstatus <> 'P'
+            ORDER BY 1"""))
+
+  /** Discrete percentiles (the percentile_disc contract — a REAL element
+    * of the column, not an interpolation): per priority, the elements at
+    * ceil(q·n) in cents order for q = 0.5, 0.9, emitted as exact BIGINTs.
+    * Both engines build the identical row_number construction (DuckDB's
+    * own quantile_disc rounds differently, so the oracle mirrors the
+    * definition, not the builtin); the ceil runs on the same IEEE double
+    * q·n in both, so even its float quirks are shared.
+    */
+  private val statsPercentileDisc = NamedQuery(
+    "stats_percentile_disc", {
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderpriority"))))
+          .filter(col("rn") === ceil(lit(0.5) * col("n")) ||
+                  col("rn") === ceil(lit(0.9) * col("n")))
+          .groupBy(col("o_orderpriority"))
+          .agg(min(when(col("rn") === ceil(lit(0.5) * col("n")),
+            col("cents"))).as("p50_cents"),
+            min(when(col("rn") === ceil(lit(0.9) * col("n")),
+              col("cents"))).as("p90_cents"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+    Some("""WITH c AS (SELECT o_orderpriority, o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+            r AS (SELECT o_orderpriority, cents,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY cents, o_orderkey) AS rn,
+                         count(*) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM c)
+            SELECT o_orderpriority,
+                   min(CASE WHEN rn = ceil(0.5 * n) THEN cents END)
+                     AS p50_cents,
+                   min(CASE WHEN rn = ceil(0.9 * n) THEN cents END)
+                     AS p90_cents
+            FROM r
+            WHERE rn = ceil(0.5 * n) OR rn = ceil(0.9 * n)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Data-quality expectation suite (the dbt-test / Deequ surface): five
+    * declarative rules — two null/range checks, a positivity check, and
+    * two referential-integrity probes (anti-join orphan counts) — each
+    * reported as (rule, violations, total, pass). All counts exact; the
+    * FK probes are broadcast anti joins keyed on the dimension.
+    */
+  private val qualityExpectations = NamedQuery(
+    "quality_expectations", {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val total = li.count()
+        def row(rule: String, viol: org.apache.spark.sql.DataFrame) =
+          viol.select(lit(rule).as("rule"),
+            col("v").as("violations"), lit(total).as("total"),
+            (col("v") === 0L).as("pass"))
+        val r1 = row("not_null_quantity",
+          li.agg(count(when(col("l_quantity").isNull, 1)).as("v")))
+        val r2 = row("discount_range",
+          li.agg(count(when(!(col("l_discount") >= 0.0 &&
+            col("l_discount") <= 0.1), 1)).as("v")))
+        val r3 = row("positive_price",
+          li.agg(count(when(col("l_extendedprice") <= 0.0, 1)).as("v")))
+        val r4 = row("fk_orders",
+          li.join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("v")))
+        val r5 = row("fk_part",
+          li.join(broadcast(Tables.part(s, d).select(col("p_partkey"))),
+              col("l_partkey") === col("p_partkey"), "left_anti")
+            .agg(count(lit(1)).as("v")))
+        r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+          .orderBy(col("rule"))
+      }
+    },
+    Some("""WITH t AS (SELECT count(*) AS total FROM lineitem)
+            SELECT * FROM (
+              SELECT 'not_null_quantity' AS rule,
+                     (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+                       AS violations, t.total,
+                     (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+                       = 0 AS pass FROM t
+              UNION ALL
+              SELECT 'discount_range',
+                     (SELECT count(*) FROM lineitem
+                      WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.1)),
+                     t.total,
+                     (SELECT count(*) FROM lineitem
+                      WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.1))
+                       = 0 FROM t
+              UNION ALL
+              SELECT 'positive_price',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_extendedprice <= 0.0), t.total,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_extendedprice <= 0.0) = 0 FROM t
+              UNION ALL
+              SELECT 'fk_orders',
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey)),
+                     t.total,
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+                       = 0 FROM t
+              UNION ALL
+              SELECT 'fk_part',
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey)),
+                     t.total,
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey))
+                       = 0 FROM t)
+            ORDER BY rule"""))
+
   /** RFM (recency / frequency / monetary) customer segmentation over
     * purchases, the classic CRM scoring op — built SCALE-RIGHT: no global
     * ntile window anywhere. Quintile boundaries come from one exact-input
@@ -1432,5 +1694,7 @@ object DomainQueries {
       catalogSchemaEvolve, catalogConcurrentAppend, catalogDeleteWhere,
       catalogUpdateSet, catalogVacuum, catalogRestore,
       catalogCheckConstraint, eventsFunnel, eventsCohort, eventsMarkov,
-      eventsAttribution, scd2Dimension, eventsRfm)
+      eventsAttribution, scd2Dimension, eventsRfm,
+      catalogUniqueConstraint, catalogHistory, qualityExpectations,
+      catalogClone, statsPercentileDisc)
 }

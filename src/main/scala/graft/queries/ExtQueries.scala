@@ -363,6 +363,51 @@ object ExtQueries {
             FROM ex JOIN cand c ON c.id = ex.vec_id
             ORDER BY ex.rank"""))
 
+  /** Matryoshka (MRL) truncated-embedding retrieval: exact top-10 by
+    * cosine over the FIRST 16 of 64 dims — the modern serve-cheap/
+    * rerank-rich embedding pattern (truncate the representation, keep the
+    * metric). Slicing happens before norms, so the score is a true
+    * 16-dim cosine, not a projected 64-dim one; ranking/tiebreak reuse
+    * the exact top-k discipline. 100 TB read: a 4× narrower candidate
+    * scan for the first pass, full-dim rerank only on survivors (the
+    * rerank stage is `sim_topk_bruteforce`'s existing path).
+    */
+  private val simMatryoshka = NamedQuery(
+    "sim_matryoshka_topk",
+    (s, d) => {
+      graft.plans.GraftFunctions.ensure(s)
+      import graft.functions.VectorFunctions.{dotFast, norm2Fast}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("e16"))
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("e16").as("qv"),
+          norm2Fast(col("e16")).as("qn"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("e16").as("cv"),
+        norm2Fast(col("e16")).as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", dotFast(col("qv"), col("cv")) /
+          (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            sc AS (SELECT query_id, vec_id AS neighbor_id,
+                          list_cosine_similarity(qv, embedding[1:16]) AS cos
+                   FROM embeddings, q WHERE vec_id <> query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+            SELECT query_id, neighbor_id,
+                   round(CAST(cos AS DOUBLE), 4) AS cos, rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   private val simTopK = NamedQuery(
     "sim_topk_bruteforce",
     (s, d) => {
@@ -1232,7 +1277,8 @@ object ExtQueries {
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
-    simTopK, simMmr, simAnn, simIvf, simPq, simIvfPq, simIvfPqFiltered,
+    simTopK, simMmr, simMatryoshka, simAnn, simIvf, simPq, simIvfPq,
+    simIvfPqFiltered,
     simIvfPqResidual,
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,

@@ -1180,11 +1180,68 @@ object StreamQueries {
                      AS cents
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Stream-STATIC broadcast ANTI join — the blocklist-filtering twin of
+    * `events_enrich_stream`'s inner enrichment: purchases stream through
+    * in two micro-batches and rows whose user appears in the static
+    * blocklist (users with any 'error' event) are suppressed per batch,
+    * statelessly. The oracle is the relational NOT EXISTS; a leaked
+    * blocked row or an over-suppressed clean row breaks the hash.
+    */
+  private val blocklistStream = NamedQuery(
+    "events_blocklist_stream",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      // block users with an ABOVE-AVERAGE error count — relative, so the
+      // blocklist splits the population at every SF (an absolute
+      // threshold either blocks everyone or no one as density scales);
+      // the compare is exact-integer cross-multiplied, no float
+      val errCounts = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ec"))
+      val tot = errCounts.agg(sum(col("ec")).as("te"),
+        count(lit(1)).as("ue"))
+      val blocked = errCounts.crossJoin(broadcast(tot))
+        .filter(col("ec") * col("ue") > col("te"))
+        .select(col("user_id"))
+      val feed = FileReplay(s, buys.schema)
+      val sink = "graft_blocklist_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = feed.stream
+        .join(broadcast(blocked), Seq("user_id"), "left_anti")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        feed.stage(buys.filter(col("event_id") % 2 === 0))
+        q.processAllAvailable()
+        feed.stage(buys.filter(col("event_id") % 2 === 1))
+        q.processAllAvailable()
+      } finally { q.stop(); feed.close() }
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ec AS (SELECT user_id, count(*) AS ec FROM events
+                        WHERE event_type = 'error' GROUP BY 1),
+            tot AS (SELECT CAST(sum(ec) AS BIGINT) AS te,
+                           count(*) AS ue FROM ec),
+            blocked AS (SELECT user_id FROM ec, tot
+                        WHERE ec.ec * tot.ue > tot.te)
+            SELECT user_id, count(*) AS n_purchases,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events a
+            WHERE a.event_type = 'purchase' AND NOT EXISTS (
+              SELECT 1 FROM blocked b WHERE b.user_id = a.user_id)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
         slidingWindowStream, completeModeStream, updateModeStream,
         lateDropStream, dedupStream,
         mergeStream, incrementalGoldStream, streamStreamJoin,
         streamStreamOuter, streamStreamFullOuter, enrichStream,
-        streamStreamSemi, backfillStream)
+        streamStreamSemi, backfillStream, blocklistStream)
 }

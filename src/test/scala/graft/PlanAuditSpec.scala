@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
       "same 1-row seed-array attach as sim_ann_ivf, at the all-cells probe point"),
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "brute force = broadcast queries x corpus scan by definition"),
+    "sim_matryoshka_topk" -> (Set("BroadcastNestedLoopJoin"),
+      "sim_topk_bruteforce's broadcast-queries shape over the 4x-narrower " +
+        "truncated-dim scan — the first pass of the MRL serve/rerank ladder"),
     "sim_ann_pq" -> (Set("BroadcastNestedLoopJoin"),
       "1-row codebook attach + ADC scan = broadcast queries x CODES scan " +
         "(m lookups/pair over a 32x-smaller table; the re-rank join is hash equi)"),
@@ -78,6 +81,15 @@ class PlanAuditSpec extends SparkSpec {
     "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
         "global count combine (text_tfidf_topk's accepted shape)"),
+    "catalog_history" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "the 5-row history listing gets the live table's one-row checksum " +
+        "attached — metadata-sized on both sides"),
+    "catalog_clone" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "two one-row side aggregates + the clone's 2-row history count " +
+        "attach — the divergence checksum, all scalar-sized"),
+    "quality_expectations" -> (Set("SinglePartitionExchange"),
+      "five one-row rule verdicts by definition (each a global aggregate " +
+        "combine; the FK probes are broadcast anti joins)"),
     "text_pmi_bigrams" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "two 1-row totals (token count, bigram count) broadcast onto the " +
         "min-support-filtered bigram table + their global combines; the " +

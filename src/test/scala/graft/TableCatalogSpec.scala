@@ -552,6 +552,8 @@ class TableCatalogSpec extends SparkSpec {
     // no file intersects the range → no new version committed
     assert(cat.currentVersion("silver", "t") === Some(1))
     assert(cat.read("silver", "t").count() === 100L)
+    // … and no history row either (the op label guards on a real commit)
+    assert(cat.history("silver", "t").count() === 1L)
   }
 
   test("updateWhere with pruneRanges on a hive-partitioned layout") {
@@ -624,6 +626,42 @@ class TableCatalogSpec extends SparkSpec {
     intercept[graft.catalog.VacuumedVersionException] {
       cat.restore("silver", "t", version = 1)
     }
+  }
+
+  test("UNIQUE KEY: surplus rows reject atomically; composite keys; clean batch lands") {
+    import graft.catalog.ConstraintViolationException
+    val cat = new TableCatalog(spark, tmpDir("cat-uk"), keepVersions = 10)
+    cat.setUniqueKey("silver", "t", Seq("a", "b"))
+    cat.overwriteChecked(Seq((1, "x", 10), (1, "y", 20), (2, "x", 30))
+      .toDF("a", "b", "v"), "silver", "t")
+    assert(cat.read("silver", "t").count() === 3) // distinct composites pass
+    val e = intercept[ConstraintViolationException] {
+      cat.overwriteChecked(
+        Seq((1, "x", 1), (1, "x", 2), (1, "x", 3), (2, "y", 4))
+          .toDF("a", "b", "v"), "silver", "t")
+    }
+    assert(e.violations === 2) // three (1,x) rows → two surplus
+    assert(cat.currentVersion("silver", "t") === Some(1))
+  }
+
+  test("history: verbs label their commits; no-op DML records nothing") {
+    val cat = new TableCatalog(spark, tmpDir("cat-hist"), keepVersions = 10)
+    cat.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"),
+      "silver", "t")
+    cat.merge(Seq((2L, "b", 9.0)).toDF("k", "s", "v"), "silver", "t",
+      keys = Seq("k"))
+    cat.deleteWhere("silver", "t", col("k") === 1L)
+    cat.compact("silver", "t", numFiles = 1)
+    cat.restore("silver", "t", version = 2)
+    val h = cat.history("silver", "t")
+      .select("version", "operation", "is_live")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    assert(h.toSeq === Seq((1, "WRITE", false), (2, "MERGE", false),
+      (3, "DELETE", false), (4, "OPTIMIZE", false), (5, "RESTORE", true)))
+    // commit instants are monotone non-decreasing
+    val ts = cat.history("silver", "t").select("commit_ms")
+      .collect().map(_.getLong(0))
+    assert(ts.sorted.toSeq === ts.toSeq)
   }
 
   test("CHECK constraints: violations reject atomically, NULL passes (SQL CHECK)") {
