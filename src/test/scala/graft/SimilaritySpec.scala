@@ -328,6 +328,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("matryoshka truncation: leading-dim-structured corpus keeps top-k; random does not") {
+    // MRL-trained embeddings concentrate signal in leading dims. Model
+    // that: 4 informative leading dims (cluster direction) + 12 trailing
+    // noise dims at 1/10 the scale. Truncated-to-4 cosine must recover
+    // the full-dim neighbor order; the driver corpus (pure random, no
+    // leading-dim structure) measures 2/30 recall@10 at 16 of 64 dims —
+    // both behaviors are the technique working as specified, corpus
+    // deciding (the residual-PQ story again).
+    val rnd = new scala.util.Random(7)
+    def vec(cluster: Int): Array[Float] = {
+      val lead = Array.tabulate(4)(i => if (i == cluster) 1.0f else 0.1f)
+      val noise = Array.fill(12)((rnd.nextFloat() - 0.5f) * 0.1f)
+      lead ++ noise
+    }
+    val emb = (0L until 40L).map(i => (i, vec((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"rank").select($"neighbor_id").as[Long].collect().toSet
+    val full = ids(Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0L), k = 9))
+    val trunc = ids(Similarity.bruteForceTopK(
+      emb.select($"vec_id", slice($"embedding", 1, 4).as("embedding")),
+      emb.filter($"vec_id" === 0L)
+        .select($"vec_id", slice($"embedding", 1, 4).as("embedding")),
+      k = 9))
+    // all 9 same-cluster vectors recovered by the 4-dim truncation
+    assert((full & trunc).size >= 8,
+      s"truncated recall ${(full & trunc).size}/9 on structured corpus")
+  }
+
   test("MMR rerank: λ = 1 degenerates to pure relevance order") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
