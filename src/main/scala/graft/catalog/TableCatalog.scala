@@ -876,6 +876,34 @@ final class TableCatalog(spark: SparkSession, root: String,
   def uniqueKey(layer: String, table: String): Option[Seq[String]] =
     readTag(layer, table, "unique_key").map(_.split(",").toSeq)
 
+  /** Declare a GENERATED column (Delta's generated-column contract):
+    * `colName` is defined by a SQL expression over the row's other
+    * columns. On a checked write, a batch MISSING the column gets it
+    * computed; a batch PROVIDING it is validated value-by-value against
+    * the expression (null-safe equality) and rejected on any mismatch —
+    * a generated column that silently accepted drifting provided values
+    * would stop being a derivation the reader can trust.
+    */
+  def setGenerated(layer: String, table: String, colName: String,
+      sqlExpr: String): Unit = {
+    require(colName.matches("[A-Za-z0-9_]+"),
+      s"generated column name '$colName' not identifier-safe")
+    writeTag(layer, table, s"gen_$colName", sqlExpr)
+  }
+
+  /** Declared generated columns, name → expression. */
+  def generatedColumns(layer: String, table: String): Map[String, String] = {
+    val dir = new Path(path(layer, table))
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_TAG_gen_") && !n.endsWith(".__tmp"))
+      .map(_.stripPrefix("_TAG_gen_"))
+      .flatMap(n => readTag(layer, table, s"gen_$n").map(n -> _))
+      .toMap
+  }
+
   /** ACID overwrite gated by the table's declared constraints (Delta's
     * write-time contract): CHECK expressions — rows where any evaluates
     * FALSE are violations (NULL passes, as in SQL CHECK) — and the
@@ -887,9 +915,24 @@ final class TableCatalog(spark: SparkSession, root: String,
     * the unique probe is a key-grouped count, the same exchange a MERGE
     * would pay anyway).
     */
-  def overwriteChecked(df: DataFrame, layer: String, table: String,
+  def overwriteChecked(df0: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not}
+    val gens = generatedColumns(layer, table)
+    // provided generated columns must MATCH their derivation (null-safe);
+    // missing ones are computed — Delta's generated-column write contract
+    gens.foreach { case (c, e) =>
+      if (df0.columns.contains(c)) {
+        val bad = df0.filter(not(col(c) <=> expr(e))).count()
+        if (bad > 0)
+          throw new ConstraintViolationException(
+            s"$layer/$table: $bad row(s) provide generated column '$c' " +
+              s"diverging from its expression; batch rejected", bad)
+      }
+    }
+    val df = gens.foldLeft(df0) { case (acc, (c, e)) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, expr(e))
+    }
     val cs = checks(layer, table)
     if (cs.nonEmpty) {
       val violated = cs.values

@@ -1345,6 +1345,121 @@ object DomainQueries {
             WHERE rn = ceil(0.5 * n) OR rn = ceil(0.9 * n)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** GENERATED columns through the driver gate (Delta's generated-column
+    * write contract): declare day = floor(epoch-ms / 86400000) over the
+    * events projection, write a batch WITHOUT the column (it must be
+    * computed), then attempt a batch providing day+1 (every row diverges
+    * from the derivation → typed reject, nothing committed). The final
+    * per-day aggregate hash-checks the computed derivation itself.
+    */
+  private val catalogGeneratedColumns = NamedQuery(
+    "catalog_generated_columns", {
+      (s, d) => {
+        import graft.catalog.{TableCatalog, ConstraintViolationException}
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_gen_" +
+          s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new TableCatalog(s, root, keepVersions = 10)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"))
+        cat.setGenerated("silver", "ev_gen", "day",
+          "CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+        cat.overwriteChecked(ev, "silver", "ev_gen") // day computed
+        val bad = ev.withColumn("day",
+          expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT) + 1"))
+        val violations =
+          try { cat.overwriteChecked(bad, "silver", "ev_gen"); -1L }
+          catch { case e: ConstraintViolationException => e.violations }
+        cat.read("silver", "ev_gen")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("violations", lit(violations))
+          .withColumn("live_version",
+            lit(cat.currentVersion("silver", "ev_gen").get))
+          .orderBy(col("day"))
+      }
+    },
+    Some("""SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+                   count(*) AS n,
+                   (SELECT count(*) FROM events) AS violations,
+                   1 AS live_version
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Market-basket association rules over (user, day) baskets of event
+    * types: for every ordered type pair A→B co-occurring in ≥ 20 baskets,
+    * support/confidence/lift — the retail-analytics staple. Baskets are
+    * deduped (user, day, type) triples; pair counts come from one
+    * within-basket self-join (types² bounded fan-out); and all three
+    * ratios are exact integer round-half-up parts-per-million, so the
+    * gate carries no float at all: lift_ppm = round(1e6·N·c(ab) /
+    * (c(a)·c(b))) computed by integer cross-multiplication. The widest
+    * product (c(ab)·N·2e6 ≤ N²·2e6) stays inside int64 up to ~2M baskets
+    * — 5× the sf1 corpus; past that, promote the lift numerator to
+    * decimal(38,0)/HUGEINT on both engines.
+    */
+  private val eventsBasketRules = NamedQuery(
+    "events_basket_rules",
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)")
+            .as("day"),
+          col("event_type"))
+        .distinct()
+      val n = b.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val item = b.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val pair = b.alias("x").join(b.alias("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.day") === col("y.day") &&
+            col("x.event_type") =!= col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 20)
+      pair
+        .join(broadcast(item.select(col("event_type").as("a"),
+          col("c").as("ca"))), Seq("a"))
+        .join(broadcast(item.select(col("event_type").as("b"),
+          col("c").as("cb"))), Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("cab"),
+          expr("CAST((cab * 2000000 + n_baskets) DIV (2 * n_baskets) AS BIGINT)")
+            .as("support_ppm"),
+          expr("CAST((cab * 2000000 + ca) DIV (2 * ca) AS BIGINT)")
+            .as("confidence_ppm"),
+          expr("CAST((cab * n_baskets * 2000000 + ca * cb) " +
+            "DIV (2 * ca * cb) AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                                AS day,
+                              event_type
+                       FROM events),
+            n AS (SELECT count(*) AS n_baskets
+                  FROM (SELECT DISTINCT user_id, day FROM b)),
+            item AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+            pair AS (SELECT x.event_type AS a, y.event_type AS bt,
+                            count(*) AS cab
+                     FROM b x JOIN b y
+                       ON x.user_id = y.user_id AND x.day = y.day
+                      AND x.event_type <> y.event_type
+                     GROUP BY 1, 2 HAVING count(*) >= 20)
+            SELECT p.a, p.bt AS b, p.cab,
+                   CAST((p.cab * 2000000 + n.n_baskets)
+                        // (2 * n.n_baskets) AS BIGINT) AS support_ppm,
+                   CAST((p.cab * 2000000 + ia.c) // (2 * ia.c) AS BIGINT)
+                     AS confidence_ppm,
+                   CAST((p.cab * n.n_baskets * 2000000 + ia.c * ib.c)
+                        // (2 * ia.c * ib.c) AS BIGINT) AS lift_ppm
+            FROM pair p
+            JOIN item ia ON ia.event_type = p.a
+            JOIN item ib ON ib.event_type = p.bt
+            CROSS JOIN n
+            ORDER BY 1, 2"""))
+
   /** Data-quality expectation suite (the dbt-test / Deequ surface): five
     * declarative rules — two null/range checks, a positivity check, and
     * two referential-integrity probes (anti-join orphan counts) — each
@@ -1696,5 +1811,6 @@ object DomainQueries {
       catalogCheckConstraint, eventsFunnel, eventsCohort, eventsMarkov,
       eventsAttribution, scd2Dimension, eventsRfm,
       catalogUniqueConstraint, catalogHistory, qualityExpectations,
-      catalogClone, statsPercentileDisc)
+      catalogClone, statsPercentileDisc, eventsBasketRules,
+      catalogGeneratedColumns)
 }

@@ -81,6 +81,9 @@ class PlanAuditSpec extends SparkSpec {
     "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
         "global count combine (text_tfidf_topk's accepted shape)"),
+    "events_basket_rules" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "the 1-row basket-count attach onto the ≤types² rule table + its " +
+        "global combine; the basket self-join and item joins are hash equi"),
     "catalog_history" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "the 5-row history listing gets the live table's one-row checksum " +
         "attached — metadata-sized on both sides"),

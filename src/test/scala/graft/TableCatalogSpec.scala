@@ -664,6 +664,28 @@ class TableCatalogSpec extends SparkSpec {
     assert(ts.sorted.toSeq === ts.toSeq)
   }
 
+  test("generated columns: computed when missing, validated when provided, null-safe") {
+    import graft.catalog.ConstraintViolationException
+    val cat = new TableCatalog(spark, tmpDir("cat-gen"), keepVersions = 10)
+    cat.setGenerated("silver", "t", "doubled", "v * 2")
+    // missing → computed
+    cat.overwriteChecked(Seq((1, 10), (2, 20)).toDF("k", "v"), "silver", "t")
+    assert(cat.read("silver", "t").select("doubled").as[Int]
+      .collect().sorted.toSeq === Seq(20, 40))
+    // provided-and-correct → accepted (incl. a NULL row: null <=> null)
+    cat.overwriteChecked(
+      Seq((1, Some(5), Some(10)), (2, None, None))
+        .toDF("k", "v", "doubled"), "silver", "t")
+    assert(cat.currentVersion("silver", "t") === Some(2))
+    // provided-and-diverging → typed reject, nothing committed
+    val e = intercept[ConstraintViolationException] {
+      cat.overwriteChecked(Seq((1, 5, 11)).toDF("k", "v", "doubled"),
+        "silver", "t")
+    }
+    assert(e.violations === 1)
+    assert(cat.currentVersion("silver", "t") === Some(2))
+  }
+
   test("CHECK constraints: violations reject atomically, NULL passes (SQL CHECK)") {
     import graft.catalog.ConstraintViolationException
     val cat = new TableCatalog(spark, tmpDir("cat-chk"), keepVersions = 10)
