@@ -27,9 +27,15 @@ object Bench {
         "BENCH_DRIVER.json"
       }
     }
+    // RAM-backed scratch for replay staging/checkpoints/shuffle-local dirs
+    // (see graft.streaming.Scratch) — must precede the session build
+    graft.streaming.Scratch.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fork-free local FS for checkpoint/state I/O (see NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

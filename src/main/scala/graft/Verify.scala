@@ -24,10 +24,14 @@ object Verify {
       Paths.get(outDir).toAbsolutePath.toString + "_oracle_mat"
     OracleSidecar.sf = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // RAM-backed scratch for replay staging/checkpoints (graft.streaming.Scratch)
+    graft.streaming.Scratch.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,9 +29,9 @@ object StreamQueries {
 
   /** Streaming sessionization driven to the BATCH oracle: the whole events
     * corpus replays through `Sessionize.sessions` (flatMapGroupsWithState,
-    * event-time timeout, 30-min gap), then two sentinel batches on a
-    * throwaway key push the watermark past every real interval's close so
-    * the timeout pass flushes ALL state — the streaming analogue of "end
+    * event-time timeout, 30-min gap), then a sentinel batch on a
+    * throwaway key pushes the watermark past every real interval's close so
+    * the automatic no-data batch's timeout pass flushes ALL state — the streaming analogue of "end
     * of input". Sessions are renumbered 1..n per user by start time, which
     * is exactly the batch query's cumulative new-session ordinal (sessions
     * are disjoint and gap-separated, so start order IS session order).
@@ -67,17 +67,15 @@ object StreamQueries {
         .outputMode("append").start()
       try {
         // batch 1: the real corpus (initial watermark 0 admits everything)
-        feed.stage(corpus)
+        feed.stageCached(corpus, s"$d#events#key_ts_value")
         q.processAllAvailable()
         // batch 2: sentinel advances the watermark past every real close
-        // (wm becomes maxTs + 2·gap > any lastTs + gap) …
+        // (wm becomes maxTs + 2·gap > any lastTs + gap); the engine then
+        // runs its automatic NO-DATA batch at the new watermark
+        // (noDataMicroBatches, on by default) — that is the pass where
+        // every timed-out session flushes, so no second sentinel is needed
         feed.stage(Seq(Sessionize.Event("__flush__",
           new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
-        q.processAllAvailable()
-        // … batch 3: one more event so a timeout pass RUNS at that
-        // watermark (timeouts fire at the start of the next micro-batch)
-        feed.stage(Seq(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -123,11 +121,10 @@ object StreamQueries {
     * emitted exactly once, only after the watermark passes its close — and
     * the collected emissions must hash-match `q22_time_bucket`'s DuckDB
     * oracle. Tumbling windows are epoch-aligned, so `window.start` equals
-    * the batch twin's `date_trunc('hour', ts)` bucket. Two sentinel batches
-    * on a throwaway event type close every real window (watermarks update
-    * at micro-batch END and take effect the NEXT batch): the first advances
-    * event time past every real close + delay, the second runs the eviction
-    * pass at that watermark. A window emitted early (watermark bug), late
+    * the batch twin's `date_trunc('hour', ts)` bucket. A sentinel batch
+    * on a throwaway event type closes every real window: watermarks update
+    * at micro-batch END, and the engine's automatic no-data batch then
+    * runs the eviction pass at the advanced watermark. A window emitted early (watermark bug), late
     * (never evicted), or twice (append violation) all turn the hash red.
     */
   private val windowStream = NamedQuery(
@@ -151,16 +148,14 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed.stage(corpus)
+        feed.stageCached(corpus, s"$d#events#ttv")
         q.processAllAvailable()
-        // sentinel 1: event time jumps 3 h past the last real event, so the
-        // watermark computed at this batch's end clears every real window
+        // sentinel: event time jumps 3 h past the last real event, so the
+        // watermark computed at this batch's end clears every real window;
+        // the engine's automatic no-data batch at that watermark performs
+        // the eviction + emit (no second sentinel needed)
         feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
           0.0)).toDS().toDF())
-        q.processAllAvailable()
-        // sentinel 2: a batch RUNNING at that watermark evicts + emits
-        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L),
-          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -207,9 +202,9 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
-        feed.stage(half(0))
+        feed.stageCached(half(0), s"$d#events#ttv#even")
         q.processAllAvailable()
-        feed.stage(half(1))
+        feed.stageCached(half(1), s"$d#events#ttv#odd")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -275,9 +270,11 @@ object StreamQueries {
             .write.mode("append").parquet(s"$outDir/emit")
         }.start()
       try {
-        feed.stage(corpus.filter(unix_millis(col("ts")) <= splitTs))
+        feed.stageCached(corpus.filter(unix_millis(col("ts")) <= splitTs),
+          s"$d#events#ttv#le_mid")
         q.processAllAvailable()
-        feed.stage(corpus.filter(unix_millis(col("ts")) > splitTs))
+        feed.stageCached(corpus.filter(unix_millis(col("ts")) > splitTs),
+          s"$d#events#ttv#gt_mid")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -351,15 +348,12 @@ object StreamQueries {
       try {
         // batch 1 contains the corpus max, so the watermark at its end is
         // hi − 10min; batch 2 is then judged row-by-row against it
-        feed.stage(corpus.filter(!held))
+        feed.stageCached(corpus.filter(!held), s"$d#events#ttv#unheld")
         q.processAllAvailable()
-        feed.stage(corpus.filter(held))
+        feed.stageCached(corpus.filter(held), s"$d#events#ttv#held")
         q.processAllAvailable()
         feed.stage(Seq(Evt(new Timestamp(hi + 3 * hourMs), "__flush__",
           0.0)).toDS().toDF())
-        q.processAllAvailable()
-        feed.stage(Seq(Evt(new Timestamp(hi + 3 * hourMs + 1000L),
-          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -450,9 +444,9 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed.stage(corpus)
+        feed.stageCached(corpus, s"$d#events#ietv")
         q.processAllAvailable()
-        feed.stage(poisoned)
+        feed.stageCached(poisoned, s"$d#events#ietv#poisoned")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -508,7 +502,7 @@ object StreamQueries {
       // exactly-once across process boundaries, ST2+ST6). With the file
       // source the offset log records FILES, so the restart recovery is
       // the real cross-process thing, not a MemoryStream approximation.
-      feed.stage(base)
+      feed.stageCached(base, s"$d#orders#rev1_base")
       // same fixed-floor trim as the sessionize replay: the per-batch merge
       // over tens of thousands of rows gains nothing from 32-way shuffles,
       // and the checkpoint/offset-log machinery is per-partition. Restored
@@ -520,7 +514,7 @@ object StreamQueries {
           "silver", "orders_stream", keys = Seq("o_orderkey"),
           orderCol = "rev", checkpoint = s"$root/_checkpoint")
           .awaitTermination()
-        feed.stage(correction)
+        feed.stageCached(correction, s"$d#orders#rev2_corr")
         SilverJob.startMergeSink(feed.stream, cat,
           "silver", "orders_stream", keys = Seq("o_orderkey"),
           orderCol = "rev", checkpoint = s"$root/_checkpoint")
@@ -583,8 +577,8 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        feed.stage(base); run()
-        feed.stage(correction); run()
+        feed.stageCached(base, s"$d#orders#rev1_base"); run()
+        feed.stageCached(correction, s"$d#orders#rev2_corr"); run()
       } finally {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -668,11 +662,15 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
+          s"$d#events#clicks#le_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) <= splitTs),
+          s"$d#events#buys#le_mid")
         q.processAllAvailable()
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) > splitTs),
+          s"$d#events#clicks#gt_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) > splitTs),
+          s"$d#events#buys#gt_mid")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -708,8 +706,8 @@ object StreamQueries {
     * implements its own contract, not one copied result.
     *
     * Same replay mechanics as the window/dedup replays: append mode emits
-    * a session only after the watermark passes its close, two sentinel
-    * batches flush the tail. 100 TB posture: state is per OPEN session
+    * a session only after the watermark passes its close, a sentinel batch +
+    * the automatic no-data batch flush the tail. 100 TB posture: state is per OPEN session
     * (bounded by gap × event rate), merged by the engine's native
     * SessionWindowStateStore — the path that benefits from every upstream
     * Spark optimization without a line of state code here.
@@ -735,13 +733,10 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed.stage(corpus)
+        feed.stageCached(corpus, s"$d#events#key_ts_value")
         q.processAllAvailable()
         feed.stage(Seq(Sessionize.Event("__flush__",
           new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
-        q.processAllAvailable()
-        feed.stage(Seq(Sessionize.Event("__flush__",
-          new Timestamp(maxTs + 3 * gapMs + 1000L), 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -784,7 +779,7 @@ object StreamQueries {
     * (wm > c_ts + 6h — any earlier and a purchase could still arrive; the
     * spec pins that no null row precedes watermark close), and Spark emits
     * it on the state-eviction pass of a LATER micro-batch. The replay
-    * therefore ends with two sentinel batches on an unmatchable user: the
+    * therefore ends with a sentinel batch on an unmatchable user: the
     * first advances BOTH sides' watermarks past every real interval's
     * close, the second runs the eviction pass at that watermark, flushing
     * every still-unmatched click as a null row — the streaming analogue of
@@ -833,11 +828,15 @@ object StreamQueries {
         // below it could only match purchases with ts < splitTs − 1h —
         // which, if they exist, were all IN batch 1, so an eviction-time
         // null row is never a premature one.
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
+          s"$d#events#clicks#le_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) <= splitTs),
+          s"$d#events#buys#le_mid")
         q.processAllAvailable()
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) > splitTs),
+          s"$d#events#clicks#gt_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) > splitTs),
+          s"$d#events#buys#gt_mid")
         q.processAllAvailable()
         // sentinel 1 (both sides, unmatchable user −1): watermark computed
         // at this batch's END becomes maxTs + 10h − 1h delay, past every
@@ -846,12 +845,9 @@ object StreamQueries {
         feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
         feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
         q.processAllAvailable()
-        // … sentinel 2: a batch RUNNING at that watermark performs the
-        // eviction pass that emits the null-extended rows
-        val flushTs2 = new Timestamp(hi + 36001000L)
-        feedC.stage(Seq(Click(-2L, flushTs2, -1L)).toDS().toDF())
-        feedB.stage(Seq(Buy(-2L, flushTs2, -1L)).toDS().toDF())
-        q.processAllAvailable()
+        // … and the engine's automatic no-data batch at that watermark
+        // performs the eviction pass that emits the null-extended rows
+        // (noDataMicroBatches, on by default — no second sentinel needed)
       } finally {
         q.stop()
         feedC.close(); feedB.close()
@@ -916,19 +912,19 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
+          s"$d#events#clicks#le_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) <= splitTs),
+          s"$d#events#buys#le_mid")
         q.processAllAvailable()
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) > splitTs),
+          s"$d#events#clicks#gt_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) > splitTs),
+          s"$d#events#buys#gt_mid")
         q.processAllAvailable()
         val flushTs = new Timestamp(hi + 36000000L)
         feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
         feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
-        q.processAllAvailable()
-        val flushTs2 = new Timestamp(hi + 36001000L)
-        feedC.stage(Seq(Click(-2L, flushTs2, -1L)).toDS().toDF())
-        feedB.stage(Seq(Buy(-2L, flushTs2, -1L)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -984,13 +980,10 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed.stage(corpus)
+        feed.stageCached(corpus, s"$d#events#ttv")
         q.processAllAvailable()
         feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
           0.0)).toDS().toDF())
-        q.processAllAvailable()
-        feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs + 1000L),
-          "__flush__", 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -1047,9 +1040,11 @@ object StreamQueries {
         // two micro-batches (event_id parity split): enrichment must be
         // exactly-once per event across batch boundaries, not just within
         // one batch
-        feed.stage(corpus.filter(col("event_id") % 2 === 0))
+        feed.stageCached(corpus.filter(col("event_id") % 2 === 0),
+          s"$d#events#ietuv#even")
         q.processAllAvailable()
-        feed.stage(corpus.filter(col("event_id") % 2 =!= 0))
+        feed.stageCached(corpus.filter(col("event_id") % 2 =!= 0),
+          s"$d#events#ietuv#odd")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -1106,11 +1101,15 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) <= splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) <= splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
+          s"$d#events#clicks#le_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) <= splitTs),
+          s"$d#events#buys#le_mid")
         q.processAllAvailable()
-        feedC.stage(clicks.filter(unix_millis(col("c_ts")) > splitTs))
-        feedB.stage(buys.filter(unix_millis(col("b_ts")) > splitTs))
+        feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) > splitTs),
+          s"$d#events#clicks#gt_mid")
+        feedB.stageCached(buys.filter(unix_millis(col("b_ts")) > splitTs),
+          s"$d#events#buys#gt_mid")
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -1161,11 +1160,14 @@ object StreamQueries {
       }
       try {
         // backfill: two batches staged BEFORE the first bounded run
-        feed.stage(ev.filter(col("event_id") % 3 === 0))
-        feed.stage(ev.filter(col("event_id") % 3 === 1))
+        feed.stageCached(ev.filter(col("event_id") % 3 === 0),
+          s"$d#events#cents#mod3_0")
+        feed.stageCached(ev.filter(col("event_id") % 3 === 1),
+          s"$d#events#cents#mod3_1")
         run()
         // incremental: only the delta is unprocessed
-        feed.stage(ev.filter(col("event_id") % 3 === 2))
+        feed.stageCached(ev.filter(col("event_id") % 3 === 2),
+          s"$d#events#cents#mod3_2")
         run()
         // idempotence: nothing available → no-op run
         run()
@@ -1213,9 +1215,11 @@ object StreamQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed.stage(buys.filter(col("event_id") % 2 === 0))
+        feed.stageCached(buys.filter(col("event_id") % 2 === 0),
+          s"$d#events#buy_cents#even")
         q.processAllAvailable()
-        feed.stage(buys.filter(col("event_id") % 2 === 1))
+        feed.stageCached(buys.filter(col("event_id") % 2 === 1),
+          s"$d#events#buy_cents#odd")
         q.processAllAvailable()
       } finally { q.stop(); feed.close() }
       s.table(sink)

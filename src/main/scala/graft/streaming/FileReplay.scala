@@ -57,11 +57,39 @@ final class FileReplay private (spark: SparkSession, schema: StructType,
   def stage(df: DataFrame): Unit = {
     val dir = root.resolve(f"stage_b$n%05d")
     df.write.mode("overwrite").parquet(dir.toString)
+    publish(dir, link = false)
+  }
+
+  /** Stage `df` as the next micro-batch THROUGH the JVM-lifetime staging
+    * cache: the first call under `key` pays the distributed parquet write;
+    * every later call (the second timed bench rep, the warm-up passes, a
+    * sibling gate replaying the same slice) HARDLINKS the cached part
+    * files into this feed's watched dir — a metadata-only publish, no
+    * bytes recomputed or copied. Sound only because every cached slice
+    * derives deterministically from the immutable testdata tables: `key`
+    * must name the content (source table, projection, filter, sfDir), and
+    * the schema rides along as a collision guard. A wrong key cannot pass
+    * silently — every replay gate is hash-checked against its DuckDB
+    * oracle, so stale content turns the gate red. Sentinel batches (1-row
+    * driver literals) should keep using `stage` — caching them buys
+    * nothing.
+    */
+  def stageCached(df: DataFrame, key: String): Unit = {
+    val src = FileReplay.cachedSlice(df, key)
+    publish(src, link = true)
+  }
+
+  /** Make the part files of `dir` visible to the stream as one batch:
+    * rename (own staging, `link = false`) or hardlink (shared cache,
+    * `link = true` — the cache entry must survive for other feeds).
+    */
+  private def publish(dir: Path, link: Boolean): Unit = {
     val parts = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, watchDir.resolve(f"b$n%05d_$i%05d.parquet"))
+      val dst = watchDir.resolve(f"b$n%05d_$i%05d.parquet")
+      if (link) Files.createLink(dst, p) else Files.move(p, dst)
     }
     n += 1
   }
@@ -86,5 +114,40 @@ object FileReplay {
       "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     Files.createDirectories(root.resolve("in"))
     new FileReplay(spark, schema, root)
+  }
+
+  /** JVM-lifetime staged-slice cache: content key → parquet dir. Keys are
+    * caller-authored content names; the slice schema is appended as a
+    * collision guard (same key + different projection → distinct entries).
+    * Entries live under one process-scoped tmp root, removed on JVM exit —
+    * the cache can never go stale across code changes because it never
+    * outlives the process that wrote it.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private lazy val cacheRoot: Path = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_replay_cache_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+    Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: Path): Unit = {
+        if (Files.isDirectory(x))
+          Files.list(x).iterator().asScala.foreach(rm)
+        Files.deleteIfExists(x)
+      }
+      try rm(p) catch { case _: Throwable => () }
+    }))
+    p
+  }
+
+  private def cachedSlice(df: DataFrame, key: String): Path = {
+    val full = key + "#" + df.schema.catalogString
+    cache.computeIfAbsent(full, _ => {
+      val dir = cacheRoot.resolve(f"slice_${cache.size()}%05d_" +
+        Integer.toHexString(full.hashCode))
+      df.write.mode("overwrite").parquet(dir.toString)
+      dir
+    })
   }
 }

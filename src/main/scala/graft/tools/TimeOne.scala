@@ -10,8 +10,11 @@ object TimeOne {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    graft.streaming.Scratch.install()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // timing microscope, not a verify run: skip oracle-sidecar writes
