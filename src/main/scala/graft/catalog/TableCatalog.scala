@@ -289,7 +289,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     * snapshot always outlives in-flight readers of it.
     */
   def overwrite(df: DataFrame, layer: String, table: String,
-      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Int = {
     val prevCommitted = currentVersion(layer, table)
     val next = prevCommitted.getOrElse(
       versions(layer, table).lastOption.getOrElse(0)) + 1
@@ -305,6 +305,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     // underscore-prefixed paths).
     if (statsCols.nonEmpty) writeFileStats(target, statsCols)
     publishVersion(layer, table, next, prevCommitted)
+    next
   }
 
   /** Commit tail shared by every single-writer snapshot commit: atomic
@@ -711,8 +712,8 @@ final class TableCatalog(spark: SparkSession, root: String,
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       val merged = all.withColumn(mergeRnCol, row_number().over(w))
         .filter(col(mergeRnCol) === 1).drop(mergeRnCol, mergeSrcCol)
-      overwrite(merged, layer, table, parts)
-      recordOp(layer, table, "MERGE")
+      val v = overwrite(merged, layer, table, parts)
+      recordOp(layer, table, v, "MERGE")
     }
   }
 
@@ -742,8 +743,8 @@ final class TableCatalog(spark: SparkSession, root: String,
       if (parts.isEmpty) cur.repartition(numFiles)
       else cur.repartition(numFiles,
         parts.map(org.apache.spark.sql.functions.col): _*)
-    overwrite(packed, layer, table, parts)
-    recordOp(layer, table, "OPTIMIZE")
+    val v = overwrite(packed, layer, table, parts)
+    recordOp(layer, table, v, "OPTIMIZE")
   }
 
   /** Explicit retention vacuum (the Delta `VACUUM` surface, version-count
@@ -791,20 +792,44 @@ final class TableCatalog(spark: SparkSession, root: String,
           s"retained versions: ${versions(layer, table).mkString(",")}")
     val next = math.max(prevCommitted.get,
       versions(layer, table).lastOption.getOrElse(0)) + 1
-    val target = versionDir(layer, table, next)
-    val conf = spark.sessionState.newHadoopConf()
-    val srcPath = src.toUri.getPath
-    val it = fs.listFiles(src, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toUri.getPath.stripPrefix(srcPath).stripPrefix("/")
-      val dst = new Path(target, rel)
-      fs.mkdirs(dst.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
-    }
+    copySnapshotStaged(fs, src, versionDir(layer, table, next))
     publishVersion(layer, table, next, prevCommitted)
-    recordOp(layer, table, "RESTORE")
+    recordOp(layer, table, next, "RESTORE")
     next
+  }
+
+  /** Snapshot copy that can never publish a partial version: files land
+    * in a DOT-prefixed temp sibling under `_v/` — invisible to
+    * `versions()`/`history()`/`readVersion()`, which parse only numeric
+    * names — and the temp dir renames to `target` in one atomic step only
+    * after every file copied. A concurrent vacuum reclaiming the SOURCE
+    * mid-copy aborts the copy with the temp dir still unpublished (swept
+    * here best-effort), instead of leaving a half-copied `_v/<n>` that
+    * readers would treat as a retained snapshot.
+    */
+  private def copySnapshotStaged(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, target: Path): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new Path(target.getParent,
+      ".copy_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    try {
+      val srcPath = src.toUri.getPath
+      val it = fs.listFiles(src, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(srcPath).stripPrefix("/")
+        val dst = new Path(tmp, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
+      }
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"could not publish copied snapshot to $target")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Delta-style CLONE: create `dstLayer/dstTable` whose v1 is a
@@ -814,8 +839,11 @@ final class TableCatalog(spark: SparkSession, root: String,
     * afterwards: its commits never touch the source and vice versa
     * (Delta's deep-clone contract; a shallow clone's shared-file
     * semantics don't survive either table's vacuum, so deep is the only
-    * honest offline clone). Constraint tags are NOT copied — a clone is
-    * new data ownership, and Delta likewise re-declares constraints.
+    * honest offline clone). Constraint metadata travels WITH the clone —
+    * CHECK / UNIQUE-KEY / generated-column tags are copied, matching
+    * Delta's deep CLONE, which copies table properties including CHECK
+    * constraints; per-version op-history tags stay behind (the clone's
+    * history begins at its own v1 CLONE commit).
     */
   def cloneTable(srcLayer: String, srcTable: String,
       dstLayer: String, dstTable: String): Unit = {
@@ -827,19 +855,21 @@ final class TableCatalog(spark: SparkSession, root: String,
       s"$dstLayer/$dstTable already exists; clone refuses to clobber")
     val src = new Path(livePath(srcLayer, srcTable))
     val fs = hadoopFs(src)
-    val target = versionDir(dstLayer, dstTable, 1)
-    val conf = spark.sessionState.newHadoopConf()
-    val srcPath = src.toUri.getPath
-    val it = fs.listFiles(src, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toUri.getPath.stripPrefix(srcPath).stripPrefix("/")
-      val dst = new Path(target, rel)
-      fs.mkdirs(dst.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
+    copySnapshotStaged(fs, src, versionDir(dstLayer, dstTable, 1))
+    // constraint/generated-column metadata rides along (Delta deep-CLONE
+    // copies table properties); version-op tags (_TAG_op_*) do not — the
+    // clone's history starts at its own CLONE commit below
+    val srcDir = new Path(path(srcLayer, srcTable))
+    if (fs.exists(srcDir)) {
+      fs.listStatus(srcDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("_TAG_") && !n.startsWith("_TAG_op_")
+          && !n.endsWith(".__tmp"))
+        .map(_.stripPrefix("_TAG_"))
+        .foreach(k => readTag(srcLayer, srcTable, k)
+          .foreach(v => writeTag(dstLayer, dstTable, k, v)))
     }
     publishVersion(dstLayer, dstTable, 1, None)
-    recordOp(dstLayer, dstTable, "CLONE")
+    recordOp(dstLayer, dstTable, 1, "CLONE")
   }
 
   /** Declare a named CHECK constraint (a boolean SQL expression over the
@@ -959,18 +989,20 @@ final class TableCatalog(spark: SparkSession, root: String,
             s"(${keyCols.mkString(", ")}); batch rejected, nothing committed",
           dups)
     }
-    overwrite(df, layer, table, partitionBy, statsCols)
-    recordOp(layer, table, "WRITE")
+    val v = overwrite(df, layer, table, partitionBy, statsCols)
+    recordOp(layer, table, v, "WRITE")
   }
 
-  /** Record the operation name of the current committed version — the
-    * DESCRIBE HISTORY surface's op column. Last write per version wins
+  /** Record the operation name of committed version `version` — the
+    * DESCRIBE HISTORY surface's op column. The version is threaded from
+    * the commit that produced it (overwrite/publishVersion return it), so
+    * a concurrent writer's interleaved commit can never be mislabeled —
+    * re-resolving the pointer here would race. Last write per version wins
     * (a DML verb overrides the generic WRITE its inner overwrite logged).
     */
-  private[catalog] def recordOp(layer: String, table: String,
+  private[catalog] def recordOp(layer: String, table: String, version: Int,
       op: String): Unit =
-    currentVersion(layer, table).foreach(v =>
-      writeTag(layer, table, f"op_$v%05d", op))
+    writeTag(layer, table, f"op_$version%05d", op)
 
   /** Commit history (Delta `DESCRIBE HISTORY` surface): one row per
     * RETAINED version — version, recorded operation (WRITE when the verb
@@ -1023,7 +1055,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     */
   private def rewriteWhere(layer: String, table: String,
       pruneRanges: Seq[(String, Any, Any)])(
-      rewrite: DataFrame => DataFrame): Unit = {
+      rewrite: DataFrame => DataFrame): Option[Int] = {
     import org.apache.spark.sql.functions._
     val prevCommitted = currentVersion(layer, table)
     require(prevCommitted.isDefined,
@@ -1034,7 +1066,8 @@ final class TableCatalog(spark: SparkSession, root: String,
     val statsOpt = fileStats(layer, table)
     val usePrune = statsOpt.isDefined && pruneRanges.nonEmpty
     if (!usePrune) {
-      overwrite(rewrite(read(layer, table)), layer, table, parts, statsCols)
+      Some(overwrite(rewrite(read(layer, table)), layer, table, parts,
+        statsCols))
     } else {
       val stats = statsOpt.get
       val touched = pruneRanges.foldLeft(stats) { case (sdf, (c, lo, hi)) =>
@@ -1066,7 +1099,7 @@ final class TableCatalog(spark: SparkSession, root: String,
       if (rewriteFiles.isEmpty) {
         // nothing can match: the snapshot is unchanged — commit nothing
         // (Delta's no-op DELETE also skips the commit)
-        return
+        return None
       }
       val next = prevCommitted.get + 1
       val target = versionDir(layer, table, next)
@@ -1136,6 +1169,7 @@ final class TableCatalog(spark: SparkSession, root: String,
           .save(new Path(target, "_stats").toString)
       }
       publishVersion(layer, table, next, prevCommitted)
+      Some(next)
     }
   }
 
@@ -1147,13 +1181,12 @@ final class TableCatalog(spark: SparkSession, root: String,
     */
   def deleteWhere(layer: String, table: String, predicate: Column,
       pruneRanges: Seq[(String, Any, Any)] = Nil): Unit = {
-    val before = currentVersion(layer, table)
+    // label only when a commit actually landed (fully-pruned is a no-op);
+    // the committed version is threaded back, never re-resolved
     rewriteWhere(layer, table, pruneRanges)(df =>
       df.filter(!org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))))
-    // label only when a commit actually landed (fully-pruned is a no-op)
-    if (currentVersion(layer, table) != before)
-      recordOp(layer, table, "DELETE")
+      .foreach(v => recordOp(layer, table, v, "DELETE"))
   }
 
   /** Delta-style `UPDATE … SET c = expr, … WHERE predicate`: commit a new
@@ -1168,7 +1201,6 @@ final class TableCatalog(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "update needs at least one assignment")
     val byName = assignments.toMap
-    val before = currentVersion(layer, table)
     rewriteWhere(layer, table, pruneRanges) { df =>
       val missing = byName.keySet -- df.columns.toSet
       require(missing.isEmpty,
@@ -1179,9 +1211,7 @@ final class TableCatalog(spark: SparkSession, root: String,
             .otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
-    }
-    if (currentVersion(layer, table) != before)
-      recordOp(layer, table, "UPDATE")
+    }.foreach(v => recordOp(layer, table, v, "UPDATE"))
   }
 
   /** Overwrite only when the new snapshot is non-empty — an empty compute

@@ -114,6 +114,83 @@ object GoldJob {
         col("humidity"), col("risk_level"), col("distance_deg"))
   }
 
+  /** Per-cell alert summary with the DENSE-CELL PRE-AGGREGATE — the
+    * production serve for cells `goldAlertsGrid`'s cap culls. A dense cell
+    * (fire-probe × station product over `maxPairsPerCell`) would emit
+    * f·s raw alert rows; instead of performing that quadratic join, its
+    * row here is built from the two NARROW per-side aggregates alone —
+    * "n stations alerting, max risk" — in work linear in each side:
+    *
+    *   - `n_alerting_stations` = all stations in the cell (the
+    *     distance-free bound: every probing fire is within one cell of
+    *     every station, i.e. < 2·√2 cell radii — at alerting density the
+    *     band filter is a refinement, not a gate);
+    *   - `max_risk` = the best station's weather classified under an
+    *     'h'-confidence fire IF any probing fire has confidence 'h', else
+    *     LOW. Exact for the cell's best pair because `RiskPolicy.riskLevel`
+    *     depends only on (confidence, station weather) — never distance —
+    *     and is maximized at confidence 'h'.
+    *
+    * Sparse cells carry the same schema computed from their EXACT alerts
+    * (the grid join runs only on them), so one union serves both regimes:
+    * per-pair truth where it's affordable, a per-cell certificate where it
+    * isn't. Plan shape: two per-cell aggregations, the count-bounded dense
+    * list broadcast, one grid equi join over the sparse remainder — no
+    * quadratic work anywhere, which is what makes the flagship's sf1
+    * output-quadratic slope disappear from the serve path.
+    */
+  def goldDenseSummary(fires: DataFrame, weather: DataFrame,
+      maxPairsPerCell: Long): DataFrame = {
+    require(maxPairsPerCell > 0, "maxPairsPerCell must be positive")
+    val lw0 = latestWeather(weather)
+      .withColumn("cell", gridCell(col("station_lat"), col("station_lon"), radiusDeg))
+    val fx0 = fires.withColumn("cell",
+      explode(gridCellNeighbors(col("lat"), col("lon"), radiusDeg)))
+    val levelOfRank = (r: org.apache.spark.sql.Column) =>
+      when(r === 0, "EXTREME").when(r === 1, "VERY_HIGH")
+        .when(r === 2, "HIGH").when(r === 3, "MODERATE").otherwise("LOW")
+    val nf = fx0.groupBy("cell").agg(
+      count(lit(1)).as("n_fire_probes"),
+      max(when(col("confidence") === "h", 1).otherwise(0)).as("__has_h"))
+    val ns = lw0.groupBy("cell").agg(
+      count(lit(1)).as("n_stations"),
+      // best (min-rank) station classification under an 'h' fire
+      min(RiskPolicy.riskRank(RiskPolicy.riskLevel(lit("h"),
+        col("wind_speed"), col("temperature"), col("humidity"))))
+        .as("__best_h_rank"))
+    val cellStats = nf.join(ns, Seq("cell"))
+    val dense = cellStats
+      .filter(col("n_fire_probes") * col("n_stations") > maxPairsPerCell)
+    val denseSum = dense.select(
+      col("cell"), lit(1).as("is_dense"),
+      col("n_fire_probes"), col("n_stations"),
+      col("n_stations").as("n_alerting_stations"),
+      levelOfRank(when(col("__has_h") === 1, col("__best_h_rank"))
+        .otherwise(4)).as("max_risk"))
+    val denseCells = dense.select("cell")
+    val dist = euclideanDeg(col("lat"), col("lon"),
+      col("station_lat"), col("station_lon"))
+    val sparseAlerts = fx0
+      .join(broadcast(denseCells), Seq("cell"), "left_anti")
+      .join(lw0.join(broadcast(denseCells), Seq("cell"), "left_anti"),
+        Seq("cell"))
+      .filter(dist < radiusDeg)
+      .select(col("cell"), col("weather_station"),
+        RiskPolicy.riskRank(RiskPolicy.riskLevel(col("confidence"),
+          col("wind_speed"), col("temperature"), col("humidity")))
+          .as("__rank"))
+    val sparseSum = sparseAlerts.groupBy("cell")
+      .agg(count_distinct(col("weather_station")).as("n_alerting_stations"),
+           min(col("__rank")).as("__best_rank"))
+      .join(cellStats.select("cell", "n_fire_probes", "n_stations"),
+        Seq("cell"))
+      .select(col("cell"), lit(0).as("is_dense"),
+        col("n_fire_probes"), col("n_stations"),
+        col("n_alerting_stations"),
+        levelOfRank(col("__best_rank")).as("max_risk"))
+    denseSum.unionByName(sparseSum)
+  }
+
   /** One Gold cycle against the catalog: read silver, compute, overwrite
     * gold atomically unless empty (reference: run_gold_processing,
     * gold_batch_job.py:22-93).

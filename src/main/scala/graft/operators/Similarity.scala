@@ -782,9 +782,11 @@ object Similarity {
     * conditions the next), so it runs on the collected ≤pool² pair table
     * — the same counted-driver-gate pattern as `Clusters`' union-find.
     * Relevance and pair sims come from the SAME dot/norm kernels the
-    * oracle's list_cosine_similarity matches bit-for-bit; comparisons use
-    * raw doubles with a vec_id tiebreak, so no rounding boundary exists
-    * anywhere in the selection.
+    * oracle's list_cosine_similarity matches bit-for-bit today;
+    * comparisons round the marginal score to a pinned 12-decimal scale
+    * (mirrored in the oracle SQL) with a vec_id tiebreak, so even
+    * ulp-level kernel drift (a DuckDB upgrade, a SIMD accumulation
+    * change) cannot flip a near-tied pick on one engine only.
     */
   def mmrRerank(corpus: DataFrame, queryId: Long, pool: Int, k: Int,
       lambda: Double, idCol: String = "vec_id",
@@ -825,6 +827,14 @@ object Similarity {
       Seq((x, y) -> s, (y, x) -> s)
     }.toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // marginal scores compare at a PINNED rounded scale (12 decimals,
+    // mirrored in the oracle SQL): round-12 sits far below any real
+    // score separation but absorbs ulp-level drift between this kernel
+    // and the oracle's list_cosine_similarity, so a near-tie can never
+    // flip a pick on one engine only. The vec_id tiebreak then resolves
+    // genuine round-12 ties identically on both.
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     while (selected.length < math.min(k, rel.size)) {
       val remaining = rel.keysIterator.filterNot(selected.contains).toSeq
       val best = remaining.minBy { d =>
@@ -832,8 +842,8 @@ object Similarity {
           if (selected.isEmpty) 0.0
           else selected.iterator.map(s => sim((d, s))).max
         val score =
-          if (selected.isEmpty) rel(d) // seed = pure relevance
-          else lambda * rel(d) - (1.0 - lambda) * maxSim
+          if (selected.isEmpty) r12(rel(d)) // seed = pure relevance
+          else r12(lambda * rel(d) - (1.0 - lambda) * maxSim)
         (-score, d) // max score, ties to the smaller id
       }
       selected += best

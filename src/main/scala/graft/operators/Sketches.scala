@@ -30,14 +30,16 @@ import org.apache.spark.sql.functions._
   * the ESTIMATE negligibly and both engines identically — parity is
   * never at risk.
   *
-  * Scale shape: `kmvSketch` is distinct on (group, hash) — ONE shuffle
-  * with map-side partial dedup — then a per-group k-smallest window over
-  * rows already clustered by the first shuffle. No collect, no unbounded
-  * per-group state (collect_set would hold the full distinct set in one
-  * aggregation buffer; the window never materializes more than a
-  * partition's run). A TypedImperativeAggregate carrying a bounded k-heap
-  * would fuse the two exchanges into one; the declared plan keeps
-  * whole-stage codegen and AQE instead.
+  * Scale shape: `kmvSketch` is ONE map-side-combining aggregation — the
+  * `kmv_kmin` TypedImperativeAggregate (`plans.SketchAggregates`) carries
+  * a ≤ k-element sorted set per group, so each input partition reduces to
+  * at most k doubles per group BEFORE the single exchange; shuffle bytes
+  * are k · groups · partitions regardless of corpus size. No collect, no
+  * unbounded per-group state (collect_set would hold the full distinct
+  * set in one buffer). The earlier two-exchange plan (distinct on
+  * (group, hash), then a per-group k-smallest window) produced the
+  * identical rows — the aggregate IS distinct-then-cut by construction —
+  * but moved every distinct pair through the shuffle.
   */
 object Sketches {
 
@@ -55,13 +57,11 @@ object Sketches {
   def kmvSketch(df: DataFrame, group: String, key: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashed = df
-      .select(col(group), uniform01(col(key)).as("__u"))
-      .distinct()
-    val w = Window.partitionBy(col(group)).orderBy(col("__u"))
-    hashed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
+    df.select(col(group), uniform01(col(key)).as("__uh"))
+      .groupBy(col(group))
+      .agg(call_function("kmv_kmin", col("__uh"), lit(k)).as("__us"))
+      .select(col(group), explode(col("__us")).as("__u"))
   }
 
   /** Estimate per group from a (merged) sketch: exact when the sketch
@@ -90,10 +90,27 @@ object Sketches {
       .drop("__rn")
   }
 
-  /** One-call distinct-count estimate: sketch + estimate. */
+  /** One-call distinct-count estimate in ONE aggregation: the `kmv_kmin`
+    * buffer IS the sketch, so size and k-th value read straight off the
+    * aggregate's array — no explode, no second groupBy. Works unchanged
+    * on a STREAMING input (complete/update mode): the bounded buffer is
+    * the aggregation state and partial-sketch merge is the state merge,
+    * which is the streaming-distinct-rollup story at 100 TB (per-trigger
+    * state is k doubles per group, never the distinct set).
+    */
   def kmvDistinct(df: DataFrame, group: String, key: String,
-      k: Int): DataFrame =
-    kmvEstimate(kmvSketch(df, group, key, k), group, k)
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
+    df.select(col(group), uniform01(col(key)).as("__uh"))
+      .groupBy(col(group))
+      .agg(call_function("kmv_kmin", col("__uh"), lit(k)).as("__us"))
+      .select(col(group), size(col("__us")).cast("long").as("sketch_size"),
+        when(size(col("__us")) < k, size(col("__us")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            element_at(col("__us"), -1), 4))
+          .as("est_distinct"))
+  }
 
   // ----------------------------------------------------------- Count-Min
   // The frequency twin of KMV: a d×w counter grid where each occurrence

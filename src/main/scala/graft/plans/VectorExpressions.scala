@@ -286,7 +286,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
     (new FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
-      (args: Seq[Expression]) => BloomMightContainLong(args(0), args(1))))
+      (args: Seq[Expression]) => BloomMightContainLong(args(0), args(1))),
+    (new FunctionIdentifier("kmv_kmin"),
+      new ExpressionInfo(classOf[KMinDistinct].getName, "kmv_kmin"),
+      (args: Seq[Expression]) =>
+        KMinDistinct(args(0), intLit(args(1), "kmv_kmin"))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

@@ -320,9 +320,12 @@ object ExtQueries {
     * argmax — as a recursive CTE accumulating the selection list, so a
     * wrong pool cut, a wrong seed tiebreak, or any divergence in the
     * marginal-score comparison at any step breaks the hash. (1−λ) is
-    * written as the expression `(1.0 − 0.7)` on BOTH engines: the folded
-    * double differs from the literal 0.3 in the last ulp, and the greedy
-    * compares raw doubles.)
+    * written as the expression `(1.0 − 0.7)` on BOTH engines — the folded
+    * double differs from the literal 0.3 in the last ulp — and the greedy
+    * compares marginal scores at the PINNED round-12 scale on both
+    * engines, so ulp drift between the vec_dot kernel and DuckDB's
+    * list_cosine_similarity can never flip a near-tied pick on one
+    * engine only.)
     */
   private val simMmr = NamedQuery(
     "sim_mmr_rerank",
@@ -341,15 +344,18 @@ object ExtQueries {
                    FROM cand a JOIN cand b ON a.id <> b.id
                    JOIN embeddings ea ON ea.vec_id = a.id
                    JOIN embeddings eb ON eb.vec_id = b.id),
-            seed AS (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+            seed AS (SELECT id FROM cand
+                     ORDER BY round(CAST(rel AS DOUBLE), 12) DESC, id
+                     LIMIT 1),
             sel AS (SELECT 1 AS it, [(SELECT id FROM seed)] AS ids
                     UNION ALL
                     SELECT it + 1, list_append(ids, (
                       SELECT c.id FROM cand c
                       WHERE NOT list_contains(ids, c.id)
-                      ORDER BY (0.7 * c.rel - (1.0 - 0.7) * (
+                      ORDER BY round(CAST(0.7 * c.rel - (1.0 - 0.7) * (
                           SELECT max(s) FROM ps
-                          WHERE ps.a = c.id AND list_contains(ids, ps.b)))
+                          WHERE ps.a = c.id AND list_contains(ids, ps.b))
+                          AS DOUBLE), 12)
                         DESC, c.id
                       LIMIT 1))
                     FROM sel WHERE it < 5),
@@ -895,8 +901,10 @@ object ExtQueries {
       try {
         // vec_id parity split — a deterministic executor-side predicate;
         // encode is a pure per-row function, so ANY split is byte-identical
-        feed.stage(corpus.filter(col("vec_id") % 2 === 0)); run()
-        feed.stage(corpus.filter(col("vec_id") % 2 =!= 0)); run()
+        feed.stageCached(corpus.filter(col("vec_id") % 2 === 0),
+          s"$d#embeddings#even"); run()
+        feed.stageCached(corpus.filter(col("vec_id") % 2 =!= 0),
+          s"$d#embeddings#odd"); run()
       } finally {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

@@ -252,7 +252,99 @@ object ServingGateQueries {
                     round(dd, 4) AS distance_deg
              FROM cp ORDER BY 1, 2, 3, 4, 5, 6, 7, 8"""))
 
+  /** The dense-cell PRE-AGGREGATE serve (`GoldJob.goldDenseSummary`) —
+    * the production answer for cells the density cap culls, driver-oracled.
+    * Same fixture and cap (500) as `gold_alerts_capped`, so at sf0.01 the
+    * 5 dense cells take the side-aggregate path ("all stations counted,
+    * best station's weather classified under an 'h' fire — or LOW when no
+    * h-confidence fire probes the cell") while the sparse cells aggregate
+    * their EXACT alerts; the oracle restates both regimes relationally.
+    * A dense summary that secretly performs the pairwise join (distance
+    * filter leaking into n_alerting_stations), a wrong has-h gate, a
+    * best-rank drift, or a cell in both regimes all break the hash.
+    */
+  private val goldAlertsDense = NamedQuery(
+    "gold_alerts_dense",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val station = col("user_id") % 32
+      val weather = ev.select(
+        station.as("location_id"),
+        col("event_id").as("timestamp"),
+        (station * 37.0 % 170.0 - 85.0).as("lat"),
+        (station * 73.0 % 350.0 - 175.0).as("lon"),
+        (col("value") % 60.0).as("wind_speed"),
+        (col("value") % 100.0).as("humidity"),
+        (col("value") % 45.0 + 273.15).as("temperature"))
+      val fires = ev.filter(col("event_type") === "error").select(
+        unix_millis(col("ts")).as("timestamp"),
+        (col("value") % 170.0 - 85.0).as("lat"),
+        ((col("value") * 2.0) % 350.0 - 175.0).as("lon"),
+        when(col("event_id") % 4 < 3, "h").otherwise("n").as("confidence"))
+      GoldJob.goldDenseSummary(fires, weather, maxPairsPerCell = 500L)
+        .orderBy(col("cell"))
+    },
+    Some(s"""$goldSql,
+             lwc AS (SELECT *,
+                       concat(CAST(floor(station_lat/20.0) AS BIGINT), ':',
+                              CAST(floor(station_lon/20.0) AS BIGINT)) AS cell
+                     FROM lw),
+             fp AS (SELECT f.*,
+                      concat(CAST(floor(f.fire_lat/20.0) AS BIGINT) + dy.r, ':',
+                             CAST(floor(f.fire_lon/20.0) AS BIGINT) + dx.r) AS cell
+                    FROM fires f, range(-1,2) dy(r), range(-1,2) dx(r)),
+             nfc AS (SELECT cell, count(*) AS n_fire_probes,
+                            max(CASE WHEN confidence = 'h' THEN 1 ELSE 0 END) AS has_h
+                     FROM fp GROUP BY 1),
+             nsc AS (SELECT cell, count(*) AS n_stations,
+                            min(CASE WHEN wind_speed >= 30.0
+                                      AND temperature >= 303.15
+                                      AND humidity <= 30.0 THEN 0
+                                     WHEN wind_speed >= 30.0 THEN 1
+                                     WHEN wind_speed >= 20.0 THEN 2
+                                     ELSE 3 END) AS best_h_rank
+                     FROM lwc GROUP BY 1),
+             cs AS (SELECT * FROM nfc JOIN nsc USING (cell)),
+             dns AS (SELECT * FROM cs
+                     WHERE n_fire_probes * n_stations > 500),
+             dsum AS (SELECT cell, 1 AS is_dense, n_fire_probes, n_stations,
+                             n_stations AS n_alerting_stations,
+                             CASE (CASE WHEN has_h = 1 THEN best_h_rank
+                                        ELSE 4 END)
+                               WHEN 0 THEN 'EXTREME' WHEN 1 THEN 'VERY_HIGH'
+                               WHEN 2 THEN 'HIGH' WHEN 3 THEN 'MODERATE'
+                               ELSE 'LOW' END AS max_risk
+                      FROM dns),
+             sa AS (SELECT p.cell, l.weather_station,
+                           CASE WHEN p.confidence = 'h' AND l.wind_speed >= 30.0
+                                     AND l.temperature >= 303.15
+                                     AND l.humidity <= 30.0 THEN 0
+                                WHEN p.confidence = 'h'
+                                     AND l.wind_speed >= 30.0 THEN 1
+                                WHEN p.confidence = 'h'
+                                     AND l.wind_speed >= 20.0 THEN 2
+                                WHEN p.confidence = 'h' THEN 3
+                                ELSE 4 END AS rnk
+                    FROM fp p JOIN lwc l ON p.cell = l.cell
+                    WHERE sqrt(pow(p.fire_lat - l.station_lat, 2)
+                             + pow(p.fire_lon - l.station_lon, 2)) < 20.0
+                      AND p.cell NOT IN (SELECT cell FROM dns)),
+             ssum AS (SELECT s.cell, 0 AS is_dense, c.n_fire_probes,
+                             c.n_stations, s.n_alerting_stations,
+                             CASE s.best_rank
+                               WHEN 0 THEN 'EXTREME' WHEN 1 THEN 'VERY_HIGH'
+                               WHEN 2 THEN 'HIGH' WHEN 3 THEN 'MODERATE'
+                               ELSE 'LOW' END AS max_risk
+                      FROM (SELECT cell,
+                                   count(DISTINCT weather_station)
+                                     AS n_alerting_stations,
+                                   min(rnk) AS best_rank
+                            FROM sa GROUP BY 1) s
+                      JOIN cs c USING (cell))
+             SELECT * FROM (SELECT * FROM dsum UNION ALL SELECT * FROM ssum)
+             ORDER BY cell"""))
+
   val all: Seq[NamedQuery] = Seq(
     servingUniqueFires, servingKpis, servingRiskDistribution, servingTopWind,
-    goldAlertsCapped)
+    goldAlertsCapped, goldAlertsDense)
 }

@@ -1241,11 +1241,73 @@ object StreamQueries {
               SELECT 1 FROM blocked b WHERE b.user_id = a.user_id)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING approximate distinct count — the KMV sketch maintained as
+    * streaming aggregation state: `Sketches.kmvDistinct`'s one-pass
+    * `kmv_kmin` aggregate runs unchanged over a two-batch replay in
+    * complete mode, so each group's state is its ≤ 64-double bounded
+    * buffer (NEVER the distinct key set — the property that makes a
+    * distinct-users-per-type rollup streamable at 100 TB), and partial
+    * sketches from batch 1 merge with batch 2's via the aggregate's own
+    * merge law (union, re-take k smallest — the law SketchesSpec pins).
+    * The final snapshot must hash-equal the BATCH sketch's DuckDB oracle
+    * over the whole corpus: a sketch that forgot batch-1 minima across
+    * the trigger boundary, double-merged, or kept non-distinct hashes
+    * all break the hash.
+    */
+  private val approxDistinctStream = NamedQuery(
+    "events_approx_distinct_stream",
+    (s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      def half(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_type"), col("user_id"))
+      val feed = FileReplay(s, half(0).schema)
+      val sink = "graft_kmv_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Sketches.kmvDistinct(feed.stream, "event_type", "user_id",
+          k = 64)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        feed.stageCached(half(0), s"$d#events#tu#even")
+        q.processAllAvailable()
+        feed.stageCached(half(1), s"$d#events#tu#odd")
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink).orderBy(col("event_type"))
+    },
+    // the BATCH sketch oracle over the full corpus, verbatim KMV
+    // construction (md5-polynomial hash, k smallest distinct, (k−1)/u_k)
+    Some("""WITH h AS (
+              SELECT DISTINCT event_type,
+                     list_reduce(list_transform(
+                         string_split(md5(CAST(user_id AS VARCHAR)), ''),
+                         c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007)
+                       / 1000000007.0 AS u
+              FROM events),
+            r AS (SELECT event_type, u, row_number() OVER
+                    (PARTITION BY event_type ORDER BY u) AS rn FROM h),
+            s AS (SELECT event_type, count(*) AS sketch_size,
+                         max(u) AS uk
+                  FROM r WHERE rn <= 64 GROUP BY 1)
+            SELECT event_type, sketch_size,
+                   CASE WHEN sketch_size < 64
+                        THEN CAST(sketch_size AS DOUBLE)
+                        ELSE round(63.0 / uk, 4) END AS est_distinct
+            FROM s ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
         slidingWindowStream, completeModeStream, updateModeStream,
         lateDropStream, dedupStream,
         mergeStream, incrementalGoldStream, streamStreamJoin,
         streamStreamOuter, streamStreamFullOuter, enrichStream,
-        streamStreamSemi, backfillStream, blocklistStream)
+        streamStreamSemi, backfillStream, blocklistStream,
+        approxDistinctStream)
 }

@@ -59,12 +59,20 @@ object ValueStream {
   def open(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = {
     val loaded = spark.readStream.format(cfg.format).options(cfg.options).load()
     cfg match {
-      case _: KafkaSourceConfig =>
-        // Kafka rows carry binary key/value + topic/partition/offset;
-        // the contract projects the payload (fire_risk_processor.py:56)
-        loaded.selectExpr("CAST(value AS STRING) AS value")
+      case _: KafkaSourceConfig => fromKafkaRows(loaded)
       case _: FileSourceConfig =>
         loaded.select(col("value").cast("string").as("value"))
     }
   }
+
+  /** The Kafka ROW contract, factored so ANY source producing the Kafka
+    * wire schema (binary key/value + topic/partition/offset/timestamp)
+    * feeds the identical parse path — the real connector, an embedded
+    * test harness, or a rate source mapped to the wire shape
+    * (StreamingSpec's Kafka-shaped contract case). Kafka rows carry
+    * binary key/value; the contract projects the payload
+    * (fire_risk_processor.py:56).
+    */
+  def fromKafkaRows(kafkaRows: DataFrame): DataFrame =
+    kafkaRows.selectExpr("CAST(value AS STRING) AS value")
 }
