@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
 object ProfileSSJoin {
   def main(args: Array[String]): Unit = {
     val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val joinParts = if (args.length > 1) args(1) else "4"
+    graft.streaming.Scratch.install()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.OracleSidecar.enabled = false
@@ -41,7 +45,7 @@ object ProfileSSJoin {
       val feedB = FileReplay(s, buys.schema)
       val sink = "graft_prof_ssj_" + rep
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", joinParts)
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
         .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
