@@ -980,6 +980,92 @@ object PipelineQueries {
                    node // 2 AS key, r AS rank_fp
             FROM i5 ORDER BY rank_fp DESC, node LIMIT 20"""))
 
+  /** Log-linear (HdrHistogram/DDSketch-style) approximate quantiles
+    * through the driver gate — the fourth portable sketch (after
+    * KMV/CMS/HLL) and the first APPROXIMATE QUANTILE under the exact hash
+    * compare, possible only because the bucket key is pure integer
+    * arithmetic (msb from binary-string length + prefix shift), never a
+    * libm log whose last ulp could flip a boundary bucket on one engine.
+    * Per (returnflag, q ∈ {0.5, 0.9, 0.99}): the sketch estimate (bucket
+    * midpoint at rank ceil(q·n), ≤ ~3% relative error at s=5) beside the
+    * exact percentile_disc cents — the estimator's error visible in the
+    * gated result, like the KMV gate. The ceil runs on the same IEEE
+    * double q·n in both engines (q forced DOUBLE in the oracle), the
+    * established percentile_disc discipline. A wrong bucket boundary, a
+    * wrong midpoint reconstruction, or a cumulative-walk off-by-one all
+    * break the hash.
+    */
+  private val approxQuantilesHdr = NamedQuery(
+    "approx_quantiles_hdr",
+    (s, d) => {
+      import graft.operators.Quantiles
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val est = Quantiles.hdrDistinctQuantiles(li, "l_returnflag", "cents",
+        qs = Seq(0.5, 0.9, 0.99))
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      val ranked = li.withColumn("__rn", row_number().over(wq))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("l_returnflag"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"), col("__n"))
+        .withColumn("__r", ceil(col("q") * col("__n")))
+        .join(ranked, Seq("l_returnflag"))
+        .filter(col("__rn") === col("__r"))
+        .select(col("l_returnflag"), col("q"), col("cents").as("exact_cents"))
+      est.join(exact, Seq("l_returnflag", "q"))
+        .select(col("l_returnflag"), col("q"), col("est_cents"),
+          col("exact_cents"))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
+    Some("""WITH li AS (SELECT l_returnflag,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 AS cents
+                        FROM lineitem),
+            b AS (SELECT l_returnflag,
+                         CAST(length(bin(cents)) - 1 AS BIGINT) * 64
+                         + (cents >> CAST(GREATEST(0,
+                              length(bin(cents)) - 1 - 5) AS INTEGER))
+                           AS bucket
+                  FROM li WHERE cents >= 1),
+            sk AS (SELECT l_returnflag, bucket, count(*) AS n
+                   FROM b GROUP BY 1, 2),
+            cum AS (SELECT l_returnflag, bucket, n,
+                           sum(n) OVER (PARTITION BY l_returnflag
+                             ORDER BY bucket) AS c,
+                           sum(n) OVER (PARTITION BY l_returnflag) AS total
+                    FROM sk),
+            qq AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+            hit AS (SELECT l_returnflag, q, bucket,
+                           row_number() OVER (PARTITION BY l_returnflag, q
+                             ORDER BY bucket) AS rn
+                    FROM cum, qq
+                    WHERE c >= ceil(q * CAST(total AS DOUBLE))),
+            est AS (SELECT l_returnflag, q,
+                           ((((bucket % 64)
+                              << CAST(GREATEST(0, (bucket >> 6) - 5)
+                                      AS INTEGER))
+                             + (((bucket % 64) + 1)
+                                << CAST(GREATEST(0, (bucket >> 6) - 5)
+                                        AS INTEGER)) - 1) >> 1)
+                             AS est_cents
+                    FROM hit WHERE rn = 1),
+            rk AS (SELECT l_returnflag, cents,
+                          row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents) AS rn,
+                          count(*) OVER (PARTITION BY l_returnflag) AS n
+                   FROM li),
+            ex AS (SELECT r.l_returnflag, qq.q, r.cents AS exact_cents
+                   FROM rk r, qq
+                   WHERE r.rn = CAST(ceil(qq.q * CAST(r.n AS DOUBLE))
+                                     AS BIGINT))
+            SELECT e.l_returnflag, e.q,
+                   CAST(e.est_cents AS BIGINT) AS est_cents,
+                   ex.exact_cents
+            FROM est e JOIN ex USING (l_returnflag, q)
+            ORDER BY 1, 2"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
@@ -987,5 +1073,5 @@ object PipelineQueries {
         decontaminate, decontaminateBloom, mixBudget, repetition,
         chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
         heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll,
-        pmiBigrams)
+        pmiBigrams, approxQuantilesHdr)
 }

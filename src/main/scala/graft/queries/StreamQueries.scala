@@ -1302,6 +1302,159 @@ object StreamQueries {
                         ELSE round(63.0 / uk, 4) END AS est_distinct
             FROM s ORDER BY 1"""))
 
+  /** STREAMING Count-Min heavy hitters — the CMS grid as complete-mode
+    * streaming state, the frequency twin of `events_approx_distinct_stream`:
+    * `Sketches.cmsSketch` runs unchanged over a two-batch replay (state =
+    * one counter per touched (row, bucket) cell, ≤ d·w = 2048 entries
+    * regardless of corpus — the bounded-state property), counts ADD
+    * across micro-batches (cell-wise sum is both the streaming state
+    * merge and `cmsMerge`'s law), and the final grid probes the exact
+    * top-10 users batch-side. The whole chain — grid, probes, min-of-d
+    * estimates, overcounts — must hash-equal the batch CMS oracle; a
+    * cell that missed batch 1, double-counted a trigger, or drifted a
+    * hash breaks it. est_n ≥ n_exact stays pinned by the one-sided
+    * error law.
+    */
+  private val heavyHittersStream = NamedQuery(
+    "events_heavy_hitters_stream",
+    (s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      def half(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+        .select(col("user_id"))
+      val feed = FileReplay(s, half(0).schema)
+      val sink = "graft_cms_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Sketches.cmsSketch(feed.stream, "user_id", d = 4, w = 512)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        feed.stageCached(half(0), s"$d#events#u#even")
+        q.processAllAvailable()
+        feed.stageCached(half(1), s"$d#events#u#odd")
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      val grid = s.table(sink)
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+        .limit(10)
+      Sketches.cmsEstimate(grid, top, "user_id", d = 4, w = 512)
+        .join(top, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("est_n"),
+          (col("est_n") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    },
+    // the BATCH CMS oracle over the full corpus, verbatim grid rebuild
+    Some("""WITH ek AS (SELECT user_id, count(*) AS n_exact
+                        FROM events GROUP BY 1),
+            top AS (SELECT * FROM ek
+                    ORDER BY n_exact DESC, user_id LIMIT 10),
+            hs AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            sk AS (SELECT i,
+                          list_reduce(list_transform(
+                              string_split(md5(CAST(i AS VARCHAR) || ':' ||
+                                               CAST(user_id AS VARCHAR)), ''),
+                              c -> CAST(ord(c) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            AS bucket,
+                          count(*) AS n
+                   FROM events CROSS JOIN hs GROUP BY 1, 2),
+            pr AS (SELECT t.user_id, hs.i,
+                          list_reduce(list_transform(
+                              string_split(md5(CAST(hs.i AS VARCHAR) || ':' ||
+                                               CAST(t.user_id AS VARCHAR)), ''),
+                              c -> CAST(ord(c) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            AS bucket
+                   FROM top t CROSS JOIN hs),
+            est AS (SELECT pr.user_id,
+                           min(CAST(coalesce(sk.n, 0) AS BIGINT)) AS est_n
+                    FROM pr LEFT JOIN sk
+                      ON sk.i = pr.i AND sk.bucket = pr.bucket
+                    GROUP BY 1)
+            SELECT t.user_id, t.n_exact, est.est_n,
+                   est.est_n - t.n_exact AS overcount
+            FROM top t JOIN est USING (user_id)
+            ORDER BY t.n_exact DESC, t.user_id"""))
+
+  /** STREAMING approximate quantiles — the log-linear histogram
+    * (`operators/Quantiles.scala`) as complete-mode streaming state,
+    * completing the streamable-sketch trio (KMV distinct, CMS frequency,
+    * HDR quantiles): per-group state is bucket counts (≤ a few dozen
+    * rows), counts add across micro-batches (= `hdrMerge`'s law), and
+    * the final grid answers q ∈ {0.5, 0.9, 0.99} batch-side, hash-equal
+    * to the batch sketch built from the whole corpus in one pass. Output
+    * stays exact BIGINT cents — zero float surface through the gate.
+    */
+  private val quantilesStream = NamedQuery(
+    "events_quantiles_stream",
+    (s, d) => {
+      import graft.operators.Quantiles
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def half(parity: Int) = ev.filter(col("cents") % 2 === parity)
+      val feed = FileReplay(s, ev.schema)
+      val sink = "graft_hdr_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Quantiles.hdrSketch(feed.stream, "event_type", "cents")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        feed.stageCached(half(0), s"$d#events#tc#ceven")
+        q.processAllAvailable()
+        feed.stageCached(half(1), s"$d#events#tc#codd")
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      Quantiles.hdrQuantiles(s.table(sink), "event_type",
+          qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    },
+    // the BATCH sketch oracle over the full corpus — identical bucket
+    // construction and cumulative walk (s = 5, all-integer)
+    Some("""WITH li AS (SELECT event_type,
+                               CAST(round(value * 100) AS BIGINT) AS cents
+                        FROM events),
+            b AS (SELECT event_type,
+                         CAST(length(bin(cents)) - 1 AS BIGINT) * 64
+                         + (cents >> CAST(GREATEST(0,
+                              length(bin(cents)) - 1 - 5) AS INTEGER))
+                           AS bucket
+                  FROM li WHERE cents >= 1),
+            sk AS (SELECT event_type, bucket, count(*) AS n
+                   FROM b GROUP BY 1, 2),
+            cum AS (SELECT event_type, bucket, n,
+                           sum(n) OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS c,
+                           sum(n) OVER (PARTITION BY event_type) AS total
+                    FROM sk),
+            qq AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+            hit AS (SELECT event_type, q, bucket,
+                           row_number() OVER (PARTITION BY event_type, q
+                             ORDER BY bucket) AS rn
+                    FROM cum, qq
+                    WHERE c >= ceil(q * CAST(total AS DOUBLE)))
+            SELECT event_type, q,
+                   CAST(((((bucket % 64)
+                           << CAST(GREATEST(0, (bucket >> 6) - 5)
+                                   AS INTEGER))
+                          + (((bucket % 64) + 1)
+                             << CAST(GREATEST(0, (bucket >> 6) - 5)
+                                     AS INTEGER)) - 1) >> 1) AS BIGINT)
+                     AS est_cents
+            FROM hit WHERE rn = 1
+            ORDER BY 1, 2"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
         slidingWindowStream, completeModeStream, updateModeStream,
@@ -1309,5 +1462,5 @@ object StreamQueries {
         mergeStream, incrementalGoldStream, streamStreamJoin,
         streamStreamOuter, streamStreamFullOuter, enrichStream,
         streamStreamSemi, backfillStream, blocklistStream,
-        approxDistinctStream)
+        approxDistinctStream, heavyHittersStream, quantilesStream)
 }
