@@ -58,4 +58,54 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Exact triangle count by DEGREE-ORIENTED wedge closing — the
+    * classical distributed-triangle algorithm (Cohen 2009; Suri &
+    * Vassilvitskii's MapReduce formulation): orient every undirected
+    * edge from its (degree, id)-smaller endpoint to the larger, generate
+    * wedges only from each node's OUT-edges, and close them against the
+    * edge set. Each triangle then has exactly ONE apex (its
+    * (degree, id)-minimum vertex), so it is counted exactly once, and —
+    * the scale property — out-degrees under this orientation are
+    * O(√|E|) even for power-law hubs: a celebrity node of degree 10⁶
+    * generates NO wedges (all its edges point in), so wedge volume is
+    * Σ outdeg² ≤ O(|E|^1.5) instead of the naive Σ deg² blow-up. Plan:
+    * two narrow degree joins, one self-join on apex, one closing equi
+    * join — no BNLJ, every shuffle on a key.
+    *
+    * Input: undirected edges as (src, dst) in any orientation,
+    * duplicates and self-loops tolerated (normalized away). Output: one
+    * row (n_nodes, n_edges, n_wedges, n_triangles), all exact BIGINTs.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
+    val triangles = wedges.join(e,
+        e("a") === least(col("v"), col("w")) &&
+          e("b") === greatest(col("v"), col("w")))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    // 1-row scalar combines (the accepted scalar-attach idiom)
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(triangles))
+  }
 }

@@ -193,18 +193,28 @@ object Sketches {
   private val HllM = 256
 
   /** Register array per group: (group, __bucket, __m), absent buckets
-    * meaning rho 0. */
-  def hllRegisters(df: DataFrame, group: String, key: String): DataFrame =
+    * meaning "never hit". ONE map-side-combining aggregation: the
+    * `hll_regs` TypedImperativeAggregate (`plans.SketchAggregates`)
+    * carries the 256-int register array as its buffer (register-wise MAX
+    * merge — `hllMerge`'s law), so each partition reduces to one array
+    * per group before the single exchange; the array then explodes back
+    * to the row shape the estimator and oracle consume (stored rho+1,
+    * 0 = absent — presence feeds linear counting's zeros term). The
+    * earlier declarative plan produced identical rows through two
+    * exchanges ((group, bucket) shuffle, then the estimate's).
+    */
+  def hllRegisters(df: DataFrame, group: String, key: String): DataFrame = {
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
     df.select(col(group),
         graft.functions.TextFunctions.rollingHash(
           md5(col(key).cast("string"))).as("__h"))
-      .select(col(group), (col("__h") % HllM).as("__bucket"),
-        expr(s"__h DIV $HllM").as("__rest"))
-      .withColumn("__rho",
-        when(col("__rest") === 0L, lit(23))
-          .otherwise(lit(23) - length(bin(col("__rest")))))
-      .groupBy(col(group), col("__bucket"))
-      .agg(max(col("__rho")).as("__m"))
+      .groupBy(col(group))
+      .agg(call_function("hll_regs", col("__h")).as("__regs"))
+      .select(col(group), posexplode(col("__regs")).as(Seq("__bucket", "__s")))
+      .filter(col("__s") > 0)
+      .select(col(group), col("__bucket").cast("long").as("__bucket"),
+        (col("__s") - 1).cast("int").as("__m"))
+  }
 
   /** Estimate per group from (merged) registers; `est_distinct` rounded
     * to 4 decimals (cosmetic — the sum underneath is exact, see above).

@@ -113,3 +113,85 @@ case class KMinDistinct(
   override protected def withNewChildInternal(newChild: Expression): KMinDistinct =
     copy(child = newChild)
 }
+
+/** One-exchange register build for the portable HyperLogLog sketch
+  * (`Sketches.hllRegisters`): the buffer is the m=256 register array
+  * itself (one int per register, storing rho+1 so 0 means "bucket never
+  * hit" — presence matters: a register legitimately holding rho 0 is
+  * distinct from an absent one for the linear-counting zeros term).
+  * Input is the md5-polynomial hash long; bucket/rho split happens here
+  * in integer JVM arithmetic, identical to the declarative split
+  * (`h % 256`, `rho = 23 − bitlen(h div 256)`, suffix 0 → 23). Merge is
+  * register-wise MAX — exactly `hllMerge`'s law — so partial arrays
+  * combine in any order, map-side-combined before the ONE exchange
+  * (the declarative plan shuffled (group, bucket) pairs then aggregated
+  * again for the estimate). `eval` returns the 256-int array; callers
+  * explode it back to the (bucket, m) row shape the estimator and the
+  * DuckDB oracle both consume, so hashes are unchanged.
+  */
+case class HllRegs(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]]
+  with UnaryLike[Expression] {
+
+  private val M = 256
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](M)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h % M).toInt
+      val rest = h / M
+      val rho =
+        if (rest == 0L) 23
+        else 23 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      val stored = rho + 1
+      if (stored > buf(bucket)) buf(bucket) = stored
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < M) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * M)
+    var i = 0
+    while (i < M) { bb.putInt(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Int](M)
+    var i = 0
+    while (i < M) { buf(i) = bb.getInt; i += 1 }
+    buf
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_regs expects a long hash column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_regs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegs =
+    copy(child = newChild)
+}

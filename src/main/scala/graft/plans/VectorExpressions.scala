@@ -290,7 +290,10 @@ object GraftFunctions {
     (new FunctionIdentifier("kmv_kmin"),
       new ExpressionInfo(classOf[KMinDistinct].getName, "kmv_kmin"),
       (args: Seq[Expression]) =>
-        KMinDistinct(args(0), intLit(args(1), "kmv_kmin"))))
+        KMinDistinct(args(0), intLit(args(1), "kmv_kmin"))),
+    (new FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[HllRegs].getName, "hll_regs"),
+      (args: Seq[Expression]) => HllRegs(args(0))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

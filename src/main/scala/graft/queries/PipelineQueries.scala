@@ -1066,6 +1066,57 @@ object PipelineQueries {
             FROM est e JOIN ex USING (l_returnflag, q)
             ORDER BY 1, 2"""))
 
+  /** Exact triangle count (`Graph.triangleCount`) over the part
+    * co-purchase graph — parts are adjacent when some order contains
+    * both. The degree-oriented wedge-closing algorithm bounds wedge
+    * volume at O(|E|^1.5) regardless of hub degree (each triangle
+    * counted once at its (degree, id)-minimum apex); the oracle restates
+    * the IDENTICAL orientation relationally, so a wedge double-count, a
+    * wrong apex rule, or a closing-join leak all break the hash. The
+    * companion counts (nodes, edges, wedges) pin the intermediate
+    * volumes, not just the final scalar.
+    */
+  private val graphTriangles = NamedQuery(
+    "graph_triangles",
+    (s, d) => {
+      import graft.operators.Graph
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = pp.as("x").join(pp.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.triangleCount(edges)
+    },
+    Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM pp x JOIN pp y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey),
+            deg AS (SELECT n, count(*) AS d
+                    FROM (SELECT a AS n FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY 1),
+            o AS (SELECT CASE WHEN da.d < db.d
+                                OR (da.d = db.d AND e.a < e.b)
+                              THEN e.a ELSE e.b END AS src,
+                         CASE WHEN da.d < db.d
+                                OR (da.d = db.d AND e.a < e.b)
+                              THEN e.b ELSE e.a END AS dst
+                  FROM e JOIN deg da ON da.n = e.a
+                         JOIN deg db ON db.n = e.b),
+            w AS (SELECT o1.dst AS v, o2.dst AS w2
+                  FROM o o1 JOIN o o2
+                    ON o1.src = o2.src AND o1.dst < o2.dst),
+            t AS (SELECT count(*) AS n_triangles
+                  FROM w JOIN e ON e.a = LEAST(w.v, w.w2)
+                               AND e.b = GREATEST(w.v, w.w2))
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM w) AS n_wedges,
+                   t.n_triangles
+            FROM t"""))
+
   val all: Seq[NamedQuery] =
     Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
@@ -1073,5 +1124,5 @@ object PipelineQueries {
         decontaminate, decontaminateBloom, mixBudget, repetition,
         chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
         heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll,
-        pmiBigrams, approxQuantilesHdr)
+        pmiBigrams, approxQuantilesHdr, graphTriangles)
 }

@@ -41,4 +41,29 @@ class GraphSpec extends SparkSpec {
     assert(drift >= 0, "floor rounding can only lose mass")
     assert(drift < 5L * (12 + 7) * 100, s"drift $drift implausibly large")
   }
+
+  test("triangleCount: K4 has 4 triangles; duplicates/self-loops/orientation normalized") {
+    // K4 with a reversed duplicate edge and a self-loop thrown in
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val r = Graph.triangleCount(k4).head()
+    assert(r.getLong(0) === 4L, "n_nodes") // 4 nodes
+    assert(r.getLong(1) === 6L, "n_edges") // C(4,2) after normalize
+    assert(r.getLong(3) === 4L, "n_triangles") // C(4,3), each once
+  }
+
+  test("triangleCount: a star has wedges at no cost and zero triangles") {
+    // degree orientation points every edge INTO the hub, so the hub
+    // apexes no wedge — the power-law-hub property
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graph.triangleCount(star).head()
+    assert(r.getLong(2) === 0L, "n_wedges") // no out-degree-2 node
+    assert(r.getLong(3) === 0L, "n_triangles")
+  }
+
+  test("triangleCount: two triangles sharing an edge count as two") {
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(df).head().getLong(3) === 2L)
+  }
 }

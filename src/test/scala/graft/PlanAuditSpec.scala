@@ -38,6 +38,10 @@ class PlanAuditSpec extends SparkSpec {
       "two-phase scan: the offsets window runs over ONE ROW PER PARTITION, not the data"),
     "profile_lineitem" -> (Set("SinglePartitionExchange"),
       "per-column global aggregates: final combine of partials, one row each"),
+    "graph_triangles" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "the four output scalars (nodes/edges/wedges/triangles) are global " +
+        "one-row aggregates combined by 1-row broadcast crossJoins (q25's " +
+        "accepted shape); the wedge and closing joins themselves are hash equi"),
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
       "1-row broadcast seed-array attach; the corpus join itself is hash equi"),
     "sim_ann_ivf_exhaustive" -> (Set("BroadcastNestedLoopJoin"),
