@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   * both sides hash-partitioned on the same key, so AQE reuses the
   * exchange) and one map-side-combinable sum by dst. Five iterations =
   * five shuffles of the EDGE list, the canonical Pregel-style cost; the
-  * rank vector is |nodes|, never materialized on the driver. At 100 TB
-  * you would persist each iteration's ranks (or use localCheckpoint) to
-  * cut lineage — at inventory scale the 5-deep plan is left pure so the
-  * audit sees the whole shape.
+  * rank vector is |nodes|, never materialized on the driver. The
+  * (edges ⋈ outdeg) contribution table and each iteration's rank vector
+  * are lazily localCheckpointed — without the cut, iteration k's plan
+  * CONTAINS iterations 1..k−1, so the edge list is re-scanned
+  * O(iterations²/2) times (15 scans for 5 iterations; measured 2.5×
+  * sf1 slope in r8 came mostly from this); with it, each iteration
+  * scans the materialized contribution table and the previous rank
+  * vector once — the exact persist-per-iteration discipline a 100 TB
+  * Pregel job runs, expressed with the engine's own checkpoint.
   */
 object Graph {
 
@@ -44,17 +49,21 @@ object Graph {
     val init = Scale / nNodes
     val base = (15L * init) / 100L
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // materialize (src, dst, outdeg) once; every iteration re-reads this,
+    // not the raw edge scan + degree shuffle (lazy checkpoint: first use
+    // pays the build, Bench's cache-drop reclaims it between runs)
+    val contrib = edges.join(deg, Seq("src")).localCheckpoint(false)
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r", lit(init))
     (1 to iterations).foreach { _ =>
-      ranks = edges
-        .join(deg, Seq("src"))
+      ranks = contrib
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("cs"))
         .select(col("node"),
           (lit(base) + expr("(85 * cs) DIV 100")).as("r"))
+        .localCheckpoint(false) // cut lineage: next plan starts HERE
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
