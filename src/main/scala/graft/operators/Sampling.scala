@@ -66,7 +66,8 @@ object Sampling {
     */
   def weightedTopK(df: DataFrame, key: Column, weight: Column,
       k: Int): DataFrame = {
-    val u = graft.functions.TextFunctions.rollingHash(md5(key.cast("string")))
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
+    val u = graft.plans.GraftColumns.md5PolyHash(key)
       .cast("double") / lit(1000000007.0)
     val pri = pow(u, lit(1.0) / weight.cast("double"))
     // order on the 8-decimal-rounded priority (stable against last-ulp pow

@@ -44,10 +44,14 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** md5-polynomial uniform in [0, 1) — the shared portable-hash
-    * primitive (`Sampling.weightedTopK` uses the same construction).
+    * primitive (`Sampling.weightedTopK` uses the same construction),
+    * computed by the compiled `md5_poly_hash` kernel (bit-identical to
+    * the HOF fold it replaces — `Md5PolyHashSpec` pins the equality; the
+    * HOF path paid ~6.5 µs/row of interpreted lambda dispatch, the
+    * hidden floor under every sketch build).
     */
   private def uniform01(key: org.apache.spark.sql.Column) =
-    graft.functions.TextFunctions.rollingHash(md5(key.cast("string")))
+    graft.plans.GraftColumns.md5PolyHash(key)
       .cast("double") / lit(1000000007.0)
 
   /** The KMV sketch: per group, the k smallest distinct uniform hash
@@ -132,16 +136,19 @@ object Sketches {
   // broadcast-sized.
 
   /** Per-row bucket of `key` under hash row `i` — the md5-polynomial of
-    * "i:key" folded into [0, w). */
+    * "i:key" folded into [0, w), via the compiled `md5_poly_hash` kernel
+    * (d hashes per row made this the most HOF-bound build of the family).
+    */
   private def cmsBucket(i: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column, w: Int) =
-    graft.functions.TextFunctions.rollingHash(
-      md5(concat_ws(":", i.cast("string"), key.cast("string")))) % w
+    graft.plans.GraftColumns.md5PolyHash(
+      concat_ws(":", i.cast("string"), key.cast("string"))) % w
 
   /** The CMS grid of `key` occurrences in `df`: columns __i, __bucket,
     * __n — at most d·w rows, absent cells meaning zero. */
   def cmsSketch(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2; got d=$d w=$w")
+    graft.plans.GraftFunctions.ensure(df.sparkSession)
     df.select(col(key).cast("string").as("__k"))
       .select(col("__k"),
         explode(array((0 until d).map(i => lit(i)): _*)).as("__i"))
@@ -153,7 +160,8 @@ object Sketches {
   /** Frequency estimates for `keys(key)` from a grid: min over the d
     * probed counters, absent cells counting zero. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: String,
-      d: Int, w: Int): DataFrame =
+      d: Int, w: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensure(keys.sparkSession)
     keys.select(col(key))
       .withColumn("__i",
         explode(array((0 until d).map(i => lit(i)): _*)))
@@ -162,6 +170,7 @@ object Sketches {
       .na.fill(0L, Seq("__n"))
       .groupBy(col(key))
       .agg(min(col("__n")).as("est_n"))
+  }
 
   /** Grids over disjoint shards merge by cell-wise sum — the law the
     * spec pins (merge-of-sketches == sketch-of-union). */
@@ -206,8 +215,7 @@ object Sketches {
   def hllRegisters(df: DataFrame, group: String, key: String): DataFrame = {
     graft.plans.GraftFunctions.ensure(df.sparkSession)
     df.select(col(group),
-        graft.functions.TextFunctions.rollingHash(
-          md5(col(key).cast("string"))).as("__h"))
+        graft.plans.GraftColumns.md5PolyHash(col(key)).as("__h"))
       .groupBy(col(group))
       .agg(call_function("hll_regs", col("__h")).as("__regs"))
       .select(col(group), posexplode(col("__regs")).as(Seq("__bucket", "__s")))

@@ -56,6 +56,8 @@ object GraftColumns {
     call_function("bucket_sorted_bounds", v, lit(bounds))
   def bloomMightContainLong(bloomBytes: Column, v: Column): Column =
     call_function("bloom_might_contain_long", bloomBytes, v)
+  def md5PolyHash(s: Column): Column =
+    call_function("md5_poly_hash", s.cast("string"))
 }
 
 /** array<string> tokens → array<long> distinct hashes of the n-token
@@ -246,6 +248,47 @@ case class SimHashSig(child: Expression)
   }
 
   override def prettyName: String = "simhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The PORTABLE md5-polynomial hash as one compiled kernel — equivalent
+  * by construction to the HOF formulation
+  * `TextFunctions.rollingHash(md5(s))` (split the lowercase md5 hex into
+  * chars, fold `acc · 31 + ascii(c) mod 1e9+7`): md5 hex is already
+  * lowercase with no whitespace, so the HOF's normText pass is identity
+  * and the fold is a 32-step integer loop. The HOF path evaluates ~35
+  * interpreted lambda dispatches per ROW (measured ~6.5 µs/row — it was
+  * the hidden floor under every sketch build); this kernel is one
+  * DigestUtils.md5Hex (the same primitive Spark's `md5` builtin calls)
+  * plus a tight loop. Used by the KMV/CMS/HLL sketch builds and
+  * deterministic sampling; the oracle SQL is unchanged (it restates the
+  * same fold over DuckDB's md5 hex).
+  */
+case class Md5PolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_poly_hash expects a string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hex = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(input.asInstanceOf[UTF8String].getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < hex.length) {
+      acc = (acc * 31L + hex.charAt(i).toLong) % TextKernels.P
+      i += 1
+    }
+    acc
+  }
+
+  override def prettyName: String = "md5_poly_hash"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

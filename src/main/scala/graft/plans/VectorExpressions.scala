@@ -293,7 +293,10 @@ object GraftFunctions {
         KMinDistinct(args(0), intLit(args(1), "kmv_kmin"))),
     (new FunctionIdentifier("hll_regs"),
       new ExpressionInfo(classOf[HllRegs].getName, "hll_regs"),
-      (args: Seq[Expression]) => HllRegs(args(0))))
+      (args: Seq[Expression]) => HllRegs(args(0))),
+    (new FunctionIdentifier("md5_poly_hash"),
+      new ExpressionInfo(classOf[Md5PolyHash].getName, "md5_poly_hash"),
+      (args: Seq[Expression]) => Md5PolyHash(args(0))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =
