@@ -87,6 +87,7 @@ object Graph {
     * row (n_nodes, n_edges, n_wedges, n_triangles), all exact BIGINTs.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.ensure(edges.sparkSession)
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -102,17 +103,35 @@ object Graph {
     val oriented = withDeg.select(
       when(fwd, col("a")).otherwise(col("b")).as("src"),
       when(fwd, col("b")).otherwise(col("a")).as("dst"))
-    val wedges = oriented.as("o1")
-      .join(oriented.as("o2"),
-        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
-      .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
-    val triangles = wedges.join(e,
-        e("a") === least(col("v"), col("w")) &&
-          e("b") === greatest(col("v"), col("w")))
-      .agg(count(lit(1)).as("n_triangles"))
+    // WEDGES ARE NEVER MATERIALIZED AS ROWS. A first cut emitted the
+    // (v, w) wedge table and joined it against the edge set — correct,
+    // but wedge volume is Σ C(outdeg, 2) (41M rows at sf0.1, 411M at
+    // sf1; row overhead tripled the payload) and the row-per-wedge
+    // shuffle was the memory cliff. Instead: sorted out-adjacency ARRAYS
+    // (bounded at O(√|E|) elements each by the orientation), and per
+    // ORIENTED edge (u, v) the triangles through it are
+    // |N⁺(u) ∩ N⁺(v)| — each triangle counted exactly once, at its apex's
+    // out-edge to its middle vertex (the third vertex sits in both
+    // out-sets; the other two edges see it in neither). The intersect is
+    // the compiled `sorted_intersect_size` linear-merge kernel, and the
+    // shuffled bytes are the SAME adjacency payload the wedge table
+    // carried, packed ~30× fewer rows.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val nWedges = adj
+      .agg((sum(size(col("nbrs")).cast("long") *
+        (size(col("nbrs")).cast("long") - 1L)) / 2L).cast("long")
+        .as("n_wedges"))
+    val withU = oriented
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+    val triangles = withU
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")),
+        Seq("dst"))
+      .select(graft.plans.GraftColumns
+        .sortedIntersectSize(col("__nu"), col("__nv")).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
     // 1-row scalar combines (the accepted scalar-attach idiom)
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
       .crossJoin(broadcast(triangles))
