@@ -204,4 +204,41 @@ class PlanQualitySpec extends SparkSpec {
     // dedup is the overlap-start-bucket filter, never a distinct aggregate
     assert(!plan.toLowerCase.contains("distinct"), plan)
   }
+
+  test("KMV sketch plans as ONE exchange (the bounded-heap aggregate's contract)") {
+    // the r8 plan paid a distinct shuffle + a window; the kmv_kmin
+    // TypedImperativeAggregate's whole point is map-side reduction to
+    // <= k doubles per group before a single exchange — pin it so a
+    // refactor can't silently reintroduce the second shuffle
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf)
+    val sk = Sketches.kmvSketch(li, "l_returnflag", "l_partkey", k = 16)
+    sk.collect()
+    val plan = planString(sk)
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly 1 shuffle exchange:\n$plan")
+    assert(plan.contains("kmv_kmin"), plan)
+  }
+
+  test("HLL register build plans as ONE exchange (register-array aggregate)") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf)
+    val regs = Sketches.hllRegisters(li, "l_returnflag", "l_partkey")
+    regs.collect()
+    val plan = planString(regs)
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly 1 shuffle exchange:\n$plan")
+    assert(plan.contains("hll_regs"), plan)
+  }
+
+  test("sketch hashes go through the compiled md5_poly_hash kernel, not HOF lambdas") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf)
+    val plan = planString(Sketches.kmvDistinct(li, "l_returnflag",
+      "l_partkey", k = 16))
+    assert(plan.contains("md5_poly_hash"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
 }
