@@ -1455,6 +1455,81 @@ object StreamQueries {
             FROM hit WHERE rn = 1
             ORDER BY 1, 2"""))
 
+  /** STREAMING HyperLogLog — the fourth and last sketch as complete-mode
+    * streaming state (KMV distinct / CMS frequency / HDR quantiles /
+    * HLL registers): the `hll_regs` register-array aggregate runs over a
+    * two-batch replay (state = one 256-int array per group; register-wise
+    * MAX is both the streaming state merge and `hllMerge`'s law), the
+    * sink holds the final exploded register rows, and the batch-side
+    * estimator + exact countDistinct must hash-equal the batch HLL
+    * oracle over the whole corpus. A register that lost a batch-1
+    * maximum across the trigger boundary shifts Σ2^−rho and breaks the
+    * exact hash.
+    */
+  private val approxDistinctHllStream = NamedQuery(
+    "events_approx_distinct_hll_stream",
+    (s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      def half(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_type"), col("user_id"))
+      val feed = FileReplay(s, half(0).schema)
+      val sink = "graft_hll_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Sketches.hllRegisters(feed.stream, "event_type", "user_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        feed.stageCached(half(0), s"$d#events#tu#even")
+        q.processAllAvailable()
+        feed.stageCached(half(1), s"$d#events#tu#odd")
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        feed.close()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      val est = Sketches.hllEstimate(s.table(sink), "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("zeros"), col("est_distinct"),
+          col("n_exact"))
+        .orderBy(col("event_type"))
+    },
+    // the BATCH HLL oracle over the full corpus, verbatim register rebuild
+    Some("""WITH h AS (
+              SELECT event_type,
+                     list_reduce(list_transform(
+                         string_split(md5(CAST(user_id AS VARCHAR)), ''),
+                         c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS hh
+              FROM events),
+            b AS (SELECT event_type, hh % 256 AS bucket, hh // 256 AS rest
+                  FROM h),
+            r AS (SELECT event_type, bucket,
+                         max(CASE WHEN rest = 0 THEN 23
+                                  ELSE 23 - length(format('{:b}', rest)) END)
+                           AS m
+                  FROM b GROUP BY 1, 2),
+            s AS (SELECT event_type, count(*) AS present,
+                         sum(power(2.0, -m)) AS sp
+                  FROM r GROUP BY 1),
+            raw AS (SELECT event_type, 256 - present AS zeros,
+                           0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 /
+                             (sp + (256 - present)) AS est
+                    FROM s),
+            e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                  FROM events GROUP BY 1)
+            SELECT raw.event_type, CAST(raw.zeros AS BIGINT) AS zeros,
+                   round(CASE WHEN raw.est <= 2.5 * 256.0 AND raw.zeros > 0
+                              THEN 256.0 * ln(256.0 / raw.zeros)
+                              ELSE raw.est END, 4) AS est_distinct,
+                   e.n_exact
+            FROM raw JOIN e USING (event_type)
+            ORDER BY 1"""))
+
   val all: Seq[NamedQuery] =
     Seq(sessionizeStream, sessionWindowStream, windowStream,
         slidingWindowStream, completeModeStream, updateModeStream,
@@ -1462,5 +1537,6 @@ object StreamQueries {
         mergeStream, incrementalGoldStream, streamStreamJoin,
         streamStreamOuter, streamStreamFullOuter, enrichStream,
         streamStreamSemi, backfillStream, blocklistStream,
-        approxDistinctStream, heavyHittersStream, quantilesStream)
+        approxDistinctStream, heavyHittersStream, quantilesStream,
+        approxDistinctHllStream)
 }
