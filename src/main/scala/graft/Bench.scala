@@ -56,9 +56,12 @@ object Bench {
     // timings measure the query, not the cache history.
     def dropStaleCaches(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // the one sanctioned consumer: noop write, structurally non-prunable
+    // (count() let Catalyst drop whole computations — see BenchAction and
+    // BASELINE.md "Bench-pruning artifact")
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
-      try fn(spark, dir).count()
+      try BenchAction.consume(fn(spark, dir))
       catch { case _: Throwable => () }
       finally dropStaleCaches()
     // Warm-up pass 1 (sf0.001): JIT/codegen/regex-compile/classloading land
@@ -84,7 +87,7 @@ object Bench {
     val results = inventory.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val t = try { BenchAction.consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: $e"); None
         }

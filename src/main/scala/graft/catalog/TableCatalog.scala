@@ -329,9 +329,12 @@ final class TableCatalog(spark: SparkSession, root: String,
     org.apache.hadoop.fs.FileContext
       .getFileContext(ptr.toUri, spark.sessionState.newHadoopConf())
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retention vacuum — never touches the version just committed or the
-    // keepVersions-1 before it
+    // retention vacuum — never touches the version just committed, the
+    // keepVersions-1 before it, or a version a live RESTORE/CLONE has
+    // pinned mid-copy
+    val pinnedHere = pinnedVersions(layer, table)
     versions(layer, table).dropRight(keepVersions)
+      .filterNot(pinnedHere.contains)
       .foreach(v => fs.delete(versionDir(layer, table, v), true))
     // a previously-APPENDED table's flat files were superseded by the
     // first versioned commit (read() follows the pointer); give them one
@@ -344,7 +347,8 @@ final class TableCatalog(spark: SparkSession, root: String,
       fs.listStatus(tableDir).foreach { st =>
         val nm = st.getPath.getName
         if (nm != "_v" && !nm.startsWith("_CURRENT") && !nm.startsWith("_TAG_")
-            && !nm.startsWith("_staging") && !nm.startsWith("_LOCK"))
+            && !nm.startsWith("_staging") && !nm.startsWith("_LOCK")
+            && !nm.startsWith("_PIN_"))
           fs.delete(st.getPath, true)
       }
     }
@@ -488,7 +492,9 @@ final class TableCatalog(spark: SparkSession, root: String,
       withTableLock(layer, table) {
         if (currentVersion(layer, table).forall(_ < next))
           writePointer(layer, table, next)
+        val pinned = pinnedVersions(layer, table)
         versions(layer, table).dropRight(keepVersions)
+          .filterNot(pinned.contains)
           .foreach(v => fs.delete(versionDir(layer, table, v), true))
       }
     }
@@ -763,12 +769,79 @@ final class TableCatalog(spark: SparkSession, root: String,
     withTableLock(layer, table) {
       require(keepLast >= 1, "must retain at least the live version")
       val cur = currentVersion(layer, table)
+      val pinned = pinnedVersions(layer, table)
       val fs = hadoopFs(new Path(path(layer, table)))
       val dropped = versions(layer, table).dropRight(keepLast)
         .filterNot(cur.contains)
+        .filterNot(pinned.contains)
       dropped.foreach(v => fs.delete(versionDir(layer, table, v), true))
       dropped
     }
+
+  /** Version pins: a copier-side lease that keeps ONE retained snapshot
+    * safe from reclamation while a long-running copy (RESTORE / CLONE)
+    * reads it. Every reclamation path — the explicit `vacuum` verb, the
+    * per-commit retention sweep in `publishVersion`, and the OCC commit
+    * tail — skips pinned versions, so the copy proceeds WITHOUT holding
+    * the metadata `_LOCK` (a 100 TB snapshot copy under a lock whose
+    * contract is "contention is microseconds" would starve every
+    * concurrent committer into timeout; this is why the fix is a pin, not
+    * a wider lock). The pin is TAKEN under the lock — so it can never
+    * land on a version `vacuum` is mid-deleting — and carries its owner's
+    * PID: a crashed copier's pin is disregarded (and swept) once its
+    * process is gone, so a leaked pin can never make a version immortal.
+    * PID liveness is a same-host test, matching this offline catalog's
+    * single-host scope; a shared-object-store deployment would swap the
+    * liveness check for a TTL lease, nothing else changes.
+    *
+    * Returns None when `version` is no longer retained (already
+    * vacuumed) — the caller decides whether that is an error or a retry.
+    */
+  private def pinVersion(layer: String, table: String,
+      version: Int): Option[Path] =
+    withTableLock(layer, table) {
+      val vDir = versionDir(layer, table, version)
+      val fs = hadoopFs(vDir)
+      if (!fs.exists(vDir)) None
+      else {
+        val p = new Path(path(layer, table),
+          f"_PIN_$version%05d_${ProcessHandle.current().pid()}_" +
+            java.util.UUID.randomUUID().toString.replace("-", ""))
+        val o = fs.create(p, true)
+        try o.write('1') finally o.close()
+        Some(p)
+      }
+    }
+
+  private def unpinVersion(p: Path): Unit =
+    try hadoopFs(p).delete(p, false) catch { case _: Throwable => () }
+
+  /** Versions currently pinned by a LIVE process; a dead owner's pin is
+    * swept here as a side effect (best-effort).
+    */
+  private def pinnedVersions(layer: String, table: String): Set[Int] = {
+    val dir = new Path(path(layer, table))
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) Set.empty
+    else {
+      val re = "_PIN_([0-9]{5})_([0-9]+)_.*".r
+      fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+        p.getName match {
+          case re(v, pid) =>
+            val alive =
+              try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+                .orElse(false)
+              catch { case _: Throwable => true } // unknowable → honor pin
+            if (alive) Some(v.toInt)
+            else {
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              None
+            }
+          case _ => None
+        }
+      }.toSet
+    }
+  }
 
   /** Delta-style `RESTORE TABLE … TO VERSION`: re-commit the snapshot at
     * `version` as a NEW version, moving history forward — restore is an
@@ -786,16 +859,22 @@ final class TableCatalog(spark: SparkSession, root: String,
       s"$layer/$table is not snapshot-versioned; nothing to restore")
     val src = versionDir(layer, table, version)
     val fs = hadoopFs(src)
-    if (!fs.exists(src))
+    // pin the source snapshot for the duration of the copy: a concurrent
+    // vacuum (explicit verb or any commit's retention sweep) skips pinned
+    // versions, so the copy can no longer be yanked mid-read. The pin
+    // doubles as the existence check — None means already vacuumed.
+    val pin = pinVersion(layer, table, version).getOrElse(
       throw new VacuumedVersionException(
         s"$layer/$table version $version is not retained (vacuumed); " +
-          s"retained versions: ${versions(layer, table).mkString(",")}")
-    val next = math.max(prevCommitted.get,
-      versions(layer, table).lastOption.getOrElse(0)) + 1
-    copySnapshotStaged(fs, src, versionDir(layer, table, next))
-    publishVersion(layer, table, next, prevCommitted)
-    recordOp(layer, table, next, "RESTORE")
-    next
+          s"retained versions: ${versions(layer, table).mkString(",")}"))
+    try {
+      val next = math.max(prevCommitted.get,
+        versions(layer, table).lastOption.getOrElse(0)) + 1
+      copySnapshotStaged(fs, src, versionDir(layer, table, next))
+      publishVersion(layer, table, next, prevCommitted)
+      recordOp(layer, table, next, "RESTORE")
+      next
+    } finally unpinVersion(pin)
   }
 
   /** Snapshot copy that can never publish a partial version: files land
@@ -853,9 +932,30 @@ final class TableCatalog(spark: SparkSession, root: String,
     require(currentVersion(dstLayer, dstTable).isEmpty &&
         !hasFlatData(dstLayer, dstTable),
       s"$dstLayer/$dstTable already exists; clone refuses to clobber")
-    val src = new Path(livePath(srcLayer, srcTable))
+    // pin the source's live version for the copy. The live version is
+    // vacuum-proof only while it stays live: enough commits landing
+    // DURING a long clone copy age it past retention, so the pin — not
+    // liveness — is what protects the read. Pointer may advance between
+    // resolve and pin (version vacuumed in between) → re-resolve, bounded.
+    val (liveV, pin) = {
+      var out: Option[(Int, Path)] = None
+      var attempts = 0
+      while (out.isEmpty && attempts < 5) {
+        attempts += 1
+        val v = currentVersion(srcLayer, srcTable).getOrElse(
+          throw new CommitConflictException(
+            s"$srcLayer/$srcTable lost its version pointer during clone"))
+        out = pinVersion(srcLayer, srcTable, v).map(v -> _)
+      }
+      out.getOrElse(throw new CommitConflictException(
+        s"$srcLayer/$srcTable: live version kept moving during clone " +
+          s"pin ($attempts attempts)"))
+    }
+    val src = versionDir(srcLayer, srcTable, liveV)
     val fs = hadoopFs(src)
-    copySnapshotStaged(fs, src, versionDir(dstLayer, dstTable, 1))
+    try {
+      copySnapshotStaged(fs, src, versionDir(dstLayer, dstTable, 1))
+    } finally unpinVersion(pin)
     // constraint/generated-column metadata rides along (Delta deep-CLONE
     // copies table properties); version-op tags (_TAG_op_*) do not — the
     // clone's history starts at its own CLONE commit below

@@ -121,16 +121,21 @@ object GoldJob {
     * row here is built from the two NARROW per-side aggregates alone —
     * "n stations alerting, max risk" — in work linear in each side:
     *
-    *   - `n_alerting_stations` = all stations in the cell (the
-    *     distance-free bound: every probing fire is within one cell of
-    *     every station, i.e. < 2·√2 cell radii — at alerting density the
-    *     band filter is a refinement, not a gate);
+    *   - `n_alerting_stations` = all stations in the cell. This is an
+    *     UPPER BOUND, not the distance-filtered truth: a fire probing from
+    *     a neighbor cell can sit up to ~2·√2 cell widths from a station
+    *     (beyond `radiusDeg`), so some counted stations may fail the band
+    *     filter the sparse path would have applied;
     *   - `max_risk` = the best station's weather classified under an
     *     'h'-confidence fire IF any probing fire has confidence 'h', else
-    *     LOW. Exact for the cell's best pair because `RiskPolicy.riskLevel`
-    *     depends only on (confidence, station weather) — never distance —
-    *     and is maximized at confidence 'h'.
+    *     LOW. Likewise an upper bound on the distance-filtered maximum
+    *     (`RiskPolicy.riskLevel` depends only on (confidence, station
+    *     weather) and is maximized at confidence 'h'; the pair realizing
+    *     it may be outside the band).
     *
+    * Dense rows are therefore an UPPER-BOUND CERTIFICATE — stations/risk
+    * may exceed the per-pair truth — and `is_dense` lets consumers tell
+    * the regimes apart. The oracle mirrors the same certificate semantics.
     * Sparse cells carry the same schema computed from their EXACT alerts
     * (the grid join runs only on them), so one union serves both regimes:
     * per-pair truth where it's affordable, a per-cell certificate where it
@@ -191,18 +196,53 @@ object GoldJob {
     denseSum.unionByName(sparseSum)
   }
 
+  /** Default per-cell pair budget for the production cycle. A cell whose
+    * fire-probe × station product exceeds this is culled from pair
+    * emission and served through the certificate table instead — the
+    * row-explosion guard that keeps the cycle's output LINEAR in its
+    * inputs at any density. 1M pairs/cell is ~two orders above anything a
+    * healthy corpus produces (sf1's densest cell is ~10⁴ pairs) while
+    * still bounding the pathological case that made uncapped `gold_alerts`
+    * output-quadratic (270 M rows at sf1, BASELINE.md).
+    */
+  val defaultMaxPairsPerCell = 1000000L
+
   /** One Gold cycle against the catalog: read silver, compute, overwrite
     * gold atomically unless empty (reference: run_gold_processing,
     * gold_batch_job.py:22-93).
     *
-    * @return true when gold was (re)written
+    * The DEFAULT cycle is density-capped: per-pair alerts for every cell
+    * within `maxPairsPerCell`, plus the `fire_risk_alert_cells` summary
+    * table (one row per cell: alert count bound + max risk certificate —
+    * `goldDenseSummary`) covering BOTH regimes, so a dense cell's alerts
+    * are served as a certificate instead of a quadratic row explosion.
+    * The uncapped exact form remains available — explicitly, via
+    * `maxPairsPerCell = None` (`runCycleExact`) — it is the flagship
+    * `gold_alerts` semantics, not the production default, because its
+    * output is quadratic in per-cell density by definition.
+    *
+    * @return true when the per-pair alerts table was (re)written
     */
-  def runCycle(catalog: TableCatalog): Boolean = {
+  def runCycle(catalog: TableCatalog,
+      maxPairsPerCell: Option[Long] = Some(defaultMaxPairsPerCell)): Boolean = {
     val fires = catalog.read("silver", "fire_events")
     val weather = catalog.read("silver", "weather_events")
     // grid equi join, not the broadcast BNLJ: identical result set
     // (GoldJobSpec pins equivalence) with no broadcast-size precondition.
-    catalog.overwriteIfNonEmpty(
-      goldAlertsGrid(fires, weather), "gold", "fire_risk_alerts")
+    val wrote = catalog.overwriteIfNonEmpty(
+      goldAlertsGrid(fires, weather, maxPairsPerCell),
+      "gold", "fire_risk_alerts")
+    maxPairsPerCell.foreach { cap =>
+      catalog.overwriteIfNonEmpty(
+        goldDenseSummary(fires, weather, cap), "gold", "fire_risk_alert_cells")
+    }
+    wrote
   }
+
+  /** The explicitly-requested EXACT cycle: uncapped per-pair alerts, no
+    * certificate table. Output-quadratic in per-cell density — correct,
+    * and priced accordingly; `runCycle`'s capped default is the serve.
+    */
+  def runCycleExact(catalog: TableCatalog): Boolean =
+    runCycle(catalog, maxPairsPerCell = None)
 }

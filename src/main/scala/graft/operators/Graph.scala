@@ -118,9 +118,13 @@ object Graph {
     // carried, packed ~30× fewer rows.
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Exact BIGINT end to end: d*(d-1) is always even, so the halving is
+    // done PER ROW as a bit shift (exact integer /2 for non-negatives)
+    // BEFORE the sum. The previous `sum(...) / 2L` was Catalyst's Divide —
+    // double-valued — and would lose precision past 2^53 wedges.
     val nWedges = adj
-      .agg((sum(size(col("nbrs")).cast("long") *
-        (size(col("nbrs")).cast("long") - 1L)) / 2L).cast("long")
+      .agg(sum(shiftright(size(col("nbrs")).cast("long") *
+        (size(col("nbrs")).cast("long") - 1L), 1))
         .as("n_wedges"))
     val withU = oriented
       .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))

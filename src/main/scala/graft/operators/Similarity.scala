@@ -833,8 +833,13 @@ object Similarity {
     // and the oracle's list_cosine_similarity, so a near-tie can never
     // flip a pick on one engine only. The vec_id tiebreak then resolves
     // genuine round-12 ties identically on both.
+    // non-finite guard: a zero-norm embedding yields rel = 0/0 = NaN, and
+    // BigDecimal(NaN) throws — pass non-finite scores through unrounded so
+    // the compare degrades the way the raw-double compare did (NaN sorts
+    // deterministically under Ordering.Double.TotalOrdering-style tupling)
     def r12(x: Double): Double =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     while (selected.length < math.min(k, rel.size)) {
       val remaining = rel.keysIterator.filterNot(selected.contains).toSeq
       val best = remaining.minBy { d =>

@@ -37,31 +37,55 @@ object Scratch {
     if (ok) "/dev/shm" else System.getProperty("java.io.tmpdir")
   }
 
-  /** Point `java.io.tmpdir` at the scratch root (before the SparkSession
-    * is built, so spark.local.dir follows) and sweep leftovers from
-    * crashed earlier runs. Idempotent.
+  /** Point `java.io.tmpdir` at a PER-PROCESS subdir of the scratch root
+    * (before the SparkSession is built, so spark.local.dir follows) and
+    * sweep leftovers from dead earlier runs. Idempotent.
+    *
+    * The per-PID subdir (`graft_pid<pid>`) is what makes the sweep safe:
+    * every `graft_*` staging/replay/checkpoint dir a run creates derives
+    * from `java.io.tmpdir`, so it lands under its owner's pid dir, and
+    * `sweepStale` reclaims a pid dir only when that process is dead —
+    * never by age alone. (The previous 6-hour age cutoff could sweep a
+    * LIVE long-lived run's replay cache out from under it.)
     */
   def install(): Unit = {
     sweepStale()
-    System.setProperty("java.io.tmpdir", root)
+    val mine = Paths.get(root, "graft_pid" + ProcessHandle.current().pid())
+    try Files.createDirectories(mine) catch { case _: Throwable => () }
+    System.setProperty("java.io.tmpdir",
+      if (Files.isDirectory(mine)) mine.toString else root)
   }
 
-  /** Best-effort removal of this harness's own stale scratch dirs
-    * (graft_* older than 6 h — anything that old belongs to a dead JVM;
-    * live runs clean up behind themselves or are younger).
+  /** Best-effort removal of this harness's own stale scratch dirs:
+    *  - `graft_pid<pid>` dirs whose owning process is dead (the normal
+    *    case; PID liveness, not age, is the ownership test);
+    *  - legacy un-pidded `graft_*` dirs from older builds, age > 48 h.
+    * Every `Files.list` stream is closed (they hold an fd each; a large
+    * sweep used to leak one per directory level).
     */
   private def sweepStale(): Unit = {
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    val dir = Paths.get(root)
+    def listChildren(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) listChildren(p).foreach(rm)
       Files.deleteIfExists(p)
     }
+    val pidRe = "graft_pid([0-9]+)".r
+    val legacyCutoff = System.currentTimeMillis() - 48L * 3600 * 1000
+    def dead(pid: Long): Boolean =
+      !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
     try {
-      Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("graft_"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      listChildren(Paths.get(root))
+        .filter(_.getFileName.toString.startsWith("graft_"))
+        .filter { p =>
+          p.getFileName.toString match {
+            case pidRe(pid) => pid.toLong != ProcessHandle.current().pid() &&
+              (try dead(pid.toLong) catch { case _: Throwable => false })
+            case _ => Files.getLastModifiedTime(p).toMillis < legacyCutoff
+          }
+        }
         .foreach(p => try rm(p) catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
   }

@@ -24,8 +24,10 @@ object TimeOne {
       val fn = graft.SparkEntry.queries(nm)
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[timeone] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        // same non-prunable consumer as Bench (count() can be optimized
+        // into dropping the computation under test — BenchAction scaladoc)
+        graft.BenchAction.consume(fn(spark, sfDir))
+        println(f"[timeone] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
     spark.stop()

@@ -68,6 +68,45 @@ class GoldJobSpec extends SparkSpec {
     assert(capped.toSet === Set((50.2, 103L)))
   }
 
+  test("runCycle default is density-capped: bounded pair output plus the " +
+      "certificate table; exact form stays explicit") {
+    import graft.catalog.TableCatalog
+    val cat = new TableCatalog(spark, tmpDir("gold-cycle"))
+    // same fixture as the cap test above: origin cell dense under cap=3,
+    // the (50.x, 120.x) cell sparse
+    val f = Seq((1L, 0.3, 0.3, "h"), (2L, 0.4, 0.4, "h"),
+        (3L, 50.2, 120.2, "h"))
+      .toDF("timestamp", "lat", "lon", "confidence")
+    val w = Seq(
+        (101L, 1L, 0.1, 0.1, 10.0, 50.0, 20.0),
+        (102L, 1L, 0.2, 0.2, 10.0, 50.0, 20.0),
+        (103L, 1L, 50.1, 120.1, 10.0, 50.0, 20.0))
+      .toDF("location_id", "timestamp", "lat", "lon", "wind_speed",
+        "humidity", "temperature")
+    cat.overwrite(f, "silver", "fire_events")
+    cat.overwrite(w, "silver", "weather_events")
+    // capped cycle: the dense origin cell is CULLED from pair emission
+    // (bounded output) and served through the certificate table instead
+    assert(GoldJob.runCycle(cat, Some(3L)))
+    val alerts = cat.read("gold", "fire_risk_alerts")
+    assert(alerts.select($"fire_lat", $"weather_station")
+      .as[(Double, Long)].collect().toSet === Set((50.2, 103L)))
+    val cells = cat.read("gold", "fire_risk_alert_cells")
+    assert(cells.filter($"is_dense" === 1).count() === 1,
+      "culled dense cell must surface as a certificate row")
+    assert(cells.filter($"is_dense" === 0).count() >= 1,
+      "sparse cells carry their exact summary in the same table")
+    // DEFAULT cycle: cap present (1M — nothing dense at this scale), both
+    // tables written, full exact pair set at this density
+    assert(GoldJob.runCycle(cat))
+    assert(cat.read("gold", "fire_risk_alerts").count() === 5)
+    assert(cat.read("gold", "fire_risk_alert_cells")
+      .filter($"is_dense" === 1).count() === 0)
+    // the EXACT cycle is its own verb — uncapped flagship semantics
+    assert(GoldJob.runCycleExact(cat))
+    assert(cat.read("gold", "fire_risk_alerts").count() === 5)
+  }
+
   test("serving queries over gold") {
     val gold = GoldJob.goldAlerts(fires, weather).cache()
     val uf = ServingQueries.uniqueFires(gold)

@@ -117,4 +117,120 @@ class SketchesSpec extends SparkSpec {
     val alone = Sketches.hllEstimate(h1, "g").orderBy("g").collect().toSeq
     assert(self === alone)
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming merge laws THROUGH THE STATE STORE (VERDICT r9 task 8): the
+  // batch merge-law tests above exercise kmvMerge/hllMerge directly; the
+  // streaming gates exercise ONE arrival order under the default provider.
+  // These property cases pin the full algebra end-to-end: ScalaCheck
+  // generates a skewed corpus, the SAME rows arrive as different
+  // micro-batch splits and orders (associativity + commutativity of the
+  // TypedImperativeAggregate's serialized-buffer merge inside the state
+  // store), and every replay must equal the one-shot batch sketch — under
+  // BOTH providers, HDFS-backed (default) and RocksDB (the 100 TB one).
+  // ---------------------------------------------------------------------
+
+  private def underProvider[A](provider: Option[String])(body: => A): A =
+    provider match {
+      case None => body
+      case Some(cls) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled"
+        val prev = spark.conf.getOption(key)
+        val prevCl = spark.conf.getOption(clKey)
+        spark.conf.set(key, cls)
+        spark.conf.set(clKey, "true")
+        try body finally {
+          prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+          prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+        }
+    }
+
+  private val rocksdb = Some("org.apache.spark.sql.execution.streaming." +
+    "state.RocksDBStateStoreProvider")
+
+  /** Replay `batches` through a complete-mode streaming run of `agg`,
+    * post-process the final sink table with `finish` (identity for
+    * single-agg sketches; the register→estimate step for HLL, which — as
+    * in the production gate — runs batch-side because chaining two
+    * stateful aggregates trips the global-watermark correctness check),
+    * and return the result canonicalized.
+    */
+  private def replay(batches: Seq[Seq[(String, Long)]])(
+      agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      finish: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = identity): Seq[String] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sink = "prop_sketch_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg(mem.toDF.toDF("g", "k"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val out = finish(spark.table(sink)).orderBy("g")
+      .collect().toSeq.map(_.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    out
+  }
+
+  test("property: streaming KMV and HLL are micro-batch split/order " +
+      "invariant under default AND RocksDB state stores") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // seeded skewed corpus: 3 groups, heavy duplication, long-tail keys
+    val rows = Gen.listOfN(3000, for {
+      g <- Gen.frequency((5, Gen.const("a")), (2, Gen.const("b")),
+        (1, Gen.const("c")))
+      k <- Gen.frequency((3, Gen.choose(1L, 40L)), (1, Gen.choose(1L, 5000L)))
+    } yield (g, k)).apply(Gen.Parameters.default, Seed(1007L)).get
+
+    def kmv(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinct(df, "g", "k", k = 64)
+    def hllRegs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "g", "k")
+    def hllFinish(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(df, "g")
+
+    // ground truth: the one-shot batch sketch of the whole corpus
+    val batchKmv = kmv(rows.toDF("g", "k")).orderBy("g")
+      .collect().toSeq.map(_.toString)
+    val batchHll = hllFinish(hllRegs(rows.toDF("g", "k"))).orderBy("g")
+      .collect().toSeq.map(_.toString)
+
+    // ScalaCheck-driven replays: random split points and batch orders.
+    // Identity split (1 batch), random 2/3/5-way splits, reversed and
+    // rotated orders — merge(a,b)=merge(b,a) and ((a·b)·c)=(a·(b·c))
+    // through state-store serialize/deserialize.
+    val splits: Seq[Seq[Seq[(String, Long)]]] = {
+      def cut(parts: Int, seed: Long): Seq[Seq[(String, Long)]] = {
+        val cuts = Gen.listOfN(parts - 1, Gen.choose(1, rows.size - 1))
+          .apply(Gen.Parameters.default, Seed(seed)).get
+          .distinct.sorted
+        val bounds = (0 +: cuts :+ rows.size).distinct.sorted
+        bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+      }
+      Seq(
+        Seq(rows),              // single batch
+        cut(2, 11L),            // 2-way
+        cut(3, 23L),            // 3-way
+        cut(5, 37L),            // 5-way
+        cut(3, 23L).reverse,    // commutativity: same parts, reversed
+        { val p = cut(5, 37L); p.drop(2) ++ p.take(2) }) // rotation
+    }
+
+    for (provider <- Seq(None, rocksdb)) underProvider(provider) {
+      splits.foreach { batches =>
+        val gotKmv = replay(batches)(kmv)
+        assert(gotKmv === batchKmv,
+          s"KMV diverged (provider=$provider, ${batches.size} batches)")
+        val gotHll = replay(batches)(hllRegs, hllFinish)
+        assert(gotHll === batchHll,
+          s"HLL diverged (provider=$provider, ${batches.size} batches)")
+      }
+    }
+  }
 }

@@ -710,4 +710,93 @@ class TableCatalogSpec extends SparkSpec {
     cat.overwriteChecked(Seq(Some(50), Some(99)).toDF("x"), "silver", "t")
     assert(cat.currentVersion("silver", "t") === Some(2))
   }
+
+  test("version pins: vacuum skips a live-process pin, reclaims after unpin, " +
+      "disregards and sweeps a dead owner's pin") {
+    val root = tmpDir("cat-pin")
+    val cat = new TableCatalog(spark, root, keepVersions = 16)
+    (1 to 3).foreach(v => cat.overwrite(Seq(v).toDF("x"), "silver", "t"))
+    val dir = java.nio.file.Paths.get(root, "silver", "t")
+    // pin v1 on behalf of THIS (live) process — the on-disk lease format
+    // is the contract RESTORE/CLONE write through pinVersion
+    val pin = dir.resolve(
+      f"_PIN_00001_${ProcessHandle.current().pid()}_spec")
+    java.nio.file.Files.write(pin, "1".getBytes)
+    // vacuum keeps the pinned v1, reclaims the unpinned v2
+    assert(cat.vacuum("silver", "t", keepLast = 1) === Seq(2))
+    assert(cat.versions("silver", "t") === Seq(1, 3))
+    // a commit's retention sweep honors the pin too (keepVersions=1 cat
+    // over the same root would be overkill; explicit vacuum re-check after
+    // unpin is the observable contract)
+    java.nio.file.Files.delete(pin)
+    assert(cat.vacuum("silver", "t", keepLast = 1) === Seq(1))
+    // dead-owner pin: PID 2^22 is above linux pid_max default; disregarded
+    // AND swept
+    cat.overwrite(Seq(4).toDF("x"), "silver", "t")
+    val stale = dir.resolve("_PIN_00003_4194304_spec")
+    java.nio.file.Files.write(stale, "1".getBytes)
+    assert(cat.vacuum("silver", "t", keepLast = 1) === Seq(3))
+    assert(!java.nio.file.Files.exists(stale), "dead pin must be swept")
+  }
+
+  test("restore races a concurrent vacuum storm: the pinned source is " +
+      "never yanked mid-copy") {
+    val cat = new TableCatalog(spark, tmpDir("cat-race"), keepVersions = 16)
+    // v1 is wide (many files) so the restore copy takes long enough for
+    // vacuums to land mid-copy without the pin
+    cat.overwrite(spark.range(2000).toDF("x").repartition(64), "silver", "t")
+    (2 to 3).foreach(v => cat.overwrite(Seq(v.toLong).toDF("x"), "silver", "t"))
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val vac = new Thread(() =>
+      try while (!stop) cat.vacuum("silver", "t", keepLast = 1)
+      catch { case e: Throwable => errs.add(e) })
+    vac.start()
+    try {
+      // repeated restores of the oldest RETAINED version while the storm
+      // tries to reclaim everything but live: each must either succeed or
+      // report the TYPED already-vacuumed error — never abort mid-copy
+      // with a FileNotFound/IO error from a yanked source
+      var restored = 0
+      (1 to 5).foreach { _ =>
+        val from = cat.versions("silver", "t").head
+        try { cat.restore("silver", "t", from); restored += 1 }
+        catch { case _: graft.catalog.VacuumedVersionException => () }
+      }
+      assert(restored >= 1, "no restore ever won the race — test inert")
+      assert(cat.read("silver", "t").count() > 0)
+    } finally { stop = true; vac.join(30000) }
+    assert(errs.isEmpty, s"vacuum thread failed: ${errs.peek()}")
+    // no pin leaks behind
+    val tdir = new java.io.File(cat.path("silver", "t"))
+    assert(!tdir.listFiles().exists(_.getName.startsWith("_PIN_")),
+      "restore leaked a pin")
+  }
+
+  test("clone races source commits + vacuum: pinned live snapshot survives " +
+      "being aged out of retention mid-copy") {
+    val cat = new TableCatalog(spark, tmpDir("cat-crace"), keepVersions = 2)
+    cat.overwrite(spark.range(2000).toDF("x").repartition(64), "silver", "src")
+    val expected = cat.read("silver", "src").count()
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // committer thread: every commit's retention sweep (keepVersions=2)
+    // tries to age the clone's pinned source version out
+    val committer = new Thread(() =>
+      try { var i = 0L
+        while (!stop) { i += 1
+          cat.overwrite(Seq(i).toDF("x"), "silver", "src") }
+      } catch { case e: Throwable => errs.add(e) })
+    committer.start()
+    try cat.cloneTable("silver", "src", "gold", "dst")
+    finally { stop = true; committer.join(30000) }
+    assert(errs.isEmpty, s"committer failed: ${errs.peek()}")
+    // the clone is a complete copy of SOME committed snapshot: either the
+    // wide v1 (pin resolved before any commit landed) or a 1-row overwrite
+    val n = cat.read("gold", "dst").count()
+    assert(n === expected || n === 1L, s"clone copied a torn snapshot: $n rows")
+    val sdir = new java.io.File(cat.path("silver", "src"))
+    assert(!sdir.listFiles().exists(_.getName.startsWith("_PIN_")),
+      "clone leaked a pin")
+  }
 }
