@@ -103,9 +103,13 @@ object GoldJob {
     }
     val dist = euclideanDeg(col("lat"), col("lon"),
       col("station_lat"), col("station_lon"))
+    // distance materializes ONCE (column first, filter on the column):
+    // filter-then-withColumn computed the sqrt/pow tree twice per
+    // candidate pair — filter and project are separate codegen operators,
+    // so common-subexpression elimination never sees across them
     fx.join(lw, Seq("cell"))
-      .filter(dist < radiusDeg)
       .withColumn("distance_deg", dist)
+      .filter(col("distance_deg") < radiusDeg)
       .withColumn("risk_level", RiskPolicy.riskLevel(
         col("confidence"), col("wind_speed"), col("temperature"), col("humidity")))
       .select(

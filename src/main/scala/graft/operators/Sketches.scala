@@ -139,20 +139,31 @@ object Sketches {
     * "i:key" folded into [0, w), via the compiled `md5_poly_hash` kernel
     * (d hashes per row made this the most HOF-bound build of the family).
     */
+  /** Row i's bucket from ONE base hash, Kirsch-Mitzenmacher double
+    * hashing: g_i(x) = (h1 + i·h2) mod p mod w with h1 = the
+    * md5-polynomial hash and h2 = 1 + (h1 mod (p−2)) derived from it
+    * (never 0, so rows stay distinct). ONE md5 per input row instead of
+    * one per (row, i) — the honest-consumer bench showed the d
+    * per-row md5+concat passes were the grid's entire cost (d=4: ~4× the
+    * hash work for the same error bounds; KM 2006 proves the derived
+    * family preserves them). Pure BIGINT arithmetic, so the DuckDB
+    * oracle derives the identical buckets from the identical base hash.
+    */
+  private val CmsP = 1000000007L
   private def cmsBucket(i: org.apache.spark.sql.Column,
-      key: org.apache.spark.sql.Column, w: Int) =
-    graft.plans.GraftColumns.md5PolyHash(
-      concat_ws(":", i.cast("string"), key.cast("string"))) % w
+      h: org.apache.spark.sql.Column, w: Int) =
+    (h + i.cast("long") * (lit(1L) + h % lit(CmsP - 2))) % lit(CmsP) % w
 
   /** The CMS grid of `key` occurrences in `df`: columns __i, __bucket,
     * __n — at most d·w rows, absent cells meaning zero. */
   def cmsSketch(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2; got d=$d w=$w")
     graft.plans.GraftFunctions.ensure(df.sparkSession)
-    df.select(col(key).cast("string").as("__k"))
-      .select(col("__k"),
+    df.select(graft.plans.GraftColumns
+        .md5PolyHash(col(key).cast("string")).as("__h"))
+      .select(col("__h"),
         explode(array((0 until d).map(i => lit(i)): _*)).as("__i"))
-      .withColumn("__bucket", cmsBucket(col("__i"), col("__k"), w))
+      .withColumn("__bucket", cmsBucket(col("__i"), col("__h"), w))
       .groupBy(col("__i"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
   }
@@ -163,9 +174,11 @@ object Sketches {
       d: Int, w: Int): DataFrame = {
     graft.plans.GraftFunctions.ensure(keys.sparkSession)
     keys.select(col(key))
+      .withColumn("__h", graft.plans.GraftColumns
+        .md5PolyHash(col(key).cast("string")))
       .withColumn("__i",
         explode(array((0 until d).map(i => lit(i)): _*)))
-      .withColumn("__bucket", cmsBucket(col("__i"), col(key), w))
+      .withColumn("__bucket", cmsBucket(col("__i"), col("__h"), w))
       .join(sketch, Seq("__i", "__bucket"), "left")
       .na.fill(0L, Seq("__n"))
       .groupBy(col(key))

@@ -195,24 +195,33 @@ object DomainQueries {
       // any group of ≥ ~110 rows — provable at every scale factor, where a
       // "within 2% of the value" check breaks wherever the distribution's
       // tail is sparse (observed: p99 at sf0.001, 1.2k rows per group).
+      // ONE exact-percentile aggregate for all five points and ONE
+      // approx-percentile sketch for both probes: Percentile's buffer is
+      // a per-group value→count map and ApproximatePercentile's a GK
+      // summary — five scalar calls built five identical maps (the
+      // honest-consumer bench exposed the 5× cost the count()-pruned
+      // number had hidden). The array forms share one buffer and emit
+      // per-point values identical to the scalar calls, so the oracle is
+      // untouched.
       Tables.events(s, d).groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_users"),
-        percentile(col("value"), lit(0.5)).as("p50x"),
-        percentile(col("value"), lit(0.99)).as("p99x"),
-        percentile(col("value"), lit(0.49)).as("p49x"),
-        percentile(col("value"), lit(0.51)).as("p51x"),
-        percentile(col("value"), lit(0.98)).as("p98x"),
+        percentile(col("value"),
+          array(lit(0.5), lit(0.99), lit(0.49), lit(0.51), lit(0.98)))
+          .as("px"),
         max(col("value")).as("maxv"),
         approx_count_distinct(col("user_id"), 0.02).as("au"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
-        percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"))
+        percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+          lit(10000)).as("apx"))
         .select(col("event_type"), col("n_users"),
-          round(col("p50x"), 4).as("p50"), round(col("p99x"), 4).as("p99"),
+          round(col("px").getItem(0), 4).as("p50"),
+          round(col("px").getItem(1), 4).as("p99"),
           (abs(col("au") - col("n_users")) <=
             col("n_users") * lit(0.05)).as("users_within_5pct"),
-          (col("ap50") >= col("p49x") && col("ap50") <= col("p51x"))
+          (col("apx").getItem(0) >= col("px").getItem(2) &&
+            col("apx").getItem(0) <= col("px").getItem(3))
             .as("p50_rank_ok"),
-          (col("ap99") >= col("p98x") && col("ap99") <= col("maxv"))
+          (col("apx").getItem(1) >= col("px").getItem(4) &&
+            col("apx").getItem(1) <= col("maxv"))
             .as("p99_rank_ok"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,

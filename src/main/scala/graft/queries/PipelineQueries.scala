@@ -870,28 +870,34 @@ object PipelineQueries {
                 (col("est_n") - col("n_exact")).as("overcount"))
         .orderBy(col("n_exact").desc, col("l_partkey"))
     },
+    // bucket_i = (h + i·(1 + h mod (p−2))) mod p mod w from ONE base
+    // md5-polynomial hash per key (Kirsch-Mitzenmacher double hashing) —
+    // mirrored verbatim from Sketches.cmsBucket
     Some("""WITH ek AS (SELECT l_partkey, count(*) AS n_exact
                         FROM lineitem GROUP BY 1),
             top AS (SELECT * FROM ek
                     ORDER BY n_exact DESC, l_partkey LIMIT 10),
             hs AS (SELECT unnest([0, 1, 2, 3]) AS i),
-            sk AS (SELECT i,
-                          list_reduce(list_transform(
-                              string_split(md5(CAST(i AS VARCHAR) || ':' ||
-                                               CAST(l_partkey AS VARCHAR)), ''),
+            hb AS (SELECT list_reduce(list_transform(
+                              string_split(md5(CAST(l_partkey AS VARCHAR)), ''),
                               c -> CAST(ord(c) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            (a, b) -> (a * 31 + b) % 1000000007) AS h
+                   FROM lineitem),
+            sk AS (SELECT i,
+                          (h + i * (1 + h % 1000000005)) % 1000000007 % 512
                             AS bucket,
                           count(*) AS n
-                   FROM lineitem CROSS JOIN hs GROUP BY 1, 2),
-            pr AS (SELECT t.l_partkey, hs.i,
+                   FROM hb CROSS JOIN hs GROUP BY 1, 2),
+            th AS (SELECT l_partkey,
                           list_reduce(list_transform(
-                              string_split(md5(CAST(hs.i AS VARCHAR) || ':' ||
-                                               CAST(t.l_partkey AS VARCHAR)), ''),
+                              string_split(md5(CAST(l_partkey AS VARCHAR)), ''),
                               c -> CAST(ord(c) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007) % 512
-                            AS bucket
-                   FROM top t CROSS JOIN hs),
+                            (a, b) -> (a * 31 + b) % 1000000007) AS h
+                   FROM top),
+            pr AS (SELECT th.l_partkey, hs.i,
+                          (th.h + hs.i * (1 + th.h % 1000000005))
+                            % 1000000007 % 512 AS bucket
+                   FROM th CROSS JOIN hs),
             est AS (SELECT pr.l_partkey,
                            min(CAST(coalesce(sk.n, 0) AS BIGINT)) AS est_n
                     FROM pr LEFT JOIN sk

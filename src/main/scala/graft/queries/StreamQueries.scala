@@ -1350,29 +1350,35 @@ object StreamQueries {
           (col("est_n") - col("n_exact")).as("overcount"))
         .orderBy(col("n_exact").desc, col("user_id"))
     },
-    // the BATCH CMS oracle over the full corpus, verbatim grid rebuild
+    // the BATCH CMS oracle over the full corpus, verbatim grid rebuild:
+    // bucket_i = (h + i·(1 + h mod (p−2))) mod p mod w from ONE base
+    // md5-polynomial hash per key — mirrors Sketches.cmsBucket's
+    // Kirsch-Mitzenmacher derivation
     Some("""WITH ek AS (SELECT user_id, count(*) AS n_exact
                         FROM events GROUP BY 1),
             top AS (SELECT * FROM ek
                     ORDER BY n_exact DESC, user_id LIMIT 10),
             hs AS (SELECT unnest([0, 1, 2, 3]) AS i),
-            sk AS (SELECT i,
-                          list_reduce(list_transform(
-                              string_split(md5(CAST(i AS VARCHAR) || ':' ||
-                                               CAST(user_id AS VARCHAR)), ''),
+            hb AS (SELECT list_reduce(list_transform(
+                              string_split(md5(CAST(user_id AS VARCHAR)), ''),
                               c -> CAST(ord(c) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007) % 512
+                            (a, b) -> (a * 31 + b) % 1000000007) AS h
+                   FROM events),
+            sk AS (SELECT i,
+                          (h + i * (1 + h % 1000000005)) % 1000000007 % 512
                             AS bucket,
                           count(*) AS n
-                   FROM events CROSS JOIN hs GROUP BY 1, 2),
-            pr AS (SELECT t.user_id, hs.i,
+                   FROM hb CROSS JOIN hs GROUP BY 1, 2),
+            th AS (SELECT user_id,
                           list_reduce(list_transform(
-                              string_split(md5(CAST(hs.i AS VARCHAR) || ':' ||
-                                               CAST(t.user_id AS VARCHAR)), ''),
+                              string_split(md5(CAST(user_id AS VARCHAR)), ''),
                               c -> CAST(ord(c) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007) % 512
-                            AS bucket
-                   FROM top t CROSS JOIN hs),
+                            (a, b) -> (a * 31 + b) % 1000000007) AS h
+                   FROM top),
+            pr AS (SELECT th.user_id, hs.i,
+                          (th.h + hs.i * (1 + th.h % 1000000005))
+                            % 1000000007 % 512 AS bucket
+                   FROM th CROSS JOIN hs),
             est AS (SELECT pr.user_id,
                            min(CAST(coalesce(sk.n, 0) AS BIGINT)) AS est_n
                     FROM pr LEFT JOIN sk

@@ -11,8 +11,13 @@ object TimeOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     graft.streaming.Scratch.install()
+    // SPARK_GRAFT_SHUFFLE: partition-count override for scale sweeps — a
+    // fixed 32-partition layout is the bench contract at sf0.1, but at
+    // sf10 per-partition state is 100× that design point and the sweep
+    // needs to separate "algorithm superlinear" from "layout starved"
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.hadoop.fs.file.impl",
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
