@@ -20,18 +20,22 @@ object Quantize {
     * code_i = min(255, floor((x_i - lo) * 256 / (hi - lo))), lo/hi the
     * vector's min/max (flat vectors quantize to all-zero codes), plus the
     * `lo`/`hi` reconstruction params.
+    *
+    * One pass through the compiled `scalar_quantize` kernel
+    * (plans.ScalarQuantizeStruct). The previous HOF formulation
+    * (`array_min/array_max/when` over five `transform` lambdas) paid ~5
+    * interpreted dispatches per element per row — the honest-consumer
+    * bench exposed it as 2.8s at sf0.1; VectorExpressionsSpec pins the
+    * kernel element-for-element against that formulation.
     */
   def scalarQuantize(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
+    graft.plans.GraftFunctions.ensure(emb.sparkSession)
     emb
-      .withColumn("lo", array_min(v))
-      .withColumn("hi", array_max(v))
-      .withColumn("codes",
-        when(col("hi") === col("lo"),
-          transform(v, _ => lit(0)))
-          .otherwise(transform(v, x => least(lit(255),
-            floor((x.cast("double") - col("lo")) * lit(256.0) /
-              (col("hi") - col("lo"))).cast("int")))))
+      .withColumn("__q", graft.plans.GraftColumns.scalarQuantize(col(vecCol)))
+      .withColumn("lo", col("__q.lo"))
+      .withColumn("hi", col("__q.hi"))
+      .withColumn("codes", col("__q.codes"))
+      .drop("__q")
   }
 
   /** Reconstruction: code → lo + (code + 0.5) * (hi - lo) / 256 (bucket

@@ -58,6 +58,8 @@ object GraftColumns {
     call_function("bloom_might_contain_long", bloomBytes, v)
   def md5PolyHash(s: Column): Column =
     call_function("md5_poly_hash", s.cast("string"))
+  def scalarQuantize(v: Column): Column =
+    call_function("scalar_quantize", v)
 }
 
 /** array<string> tokens → array<long> distinct hashes of the n-token

@@ -240,6 +240,98 @@ case class BucketBySortedBounds(child: Expression, bounds: Array[Double])
   * `spark.sql.extensions=graft.plans.GraftSparkExtensions` for config-time
   * injection (the SparkSessionExtensions path).
   */
+/** One-pass int8-range scalar quantization kernel:
+  * array<float|double> → struct(lo double, hi double, codes array<int>),
+  * with lo/hi the min/max over non-null elements and
+  * code_i = least(255, floor((x_i − lo) · 256.0 / (hi − lo))) — the
+  * EXACT arithmetic (and multiply-before-divide order) of the HOF
+  * formulation `Quantize.scalarQuantize` replaced, pinned element-for-
+  * element by VectorExpressionsSpec. The HOF plan dispatched ~5
+  * interpreted `transform` lambdas per element per row (the cast pass
+  * recomputed for lo, hi, and both `when` branches); this is one fused
+  * primitive loop. Null semantics mirror the HOF exactly (spec-pinned,
+  * quirks included): a flat vector (hi == lo, non-null) maps EVERY
+  * element — null included — to 0 (`transform(_ => 0)` ignores its
+  * input); in the non-flat branch a null element becomes 255, because
+  * the HOF's `least(lit(255), floor(null ...))` hits Spark's
+  * null-SKIPPING `least` and returns the literal; an all-null array
+  * yields (null, null, all-255 codes) the same way; an empty array
+  * yields (null, null, empty). A null ARRAY yields a null struct
+  * (null-in/null-out) where the HOF produced a row of null fields —
+  * observably identical through every field access.
+  */
+case class ScalarQuantizeStruct(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"scalar_quantize expects array<float> or array<double>, got " +
+        other.simpleString)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", DoubleType, nullable = true),
+    StructField("hi", DoubleType, nullable = true),
+    StructField("codes", ArrayType(IntegerType, containsNull = true),
+      nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "scalar_quantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    def at(i: Int): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var lo = Double.NaN
+    var hi = Double.NaN
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = at(i)
+        if (!seen) { lo = x; hi = x; seen = true }
+        else { if (x < lo) lo = x; if (x > hi) hi = x }
+      }
+      i += 1
+    }
+    val codes = new Array[Any](n)
+    if (seen && hi == lo) {
+      java.util.Arrays.fill(codes.asInstanceOf[Array[AnyRef]],
+        Integer.valueOf(0))
+    } else if (seen) {
+      val range = hi - lo
+      i = 0
+      while (i < n) {
+        codes(i) =
+          if (arr.isNullAt(i)) Integer.valueOf(255) // least() skips null
+          else {
+            val c = math.floor((at(i) - lo) * 256.0 / range).toLong.toInt
+            Integer.valueOf(if (c > 255) 255 else c)
+          }
+        i += 1
+      }
+    } else {
+      // every element null (or n == 0): the HOF's otherwise-branch also
+      // collapses each null to least's 255 literal
+      java.util.Arrays.fill(codes.asInstanceOf[Array[AnyRef]],
+        Integer.valueOf(255))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (seen) lo else null, if (seen) hi else null,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object GraftFunctions {
 
   private def intLit(e: Expression, fn: String): Int = e match {
@@ -296,7 +388,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => HllRegs(args(0))),
     (new FunctionIdentifier("md5_poly_hash"),
       new ExpressionInfo(classOf[Md5PolyHash].getName, "md5_poly_hash"),
-      (args: Seq[Expression]) => Md5PolyHash(args(0))))
+      (args: Seq[Expression]) => Md5PolyHash(args(0))),
+    (new FunctionIdentifier("scalar_quantize"),
+      new ExpressionInfo(classOf[ScalarQuantizeStruct].getName, "scalar_quantize"),
+      (args: Seq[Expression]) => ScalarQuantizeStruct(args(0))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

@@ -84,4 +84,39 @@ class VectorExpressionsSpec extends SparkSpec {
       "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
     assert(got === 11.0)
   }
+
+  test("scalar_quantize ≡ the HOF formulation it replaced, element-for-" +
+      "element (seeded vectors + flat/null/empty edges)") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(4242)
+    val vecs: Seq[Seq[Option[Float]]] =
+      (1 to 150).map(_ => (1 to 64).map(_ =>
+        Some((rnd.nextFloat() * 200 - 100)))) ++ Seq(
+        Seq.fill(8)(Some(3.25f)),                       // flat → all zeros
+        Seq(Some(1f), None, Some(5f)),                   // null element
+        Seq(Some(2f), None, Some(2f)),                   // flat WITH null → 0s
+        Seq.empty,                                       // empty array
+        Seq(None, None),                                 // all-null
+        Seq(Some(7.5f)))                                 // singleton (flat)
+    val df = vecs.zipWithIndex
+      .toDF("v", "id").select(col("id"), col("v").cast("array<float>").as("v"))
+      .localCheckpoint()
+    // the replaced HOF formulation, verbatim — the reference semantics
+    val hofV = transform(col("v"), x => x.cast("double"))
+    val hof = df
+      .withColumn("lo", array_min(hofV))
+      .withColumn("hi", array_max(hofV))
+      .withColumn("codes",
+        when(col("hi") === col("lo"), transform(hofV, _ => lit(0)))
+          .otherwise(transform(hofV, x => least(lit(255),
+            floor((x.cast("double") - col("lo")) * lit(256.0) /
+              (col("hi") - col("lo"))).cast("int")))))
+      .select("id", "lo", "hi", "codes")
+    val kernel = graft.operators.Quantize.scalarQuantize(df, "v")
+      .select("id", "lo", "hi", "codes")
+    val h = hof.orderBy("id").collect().map(_.toString)
+    val k = kernel.orderBy("id").collect().map(_.toString)
+    assert(k.toSeq === h.toSeq)
+  }
 }
