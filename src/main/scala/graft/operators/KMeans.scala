@@ -49,12 +49,32 @@ object KMeans {
     */
   def assignStep(emb: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(emb.sparkSession)
+    val centArr = centroids
+      .agg(collect_list(struct(col("cluster"), col("cv"))).as("cents"))
+    // rank by ROUNDED d2 (order-stable across engines), but report the
+    // raw d2 of the winner — both inside the fused `nearest_centroid`
+    // argmin kernel (one primitive O(k·dims) loop per row; the HOF
+    // formulation it replaced, kept below as `assignStepHof` for the
+    // element-for-element equivalence spec, paid k interpreted lambdas
+    // plus an O(k log k) struct sort per row and dominated scaled-k fits)
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        call_function("nearest_centroid", toDouble(col(vecCol)), col("cents")))
+      .withColumn("cluster", col("best")("cluster"))
+      .withColumn("d2", col("best")("d2"))
+      .drop("best", "cents")
+  }
+
+  /** The pre-kernel HOF formulation of `assignStep` — retained ONLY as
+    * the semantic reference for VectorExpressionsSpec's equivalence pin
+    * (same ranking, null, tie, and raw-d2 reporting contract).
+    */
+  private[graft] def assignStepHof(emb: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("cluster"), col("cv"))).as("cents"))
     val v = toDouble(col(vecCol))
-    // rank by ROUNDED d2 (order-stable across engines), but report the
-    // raw d2 of the winner: double-rounding d2 through the ranking
-    // precision would disagree with an oracle that rounds raw values.
     emb.crossJoin(broadcast(centArr))
       .withColumn("ranked", array_sort(transform(col("cents"), c =>
         struct(round(l2Sq(v, c("cv")), 6).as("dr"),

@@ -332,6 +332,170 @@ case class ScalarQuantizeStruct(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Native argmin kernel for the Lloyd assignment step
+  * (`KMeans.assignStep`): given a row vector and the broadcast centroid
+  * array `array<struct<cluster, cv: array<double>>>`, returns
+  * `struct<cluster, d2>` for the nearest centroid. Replaces the HOF
+  * formulation `element_at(array_sort(transform(cents, …)), 1)`, whose
+  * per-row cost was k interpreted lambda dispatches, k struct
+  * allocations, and an O(k log k) struct sort — the measured bottleneck
+  * that made scaled-k SemDeDup (k ∝ corpus, the published configuration)
+  * pay more in assignment than it saved in pairs. Here the whole argmin
+  * is one fused primitive loop: O(k·dims) flops, no allocation, no sort.
+  *
+  * Semantics mirror the replaced formulation exactly (pinned
+  * element-for-element in VectorExpressionsSpec against
+  * `KMeans.assignStepHof`):
+  *  - d2 per centroid is the LEFT-TO-RIGHT fold Σ(x−c)² (bit-identical
+  *    accumulation order to `aggregate(zip_with(...))`);
+  *  - a null vector, null centroid array, length mismatch, or any null
+  *    ELEMENT poisons that centroid's d2 to null (zip_with null padding
+  *    semantics);
+  *  - ranking is by (round(d2, 6), cluster) ascending with the struct
+  *    sort's null placement: null d2 sorts FIRST (a mismatched-length
+  *    centroid outranks every real distance — empirically pinned), NaN
+  *    sorts last, null cluster wins its tie group;
+  *  - the winner reports its RAW d2 (not the rounded ranking key);
+  *  - round(d2, 6) mirrors Catalyst Round on doubles: NaN/Inf pass
+  *    through, else scala BigDecimal HALF_UP.
+  * Divergence (unreachable from assignStep): an EMPTY centroid array
+  * yields null where ANSI element_at(…, 1) would raise — assignStep's
+  * aggregated collect_list is never empty for a nonempty centroid table.
+  * Ties on (rounded d2, cluster) cannot occur because cluster ids are
+  * group-by keys (unique), so the third sort field of the old struct
+  * (raw d2) never decided an ordering and is not consulted here.
+  *
+  * The rounding itself is BigDecimal-based (expensive), so the loop only
+  * rounds candidates within 2e-6 of the incumbent: rounding moves a
+  * value by at most 5e-7, so a candidate more than 2e-6 above the
+  * incumbent's rounded key cannot round below-or-equal to it — on real
+  * data almost every centroid is rejected by the raw-double compare and
+  * the BigDecimal path runs O(1) times per row.
+  */
+case class NearestCentroid(vec: Expression, cents: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+
+  private lazy val centStruct: StructType = cents.dataType match {
+    case ArrayType(s: StructType, _) => s
+    case _ => null
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = centStruct != null && centStruct.length == 2 &&
+      (centStruct(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    if (vecOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid expects (array<double>, array<struct<cluster, " +
+        s"array<double>>>), got (${vec.dataType.simpleString}, " +
+        s"${cents.dataType.simpleString})")
+  }
+
+  private lazy val clusterType: DataType = centStruct(0).dataType
+
+  private lazy val clOrdering =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(clusterType).asInstanceOf[Ordering[Any]]
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", clusterType),
+    StructField("d2", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  /** Catalyst Round semantics on doubles at scale 6. */
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Struct-sort cluster tie-break: nulls first, else type ordering. */
+  private def clusterLt(a: Any, b: Any): Boolean =
+    if (a == null) b != null
+    else if (b == null) false
+    else clOrdering.lt(a, b)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val centsV = cents.eval(input)
+    if (centsV == null) return null
+    val ca = centsV.asInstanceOf[ArrayData]
+    val k = ca.numElements()
+    if (k == 0) return null
+    val vv = vec.eval(input)
+    val va = if (vv == null) null else vv.asInstanceOf[ArrayData]
+    var bestCl: Any = null
+    var bestDrNull = true
+    var bestDr = 0.0
+    var bestDraw: Any = null
+    var first = true
+    var i = 0
+    while (i < k) {
+      val s = ca.getStruct(i, 2)
+      val cl = if (s.isNullAt(0)) null else s.get(0, clusterType)
+      val cva = if (s.isNullAt(1)) null else s.getArray(1)
+      var d2Null = false
+      var d2 = 0.0
+      if (va == null || cva == null ||
+          va.numElements() != cva.numElements()) d2Null = true
+      else {
+        val n = va.numElements()
+        var j = 0
+        while (!d2Null && j < n) {
+          if (va.isNullAt(j) || cva.isNullAt(j)) d2Null = true
+          else {
+            val d = va.getDouble(j) - cva.getDouble(j)
+            d2 += d * d
+            j += 1
+          }
+        }
+      }
+      if (first) {
+        first = false
+        bestCl = cl
+        if (d2Null) { bestDrNull = true; bestDraw = null }
+        else {
+          bestDrNull = false; bestDr = round6(d2)
+          bestDraw = java.lang.Double.valueOf(d2)
+        }
+      } else if (d2Null) {
+        if (!bestDrNull) { bestCl = cl; bestDrNull = true; bestDraw = null }
+        else if (clusterLt(cl, bestCl)) { bestCl = cl; bestDraw = null }
+      } else if (!bestDrNull) {
+        // fast reject: > 2e-6 above the incumbent's rounded key cannot
+        // round to ≤ it; NaN incumbent must take the slow path (any real
+        // candidate beats it, but NaN arithmetic fails the fast test)
+        if (java.lang.Double.isNaN(bestDr) || d2 - bestDr <= 2e-6) {
+          val dr = round6(d2)
+          val cmp = java.lang.Double.compare(dr, bestDr)
+          if (cmp < 0 || (cmp == 0 && clusterLt(cl, bestCl))) {
+            bestCl = cl; bestDr = dr
+            bestDraw = java.lang.Double.valueOf(d2)
+          }
+        }
+      } // else: incumbent has null d2 (sorts first) — real candidate loses
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.InternalRow.copyValue(bestCl),
+        bestDraw))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, cents = newRight)
+}
+
 object GraftFunctions {
 
   private def intLit(e: Expression, fn: String): Int = e match {
@@ -391,7 +555,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Md5PolyHash(args(0))),
     (new FunctionIdentifier("scalar_quantize"),
       new ExpressionInfo(classOf[ScalarQuantizeStruct].getName, "scalar_quantize"),
-      (args: Seq[Expression]) => ScalarQuantizeStruct(args(0))))
+      (args: Seq[Expression]) => ScalarQuantizeStruct(args(0))),
+    (new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1))))
 
   /** Idempotently register into a session's function registry. */
   def ensure(spark: SparkSession): Unit =

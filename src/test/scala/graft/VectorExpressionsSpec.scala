@@ -119,4 +119,91 @@ class VectorExpressionsSpec extends SparkSpec {
     val k = kernel.orderBy("id").collect().map(_.toString)
     assert(k.toSeq === h.toSeq)
   }
+
+  /** The argmin kernel must reproduce the HOF rank-sort it replaced
+    * row-for-row: same winner under rounding ties, same null placement
+    * (null d2 sorts FIRST), same raw-d2 reporting. The comparisons below
+    * never hand-compute expectations — the HOF plan IS the spec.
+    */
+  private def assignBoth(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): Unit = {
+    val cols = Seq("vec_id", "cluster", "d2").map(col)
+    val kr = graft.operators.KMeans.assignStep(emb, cents)
+      .select(cols: _*).orderBy("vec_id").collect().map(_.toString)
+    val hr = graft.operators.KMeans.assignStepHof(emb, cents)
+      .select(cols: _*).orderBy("vec_id").collect().map(_.toString)
+    assert(kr.toSeq === hr.toSeq)
+  }
+
+  test("nearest_centroid ≡ HOF rank-sort: seeded 300×16 float corpus, " +
+      "string clusters from labelCentroids") {
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(300)(i => (i.toLong, s"L${i % 7}",
+        Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    assignBoth(emb, graft.operators.KMeans.labelCentroids(emb, "label"))
+  }
+
+  test("nearest_centroid ≡ HOF: long cluster ids (the fit-seed path)") {
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(13)
+    val emb = Seq.tabulate(120)(i => (i.toLong,
+        Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val cents = Seq.tabulate(9)(i => (i.toLong * 11,
+        Array.fill(8)(rnd.nextGaussian())))
+      .toDF("cluster", "cv")
+    assignBoth(emb, cents)
+  }
+
+  test("nearest_centroid ≡ HOF: null vector, null element, empty vector, " +
+      "mismatched-length centroid (null-d2-sorts-first), NaN, null cluster") {
+    GraftFunctions.ensure(spark)
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+           (1L, array(1.0D, 2.0D)),
+           (2L, cast(null AS array<double>)),
+           (3L, array(1.0D, cast(null AS double))),
+           (4L, array()),
+           (5L, array(cast('NaN' AS double), 0.0D))
+         AS t(vec_id, embedding)""")
+    // c9 len-3 (mismatch → null d2, must WIN over every real distance),
+    // cNull: null cluster id (wins its tie group), c5 has a NaN dim
+    val cents = spark.sql(
+      """SELECT * FROM VALUES
+           ('c1', array(0.0D, 0.0D)),
+           ('c9', array(0.0D, 0.0D, 0.0D)),
+           ('c5', array(cast('NaN' AS double), 0.0D)),
+           (cast(null AS string), array(9.0D, 9.0D, 9.0D))
+         AS t(cluster, cv)""")
+    assignBoth(emb, cents)
+    // and without any mismatched/null centroids: the NaN-vs-real ordering
+    val centsReal = spark.sql(
+      """SELECT * FROM VALUES
+           ('a', array(0.0D, 0.0D)),
+           ('b', array(cast('NaN' AS double), 0.0D))
+         AS t(cluster, cv)""")
+    assignBoth(emb, centsReal)
+  }
+
+  test("nearest_centroid ≡ HOF: rounding-tie boundary and fast-reject " +
+      "margin (Δd2 of 4.8e-7 / 1.2e-6 / 3e-6 around the incumbent)") {
+    GraftFunctions.ensure(spark)
+    val emb = Seq((1L, Array(0.0)), (2L, Array(0.5))).toDF("vec_id", "embedding")
+    // relative to v=[0.0]: zz d2=1.0; aa d2≈1.00000048 (rounds to the
+    // SAME 1e-6 grid point → tie → 'aa' < 'zz' wins); bb ≈ +1.2e-6
+    // (rounds above → loses, inside the 2e-6 slow-path window);
+    // cc ≈ +3e-6 (fast-rejected without rounding); dd clearly best,
+    // placed LAST to force a late replacement of the incumbent
+    val cents = Seq(
+      ("zz", Array(-1.0)),
+      ("aa", Array(-1.00000024)),
+      ("bb", Array(-1.0000006)),
+      ("cc", Array(-1.0000015)),
+      ("dd", Array(0.9))).toDF("cluster", "cv")
+    assignBoth(emb, cents)
+    // same grid, reversed centroid order (order independence of argmin)
+    assignBoth(emb, cents.orderBy(desc("cluster")))
+  }
 }
