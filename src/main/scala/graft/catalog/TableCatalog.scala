@@ -101,10 +101,22 @@ final class TableCatalog(spark: SparkSession, root: String,
   private def versionDir(layer: String, table: String, v: Int) =
     new Path(path(layer, table), f"_v/$v%05d")
 
-  /** Committed version number, if the table is versioned. */
+  /** Committed version number, if the table is versioned.
+    *
+    * The pointer is read through the RAW (checksum-free) filesystem when
+    * the scheme has a crc-sidecar wrapper: local `ChecksumFileSystem`
+    * renames data file and `.crc` in TWO steps, so a lock-free reader
+    * racing the atomic pointer swap can see the new `_CURRENT` beside the
+    * old crc and throw ChecksumException — a local-FS artifact (HDFS/S3
+    * renames carry no client-side sidecar). The data rename itself IS
+    * atomic, and a 5-byte fsynced pointer parsed to an int needs no crc.
+    */
   def currentVersion(layer: String, table: String): Option[Int] = {
     val ptr = pointerPath(layer, table)
-    val fs = hadoopFs(ptr)
+    val fs = hadoopFs(ptr) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case x => x
+    }
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
@@ -388,6 +400,21 @@ final class TableCatalog(spark: SparkSession, root: String,
     * broken after `staleLockMs`; acquisition times out rather than spin
     * forever. The lock guards only METADATA (a pointer write and version
     * deletes) — data writes never hold it, so contention is microseconds.
+    *
+    * Acquisition is FIFO, not a free-for-all: a bare rename race lets a
+    * verb that re-acquires in a tight loop (a vacuum storm, an OCC commit
+    * retry burst) land its next rename inside the 5ms window before any
+    * queued waiter re-polls, starving the waiter into timeout no matter
+    * how generous the timeout is (observed: `pinVersion` timing out at
+    * 30s under a same-JVM vacuum loop on a CPU-saturated box). So every
+    * contender first queues an intent file (`_LOCK.wait.<ms>_<pid>_<id>`,
+    * zero-padded ms so lexicographic order == arrival order) and only
+    * attempts the rename CAS while its intent is the OLDEST live one —
+    * the storm's next iteration queues a YOUNGER intent and defers. An
+    * intent whose owning process is dead is swept by any contender (the
+    * same PID-liveness rule as version pins); a live process can't leak
+    * one (delete is finally-guarded). Uncontended cost is one extra
+    * create+list+delete on the metadata dir.
     */
   private def withTableLock[A](layer: String, table: String,
       timeoutMs: Long = 30000, staleLockMs: Long = 60000)(body: => A): A = {
@@ -397,16 +424,23 @@ final class TableCatalog(spark: SparkSession, root: String,
     fs.mkdirs(dir)
     val fc = org.apache.hadoop.fs.FileContext
       .getFileContext(lock.toUri, spark.sessionState.newHadoopConf())
-    val tmp = new Path(dir, "_LOCK.tmp" +
-      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = new Path(dir, "_LOCK.tmp" + id)
+    val intent = new Path(dir, f"_LOCK.wait.${System.currentTimeMillis()}%013d" +
+      s"_${ProcessHandle.current().pid()}_$id")
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     try {
       val o = fs.create(tmp, true)
       try o.write('1') finally o.close()
+      val oi = fs.create(intent, true)
+      try oi.write('1') finally oi.close()
       while (!held) {
-        try { fc.rename(tmp, lock); held = true }
-        catch { case _: java.io.IOException =>
+        if (oldestLiveIntent(fs, dir).contains(intent.getName)) {
+          try { fc.rename(tmp, lock); held = true }
+          catch { case _: java.io.IOException => () } // lock held; fall through
+        }
+        if (!held) {
           val stale = (try Some(fs.getFileStatus(lock))
             catch { case _: java.io.FileNotFoundException => None })
             .exists(st => System.currentTimeMillis() -
@@ -420,9 +454,37 @@ final class TableCatalog(spark: SparkSession, root: String,
       }
       body
     } finally {
-      if (held) fs.delete(lock, false)
+      // intent goes first so that the instant the lock frees, the true
+      // oldest waiter sees itself at the head and proceeds without a
+      // stale-head detour
+      fs.delete(intent, false)
       fs.delete(tmp, false)
+      if (held) fs.delete(lock, false)
     }
+  }
+
+  /** Head of the `_LOCK.wait.*` FIFO among intents with a LIVE owner;
+    * dead-owner intents are swept as a side effect. None = empty queue.
+    */
+  private def oldestLiveIntent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[String] = {
+    val re = "_LOCK\\.wait\\.([0-9]{13})_([0-9]+)_.*".r
+    val live = fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case re(_, pid) =>
+          val alive =
+            try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+              .orElse(false)
+            catch { case _: Throwable => true } // unknowable → honor intent
+          if (alive) Some(p.getName)
+          else {
+            try fs.delete(p, false) catch { case _: Throwable => () }
+            None
+          }
+        case _ => None
+      }
+    }
+    if (live.isEmpty) None else Some(live.min)
   }
 
   /** OPTIMISTIC ACID overwrite — the multi-writer commit the single-writer
@@ -765,9 +827,17 @@ final class TableCatalog(spark: SparkSession, root: String,
     * Scale: pure metadata — one listing plus one recursive delete per
     * reclaimed version; table bytes are never read.
     */
-  def vacuum(layer: String, table: String, keepLast: Int): Seq[Int] =
+  def vacuum(layer: String, table: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must retain at least the live version")
+    // Lock-free no-op fast path: a periodic vacuum sweeping many tables
+    // mostly finds nothing past retention — don't contend the metadata
+    // lock (against live committers/restores) just to learn that. Pins
+    // only SHRINK the set, so an empty pre-check is conclusive; a
+    // non-empty one is advisory and recomputed under the lock.
+    if (versions(layer, table).dropRight(keepLast)
+        .filterNot(currentVersion(layer, table).contains).isEmpty)
+      return Seq.empty
     withTableLock(layer, table) {
-      require(keepLast >= 1, "must retain at least the live version")
       val cur = currentVersion(layer, table)
       val pinned = pinnedVersions(layer, table)
       val fs = hadoopFs(new Path(path(layer, table)))
@@ -777,6 +847,7 @@ final class TableCatalog(spark: SparkSession, root: String,
       dropped.foreach(v => fs.delete(versionDir(layer, table, v), true))
       dropped
     }
+  }
 
   /** Version pins: a copier-side lease that keeps ONE retained snapshot
     * safe from reclamation while a long-running copy (RESTORE / CLONE)

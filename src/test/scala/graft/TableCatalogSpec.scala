@@ -773,6 +773,21 @@ class TableCatalogSpec extends SparkSpec {
       "restore leaked a pin")
   }
 
+  test("no-op vacuum is lock-free: returns immediately even while a fresh " +
+      "foreign _LOCK is held") {
+    val cat = new TableCatalog(spark, tmpDir("cat-noop"), keepVersions = 16)
+    cat.overwrite(Seq(1).toDF("x"), "silver", "t")
+    // a fresh (non-stale) foreign lock: any acquisition would block the
+    // full 30s timeout, so a fast return proves the lock was never taken
+    val lock = java.nio.file.Paths.get(cat.path("silver", "t"), "_LOCK")
+    java.nio.file.Files.write(lock, "1".getBytes)
+    try {
+      val t0 = System.nanoTime()
+      assert(cat.vacuum("silver", "t", keepLast = 1) === Seq.empty)
+      assert(System.nanoTime() - t0 < 10e9, "no-op vacuum waited on the lock")
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   test("clone races source commits + vacuum: pinned live snapshot survives " +
       "being aged out of retention mid-copy") {
     val cat = new TableCatalog(spark, tmpDir("cat-crace"), keepVersions = 2)
