@@ -58,9 +58,12 @@ object KMeans {
     // formulation it replaced, kept below as `assignStepHof` for the
     // element-for-element equivalence spec, paid k interpreted lambdas
     // plus an O(k log k) struct sort per row and dominated scaled-k fits)
+    // the raw vector column goes in un-cast: the kernel reads float OR
+    // double elements natively (float→double widening is exact), so the
+    // hot path carries zero per-element lambda dispatches
     emb.crossJoin(broadcast(centArr))
       .withColumn("best",
-        call_function("nearest_centroid", toDouble(col(vecCol)), col("cents")))
+        call_function("nearest_centroid", col(vecCol), col("cents")))
       .withColumn("cluster", col("best")("cluster"))
       .withColumn("d2", col("best")("d2"))
       .drop("best", "cents")

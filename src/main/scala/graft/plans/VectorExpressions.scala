@@ -384,9 +384,17 @@ case class NearestCentroid(vec: Expression, cents: Expression)
     case _ => null
   }
 
+  // the vector side reads float OR double elements natively — the
+  // widening is exact, so skipping the cast-transform keeps the hot path
+  // free of per-element lambda dispatch without changing a single bit
+  private lazy val vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val vecOk = vec.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     }
     val centsOk = centStruct != null && centStruct.length == 2 &&
@@ -396,7 +404,7 @@ case class NearestCentroid(vec: Expression, cents: Expression)
       })
     if (vecOk && centsOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "nearest_centroid expects (array<double>, array<struct<cluster, " +
+      "nearest_centroid expects (array<float|double>, array<struct<cluster, " +
         s"array<double>>>), got (${vec.dataType.simpleString}, " +
         s"${cents.dataType.simpleString})")
   }
@@ -453,7 +461,9 @@ case class NearestCentroid(vec: Expression, cents: Expression)
         while (!d2Null && j < n) {
           if (va.isNullAt(j) || cva.isNullAt(j)) d2Null = true
           else {
-            val d = va.getDouble(j) - cva.getDouble(j)
+            val x = if (vecIsFloat) va.getFloat(j).toDouble
+                    else va.getDouble(j)
+            val d = x - cva.getDouble(j)
             d2 += d * d
             j += 1
           }

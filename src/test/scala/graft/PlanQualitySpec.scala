@@ -241,4 +241,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("md5_poly_hash"), plan)
     assert(!plan.contains("lambdafunction"), plan)
   }
+
+  test("kmeans assignStep: fused nearest_centroid argmin over a broadcast " +
+      "centroid array — no HOF sort, no corpus exchange") {
+    import graft.operators.KMeans
+    val emb = Tables.embeddings(spark, sf)
+    val df = KMeans.assignStep(emb, KMeans.labelCentroids(emb, "label"))
+    df.collect()
+    val plan = planString(df)
+    val argminLines = plan.linesIterator
+      .filter(_.contains("nearest_centroid")).toSeq
+    assert(argminLines.nonEmpty, plan)
+    // the replaced formulation's fingerprints: per-row lambda dispatch
+    // (incl. the float→double cast transform the kernel absorbed) and an
+    // O(k log k) array_sort. labelCentroids' own posexplode lambda is the
+    // centroid-AVERAGING side, outside the per-row argmin under test.
+    assert(argminLines.forall(!_.contains("lambdafunction")), plan)
+    assert(!plan.contains("array_sort"), plan)
+    // the 1-row centroid array reaches the corpus by BROADCAST — the
+    // corpus itself never shuffles (the only exchanges in the plan are
+    // the k-row centroid aggregation's own)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
