@@ -483,8 +483,12 @@ case class NearestCentroid(vec: Expression, cents: Expression)
       } else if (!bestDrNull) {
         // fast reject: > 2e-6 above the incumbent's rounded key cannot
         // round to ≤ it; NaN incumbent must take the slow path (any real
-        // candidate beats it, but NaN arithmetic fails the fast test)
-        if (java.lang.Double.isNaN(bestDr) || d2 - bestDr <= 2e-6) {
+        // candidate beats it, but NaN arithmetic fails the fast test);
+        // +Inf vs +Inf incumbent likewise (Inf − Inf = NaN fails the
+        // margin test, but the HOF sort ties the two and falls to the
+        // cluster tie-break)
+        if (java.lang.Double.isNaN(bestDr) || d2 - bestDr <= 2e-6 ||
+            (java.lang.Double.isInfinite(d2) && d2 == bestDr)) {
           val dr = round6(d2)
           val cmp = java.lang.Double.compare(dr, bestDr)
           if (cmp < 0 || (cmp == 0 && clusterLt(cl, bestCl))) {

@@ -187,6 +187,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assignBoth(emb, centsReal)
   }
 
+  test("property: nearest_centroid ≡ HOF under a seeded adversarial corpus " +
+      "(random NaN/Inf/null elements, null vectors, mixed centroid lengths)") {
+    GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(101)
+    val dims = 12
+    def value(): Double = rnd.nextInt(20) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => 0.0
+      // coarse grid makes exact d2 ties and 1e-6 rounding collisions
+      // likely instead of astronomically rare
+      case _ => rnd.nextInt(7) * 1e-6 + rnd.nextInt(3) * 0.25
+    }
+    val emb = Seq.tabulate(500)(i => (i.toLong, Array.fill(dims)(value())))
+      .toDF("vec_id", "raw")
+      .withColumn("embedding",
+        when(pmod(xxhash64(col("vec_id")), lit(19)) === 0,
+          lit(null).cast("array<double>"))
+          .otherwise(transform(col("raw"), (x, j) =>
+            when(pmod(xxhash64(col("vec_id"), j), lit(23)) === 0,
+              lit(null)).otherwise(x))))
+    // 24 centroids: a few mismatched lengths (null-d2 path), one null id,
+    // values from the same collision-rich grid
+    val cents = Seq.tabulate(24) { i =>
+      val len = if (i % 11 == 10) dims + 1 else dims
+      (if (i == 17) null else f"c$i%02d", Array.fill(len)(value()))
+    }.toDF("cluster", "cv")
+      .withColumn("cv", transform(col("cv"), (x, j) =>
+        when(pmod(xxhash64(col("cluster"), j), lit(29)) === 0,
+          lit(null)).otherwise(x)))
+    assignBoth(emb, cents)
+    assignBoth(emb, cents.orderBy(desc("cluster")))
+  }
+
+  test("nearest_centroid ≡ HOF: two +Inf distances tie and fall to the " +
+      "cluster tie-break (Inf−Inf = NaN must not skip the slow path)") {
+    GraftFunctions.ensure(spark)
+    val emb = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    // both centroids give d2 = +Inf; 'z' is FIRST in array order but the
+    // tie must resolve to 'a' exactly as the HOF rank-sort does
+    val cents = Seq(
+      ("z", Array(Double.PositiveInfinity, 0.0)),
+      ("a", Array(Double.NegativeInfinity, 0.0))).toDF("cluster", "cv")
+    assignBoth(emb, cents)
+    assignBoth(emb, cents.orderBy(desc("cluster")))
+    assignBoth(emb, cents.orderBy(asc("cluster")))
+  }
+
   test("nearest_centroid ≡ HOF: rounding-tie boundary and fast-reject " +
       "margin (Δd2 of 4.8e-7 / 1.2e-6 / 3e-6 around the incumbent)") {
     GraftFunctions.ensure(spark)
