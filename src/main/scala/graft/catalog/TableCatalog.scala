@@ -95,6 +95,39 @@ final class TableCatalog(spark: SparkSession, root: String,
   private def hadoopFs(p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** The checksum-free view of `p`'s filesystem: the pointer protocol
+    * reads and writes `_CURRENT` raw (see `currentVersion` scaladoc —
+    * local ChecksumFileSystem's crc sidecar renames are not atomic with
+    * the data rename, and a 5-byte fsynced int needs no crc). */
+  private def rawFs(p: Path): org.apache.hadoop.fs.FileSystem =
+    hadoopFs(p) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case x => x
+    }
+
+  /** Atomically replace `dst` with `tmp`. On the local scheme this MUST
+    * be an actual rename(2): Hadoop's FileContext rename with
+    * Rename.OVERWRITE on LocalFs is implemented as delete-then-rename,
+    * which exposes a window where `dst` does not exist — a lock-free
+    * reader racing a pointer swap observed exactly that
+    * (FileNotFoundException on `_CURRENT` under a commit storm). NIO
+    * ATOMIC_MOVE is the real thing locally; HDFS-like schemes keep the
+    * FileContext path, whose rename is atomic server-side.
+    */
+  private def atomicReplace(tmp: Path, dst: Path): Unit = {
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    if (scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, spark.sessionState.newHadoopConf())
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   private def pointerPath(layer: String, table: String) =
     new Path(path(layer, table), "_CURRENT")
 
@@ -110,26 +143,39 @@ final class TableCatalog(spark: SparkSession, root: String,
     * old crc and throw ChecksumException — a local-FS artifact (HDFS/S3
     * renames carry no client-side sidecar). The data rename itself IS
     * atomic, and a 5-byte fsynced pointer parsed to an int needs no crc.
+    *
+    * The exists→open pair retries briefly on FileNotFoundException:
+    * `atomicReplace` makes the local swap a true rename(2), but on a
+    * scheme whose overwrite-rename is delete+rename the pointer can
+    * vanish for an instant — a reader must treat that as "mid-swap",
+    * never as "table gone".
     */
   def currentVersion(layer: String, table: String): Option[Int] = {
     val ptr = pointerPath(layer, table)
-    val fs = hadoopFs(ptr) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case x => x
-    }
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
+    val fs = rawFs(ptr)
+    var attempts = 0
+    while (true) {
+      if (!fs.exists(ptr)) return None
       try {
-        // read to EOF — a single read() may legally return a prefix, which
-        // would silently parse a truncated (stale) version number
-        val bos = new java.io.ByteArrayOutputStream(32)
-        val buf = new Array[Byte](32)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim.toInt)
-      } finally in.close()
+        val in = fs.open(ptr)
+        try {
+          // read to EOF — a single read() may legally return a prefix,
+          // which would silently parse a truncated (stale) version number
+          val bos = new java.io.ByteArrayOutputStream(32)
+          val buf = new Array[Byte](32)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          return Some(
+            new String(bos.toByteArray, StandardCharsets.UTF_8).trim.toInt)
+        } finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts > 100) throw e // not a swap window; surface it
+          Thread.sleep(2)
+      }
     }
+    None // unreachable
   }
 
   /** All retained snapshot versions (ascending). */
@@ -326,21 +372,12 @@ final class TableCatalog(spark: SparkSession, root: String,
     */
   private def publishVersion(layer: String, table: String, next: Int,
       prevCommitted: Option[Int]): Unit = {
-    // atomic pointer swap
-    val ptr = pointerPath(layer, table)
-    val tmp = new Path(ptr.toString + ".__tmp")
-    val fs = hadoopFs(ptr)
-    val outStream = fs.create(tmp, true)
-    try {
-      outStream.write(f"$next%05d".getBytes(StandardCharsets.UTF_8))
-      outStream.hsync()
-    } finally outStream.close()
-    // FileContext rename with OVERWRITE replaces the pointer in one atomic
-    // step — no instant where _CURRENT is missing (a plain delete+rename
-    // would expose one to concurrent readers)
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(ptr.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // atomic pointer swap — a true rename(2) locally (atomicReplace):
+    // FileContext's OVERWRITE rename on LocalFs is delete+rename, which
+    // would expose an instant where _CURRENT is missing to lock-free
+    // readers
+    writePointer(layer, table, next)
+    val fs = hadoopFs(pointerPath(layer, table))
     // retention vacuum — never touches the version just committed, the
     // keepVersions-1 before it, or a version a live RESTORE/CLONE has
     // pinned mid-copy
@@ -377,20 +414,19 @@ final class TableCatalog(spark: SparkSession, root: String,
   private def latestCommitted(layer: String, table: String): Option[Int] =
     versions(layer, table).lastOption
 
-  /** fsync-then-atomic-rename of the `_CURRENT` pointer to `v`. */
+  /** fsync-then-atomic-rename of the `_CURRENT` pointer to `v`. Raw
+    * (checksum-free) on both ends — see `rawFs`/`atomicReplace`. */
   private def writePointer(layer: String, table: String, v: Int): Unit = {
     val ptr = pointerPath(layer, table)
     val tmp = new Path(ptr.toString + ".__tmp" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    val fs = hadoopFs(ptr)
+    val fs = rawFs(ptr)
     val outStream = fs.create(tmp, true)
     try {
       outStream.write(f"$v%05d".getBytes(StandardCharsets.UTF_8))
       outStream.hsync()
     } finally outStream.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(ptr.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(tmp, ptr)
   }
 
   /** Serialize pointer advance + vacuum across writers via a `_LOCK` file
