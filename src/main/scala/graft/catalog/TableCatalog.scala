@@ -636,33 +636,47 @@ final class TableCatalog(spark: SparkSession, root: String,
       value: String): Unit = {
     require(key.matches("[A-Za-z0-9_.-]+"), s"tag key '$key' not filename-safe")
     val tag = new Path(path(layer, table), s"_TAG_$key")
-    val tmp = new Path(tag.toString + ".__tmp")
-    val fs = hadoopFs(tag)
+    // same raw+atomic protocol as the _CURRENT pointer: checksum-free on
+    // both ends, unique tmp, true rename(2) locally — a tag reader (the
+    // incremental gold sink's watermark check) races this writer across
+    // micro-batches exactly like pointer readers race commits
+    val tmp = new Path(tag.toString + ".__tmp" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = rawFs(tag)
     val out = fs.create(tmp, true)
     try {
       out.write(value.getBytes(StandardCharsets.UTF_8))
       out.hsync()
     } finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(tag.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, tag, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(tmp, tag)
   }
 
   /** Read a tag written by `writeTag`; None when absent. */
   def readTag(layer: String, table: String, key: String): Option[String] = {
     val tag = new Path(path(layer, table), s"_TAG_$key")
-    val fs = hadoopFs(tag)
-    if (!fs.exists(tag)) None
-    else {
-      val in = fs.open(tag)
+    // raw + FNF-retry for the same reasons as currentVersion: tags are
+    // swap-replaced files with lock-free readers
+    val fs = rawFs(tag)
+    var attempts = 0
+    while (true) {
+      if (!fs.exists(tag)) return None
       try {
-        val bos = new java.io.ByteArrayOutputStream(64)
-        val buf = new Array[Byte](64)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim)
-      } finally in.close()
+        val in = fs.open(tag)
+        try {
+          val bos = new java.io.ByteArrayOutputStream(64)
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          return Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts > 100) throw e // not a swap window; surface it
+          Thread.sleep(2)
+      }
     }
+    None // unreachable
   }
 
   /** True when the flat (non-versioned) table dir holds any data — an
