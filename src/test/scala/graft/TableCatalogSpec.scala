@@ -773,6 +773,27 @@ class TableCatalogSpec extends SparkSpec {
       "restore leaked a pin")
   }
 
+  test("tag swap storm: a reader racing 500 writeTag replacements always " +
+      "sees some complete value — no FNF, no torn read") {
+    val cat = new TableCatalog(spark, tmpDir("cat-tagrace"), keepVersions = 4)
+    cat.overwrite(Seq(1).toDF("x"), "silver", "t")
+    cat.writeTag("silver", "t", "wm", "0")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val reader = new Thread(() =>
+      try while (!stop) {
+        // every read must parse as one of the written integers — a torn
+        // or missing read throws / fails the parse
+        val v = cat.readTag("silver", "t", "wm")
+        assert(v.isDefined && v.get.toInt >= 0)
+      } catch { case e: Throwable => errs.add(e) })
+    reader.start()
+    try (1 to 500).foreach(i => cat.writeTag("silver", "t", "wm", i.toString))
+    finally { stop = true; reader.join(30000) }
+    assert(errs.isEmpty, s"reader failed: ${errs.peek()}")
+    assert(cat.readTag("silver", "t", "wm") === Some("500"))
+  }
+
   test("no-op vacuum is lock-free: returns immediately even while a fresh " +
       "foreign _LOCK is held") {
     val cat = new TableCatalog(spark, tmpDir("cat-noop"), keepVersions = 16)
