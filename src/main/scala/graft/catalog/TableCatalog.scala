@@ -105,6 +105,12 @@ final class TableCatalog(spark: SparkSession, root: String,
       case x => x
     }
 
+  /** True when `p` resolves to the local filesystem — judged from the
+    * RESOLVED FileSystem, not the raw URI: a scheme-less path under a
+    * non-local fs.defaultFS is NOT local. */
+  private def isLocalScheme(p: Path): Boolean =
+    hadoopFs(p).getUri.getScheme == "file"
+
   /** Atomically replace `dst` with `tmp`. On the local scheme this MUST
     * be an actual rename(2): Hadoop's FileContext rename with
     * Rename.OVERWRITE on LocalFs is implemented as delete-then-rename,
@@ -115,8 +121,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     * FileContext path, whose rename is atomic server-side.
     */
   private def atomicReplace(tmp: Path, dst: Path): Unit = {
-    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
-    if (scheme == "file")
+    if (isLocalScheme(dst))
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
@@ -126,6 +131,64 @@ final class TableCatalog(spark: SparkSession, root: String,
       org.apache.hadoop.fs.FileContext
         .getFileContext(dst.toUri, spark.sessionState.newHadoopConf())
         .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Write a swap-replaced metadata file (the `_CURRENT` pointer, a
+    * `_TAG_*`): raw checksum-free tmp with a unique name, fsync, then
+    * `atomicReplace`. */
+  private def writeSwapFile(p: Path, value: String): Unit = {
+    val tmp = new Path(p.toString + ".__tmp" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = rawFs(p)
+    val out = fs.create(tmp, true)
+    try {
+      out.write(value.getBytes(StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
+    atomicReplace(tmp, p)
+  }
+
+  /** Read a swap-replaced metadata file to EOF; None when absent. Raw
+    * checksum-free (a crc sidecar cannot swap atomically with its data
+    * file), and mid-swap tolerant: on FileNotFoundException it retries
+    * briefly, and on a NON-local scheme — where overwrite-rename may be
+    * delete+rename — an absent file is re-checked a few times before
+    * being believed, because "absent" there can mean "mid-swap". On the
+    * local scheme the swap is a true rename(2) (atomicReplace), so
+    * absence is conclusive and the common absent-pointer probe stays a
+    * single exists() call.
+    */
+  private def readSwapFile(p: Path): Option[String] = {
+    val fs = rawFs(p)
+    val absentConfirms = if (isLocalScheme(p)) 0 else 3
+    var attempts = 0
+    var absentSeen = 0
+    while (true) {
+      if (!fs.exists(p)) {
+        if (absentSeen >= absentConfirms) return None
+        absentSeen += 1
+        Thread.sleep(2)
+      } else {
+        try {
+          val in = fs.open(p)
+          try {
+            // read to EOF — a single read() may legally return a prefix,
+            // which would silently parse a truncated (stale) value
+            val bos = new java.io.ByteArrayOutputStream(64)
+            val buf = new Array[Byte](64)
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            return Some(new String(bos.toByteArray, StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            attempts += 1
+            if (attempts > 100) throw e // not a swap window; surface it
+            Thread.sleep(2)
+        }
+      }
+    }
+    None // unreachable
   }
 
   private def pointerPath(layer: String, table: String) =
@@ -143,40 +206,11 @@ final class TableCatalog(spark: SparkSession, root: String,
     * old crc and throw ChecksumException — a local-FS artifact (HDFS/S3
     * renames carry no client-side sidecar). The data rename itself IS
     * atomic, and a 5-byte fsynced pointer parsed to an int needs no crc.
-    *
-    * The exists→open pair retries briefly on FileNotFoundException:
-    * `atomicReplace` makes the local swap a true rename(2), but on a
-    * scheme whose overwrite-rename is delete+rename the pointer can
-    * vanish for an instant — a reader must treat that as "mid-swap",
-    * never as "table gone".
+    * Mid-swap tolerance (FNF retry, non-local absent-confirm) lives in
+    * the shared `readSwapFile`.
     */
-  def currentVersion(layer: String, table: String): Option[Int] = {
-    val ptr = pointerPath(layer, table)
-    val fs = rawFs(ptr)
-    var attempts = 0
-    while (true) {
-      if (!fs.exists(ptr)) return None
-      try {
-        val in = fs.open(ptr)
-        try {
-          // read to EOF — a single read() may legally return a prefix,
-          // which would silently parse a truncated (stale) version number
-          val bos = new java.io.ByteArrayOutputStream(32)
-          val buf = new Array[Byte](32)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          return Some(
-            new String(bos.toByteArray, StandardCharsets.UTF_8).trim.toInt)
-        } finally in.close()
-      } catch {
-        case e: java.io.FileNotFoundException =>
-          attempts += 1
-          if (attempts > 100) throw e // not a swap window; surface it
-          Thread.sleep(2)
-      }
-    }
-    None // unreachable
-  }
+  def currentVersion(layer: String, table: String): Option[Int] =
+    readSwapFile(pointerPath(layer, table)).map(_.trim.toInt)
 
   /** All retained snapshot versions (ascending). */
   def versions(layer: String, table: String): Seq[Int] = {
@@ -393,11 +427,18 @@ final class TableCatalog(spark: SparkSession, root: String,
     // (until this commit, readers were still resolving the flat dir)
     if (prevCommitted.isDefined) {
       val tableDir = new Path(path(layer, table))
+      val now = System.currentTimeMillis()
       fs.listStatus(tableDir).foreach { st =>
         val nm = st.getPath.getName
-        if (nm != "_v" && !nm.startsWith("_CURRENT") && !nm.startsWith("_TAG_")
-            && !nm.startsWith("_staging") && !nm.startsWith("_LOCK")
-            && !nm.startsWith("_PIN_"))
+        val protectedName = nm == "_v" || nm.startsWith("_CURRENT") ||
+          nm.startsWith("_TAG_") || nm.startsWith("_staging") ||
+          nm.startsWith("_LOCK") || nm.startsWith("_PIN_")
+        // a swap tmp orphaned by a crash between create and rename would
+        // otherwise live forever under its protected prefix — reclaim
+        // once it is old enough that no in-flight swap can own it
+        val agedSwapTmp = nm.contains(".__tmp") &&
+          now - st.getModificationTime > 3600 * 1000L
+        if (!protectedName || agedSwapTmp)
           fs.delete(st.getPath, true)
       }
     }
@@ -414,20 +455,10 @@ final class TableCatalog(spark: SparkSession, root: String,
   private def latestCommitted(layer: String, table: String): Option[Int] =
     versions(layer, table).lastOption
 
-  /** fsync-then-atomic-rename of the `_CURRENT` pointer to `v`. Raw
-    * (checksum-free) on both ends — see `rawFs`/`atomicReplace`. */
-  private def writePointer(layer: String, table: String, v: Int): Unit = {
-    val ptr = pointerPath(layer, table)
-    val tmp = new Path(ptr.toString + ".__tmp" +
-      java.util.UUID.randomUUID().toString.replace("-", ""))
-    val fs = rawFs(ptr)
-    val outStream = fs.create(tmp, true)
-    try {
-      outStream.write(f"$v%05d".getBytes(StandardCharsets.UTF_8))
-      outStream.hsync()
-    } finally outStream.close()
-    atomicReplace(tmp, ptr)
-  }
+  /** fsync-then-atomic-rename of the `_CURRENT` pointer to `v` (the
+    * shared swap-file protocol). */
+  private def writePointer(layer: String, table: String, v: Int): Unit =
+    writeSwapFile(pointerPath(layer, table), f"$v%05d")
 
   /** Serialize pointer advance + vacuum across writers via a `_LOCK` file
     * taken by atomic no-overwrite rename (the same primitive as the
@@ -443,38 +474,58 @@ final class TableCatalog(spark: SparkSession, root: String,
     * queued waiter re-polls, starving the waiter into timeout no matter
     * how generous the timeout is (observed: `pinVersion` timing out at
     * 30s under a same-JVM vacuum loop on a CPU-saturated box). So every
-    * contender first queues an intent file (`_LOCK.wait.<ms>_<pid>_<id>`,
-    * zero-padded ms so lexicographic order == arrival order) and only
-    * attempts the rename CAS while its intent is the OLDEST live one —
-    * the storm's next iteration queues a YOUNGER intent and defers. An
-    * intent whose owning process is dead is swept by any contender (the
-    * same PID-liveness rule as version pins); a live process can't leak
-    * one (delete is finally-guarded). Uncontended cost is one extra
-    * create+list+delete on the metadata dir.
+    * contender first queues an intent file
+    * (`_LOCKQ/<padded-ms>_<pid>_<id>` — a dedicated subdir so the poll
+    * lists O(queue length), not O(table files); zero-padded ms so
+    * lexicographic order == arrival order) and only attempts the rename
+    * CAS while its intent is the OLDEST live one — the storm's next
+    * iteration queues a YOUNGER intent and defers. An intent whose
+    * owning process is dead is swept by any contender (the same
+    * PID-liveness rule as version pins), and an intent OLDER than
+    * `staleLockMs` is swept regardless of PID — the backstop against PID
+    * reuse making an orphan immortal (a legitimate waiter can't age
+    * that far: its own timeout fires first). A waiter whose intent was
+    * swept from under it (a misjudged sweep) re-creates it at the queue
+    * tail — liveness over fairness. A live process can't leak an intent
+    * (delete is finally-guarded). Uncontended cost is one extra
+    * create+list+delete on the small queue dir.
     */
   private def withTableLock[A](layer: String, table: String,
       timeoutMs: Long = 30000, staleLockMs: Long = 60000)(body: => A): A = {
     val dir = new Path(path(layer, table))
     val lock = new Path(dir, "_LOCK")
+    val lockq = new Path(dir, "_LOCKQ")
     val fs = hadoopFs(lock)
-    fs.mkdirs(dir)
+    fs.mkdirs(lockq)
     val fc = org.apache.hadoop.fs.FileContext
       .getFileContext(lock.toUri, spark.sessionState.newHadoopConf())
     val id = java.util.UUID.randomUUID().toString.replace("-", "")
     val tmp = new Path(dir, "_LOCK.tmp" + id)
-    val intent = new Path(dir, f"_LOCK.wait.${System.currentTimeMillis()}%013d" +
-      s"_${ProcessHandle.current().pid()}_$id")
+    def newIntent(): Path = {
+      val p = new Path(lockq, f"${System.currentTimeMillis()}%013d" +
+        s"_${ProcessHandle.current().pid()}_$id")
+      val o = fs.create(p, true)
+      try o.write('1') finally o.close()
+      p
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
+    var intent: Path = null
     var held = false
     try {
       val o = fs.create(tmp, true)
       try o.write('1') finally o.close()
-      val oi = fs.create(intent, true)
-      try oi.write('1') finally oi.close()
+      intent = newIntent()
       while (!held) {
-        if (oldestLiveIntent(fs, dir).contains(intent.getName)) {
-          try { fc.rename(tmp, lock); held = true }
-          catch { case _: java.io.IOException => () } // lock held; fall through
+        oldestLiveIntent(fs, lockq, staleLockMs) match {
+          case Some(head) if head == intent.getName =>
+            try { fc.rename(tmp, lock); held = true }
+            catch { case _: java.io.IOException => () } // held; fall through
+          case None =>
+            // queue read back empty yet ours was created: swept from
+            // under us (misjudged liveness/age) — re-queue at the tail
+            intent = newIntent()
+          case _ => // someone older is ahead; re-queue if ours was swept
+            if (!fs.exists(intent)) intent = newIntent()
         }
         if (!held) {
           val stale = (try Some(fs.getFileStatus(lock))
@@ -493,25 +544,27 @@ final class TableCatalog(spark: SparkSession, root: String,
       // intent goes first so that the instant the lock frees, the true
       // oldest waiter sees itself at the head and proceeds without a
       // stale-head detour
-      fs.delete(intent, false)
+      if (intent != null) fs.delete(intent, false)
       fs.delete(tmp, false)
       if (held) fs.delete(lock, false)
     }
   }
 
-  /** Head of the `_LOCK.wait.*` FIFO among intents with a LIVE owner;
-    * dead-owner intents are swept as a side effect. None = empty queue.
-    */
+  /** Head of the `_LOCKQ` FIFO among intents with a LIVE owner; dead-
+    * owner and over-age intents are swept as a side effect. None = empty
+    * queue. */
   private def oldestLiveIntent(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Option[String] = {
-    val re = "_LOCK\\.wait\\.([0-9]{13})_([0-9]+)_.*".r
-    val live = fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      lockq: Path, staleLockMs: Long): Option[String] = {
+    val re = "([0-9]{13})_([0-9]+)_.*".r
+    val now = System.currentTimeMillis()
+    val live = fs.listStatus(lockq).toSeq.map(_.getPath).flatMap { p =>
       p.getName match {
-        case re(_, pid) =>
-          val alive =
-            try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+        case re(ts, pid) =>
+          val overAge = now - ts.toLong > staleLockMs
+          val alive = !overAge &&
+            (try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
               .orElse(false)
-            catch { case _: Throwable => true } // unknowable → honor intent
+            catch { case _: Throwable => true }) // unknowable → honor intent
           if (alive) Some(p.getName)
           else {
             try fs.delete(p, false) catch { case _: Throwable => () }
@@ -635,49 +688,15 @@ final class TableCatalog(spark: SparkSession, root: String,
   def writeTag(layer: String, table: String, key: String,
       value: String): Unit = {
     require(key.matches("[A-Za-z0-9_.-]+"), s"tag key '$key' not filename-safe")
-    val tag = new Path(path(layer, table), s"_TAG_$key")
-    // same raw+atomic protocol as the _CURRENT pointer: checksum-free on
-    // both ends, unique tmp, true rename(2) locally — a tag reader (the
+    // same swap-file protocol as the _CURRENT pointer — a tag reader (the
     // incremental gold sink's watermark check) races this writer across
     // micro-batches exactly like pointer readers race commits
-    val tmp = new Path(tag.toString + ".__tmp" +
-      java.util.UUID.randomUUID().toString.replace("-", ""))
-    val fs = rawFs(tag)
-    val out = fs.create(tmp, true)
-    try {
-      out.write(value.getBytes(StandardCharsets.UTF_8))
-      out.hsync()
-    } finally out.close()
-    atomicReplace(tmp, tag)
+    writeSwapFile(new Path(path(layer, table), s"_TAG_$key"), value)
   }
 
   /** Read a tag written by `writeTag`; None when absent. */
-  def readTag(layer: String, table: String, key: String): Option[String] = {
-    val tag = new Path(path(layer, table), s"_TAG_$key")
-    // raw + FNF-retry for the same reasons as currentVersion: tags are
-    // swap-replaced files with lock-free readers
-    val fs = rawFs(tag)
-    var attempts = 0
-    while (true) {
-      if (!fs.exists(tag)) return None
-      try {
-        val in = fs.open(tag)
-        try {
-          val bos = new java.io.ByteArrayOutputStream(64)
-          val buf = new Array[Byte](64)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          return Some(new String(bos.toByteArray, StandardCharsets.UTF_8).trim)
-        } finally in.close()
-      } catch {
-        case e: java.io.FileNotFoundException =>
-          attempts += 1
-          if (attempts > 100) throw e // not a swap window; surface it
-          Thread.sleep(2)
-      }
-    }
-    None // unreachable
-  }
+  def readTag(layer: String, table: String, key: String): Option[String] =
+    readSwapFile(new Path(path(layer, table), s"_TAG_$key")).map(_.trim)
 
   /** True when the flat (non-versioned) table dir holds any data — an
     * orphaned `_v` from a crashed first overwrite does NOT count, so a

@@ -361,16 +361,24 @@ case class ScalarQuantizeStruct(child: Expression)
   * Divergence (unreachable from assignStep): an EMPTY centroid array
   * yields null where ANSI element_at(…, 1) would raise — assignStep's
   * aggregated collect_list is never empty for a nonempty centroid table.
-  * Ties on (rounded d2, cluster) cannot occur because cluster ids are
-  * group-by keys (unique), so the third sort field of the old struct
-  * (raw d2) never decided an ordering and is not consulted here.
+  * A full (rounded d2, cluster) tie falls to the struct's third sort
+  * field, the RAW d2 — reachable when cluster ids repeat (fit seeds
+  * cluster ids from corpus ids via orderBy(xxhash64).limit(k), and a
+  * dirty corpus can carry duplicate ids), with the incumbent kept on an
+  * exact raw tie (array_sort is stable).
   *
   * The rounding itself is BigDecimal-based (expensive), so the loop only
-  * rounds candidates within 2e-6 of the incumbent: rounding moves a
-  * value by at most 5e-7, so a candidate more than 2e-6 above the
-  * incumbent's rounded key cannot round below-or-equal to it — on real
-  * data almost every centroid is rejected by the raw-double compare and
-  * the BigDecimal path runs O(1) times per row.
+  * rounds candidates within 2e-6 of the incumbent. That fixed margin is
+  * sound at EVERY magnitude, by two regimes: (a) ulp(x) ≤ 1e-6 — the
+  * 6-decimal rounding moves the exact value ≤5e-7 and its nearest-double
+  * round-trip adds ≤ulp/2 ≤ 5e-7, so |round6(x)−x| ≤ 1e-6 and a collapse
+  * round6(y) ≤ round6(x) forces y−x ≤ 2e-6; (b) ulp(x) > 1e-6 (x ≳ 2^33)
+  * — the 6-decimal rounding lands within 5e-7 < ulp/2 of x, so its
+  * nearest double IS x: round6 is the identity, distinct doubles never
+  * collapse, and the rounded compare degenerates to the raw compare
+  * (verified by scanning 20k consecutive-double pairs at 2e10: zero
+  * collapses). On real data almost every centroid is rejected by the
+  * raw-double compare and the BigDecimal path runs O(1) times per row.
   */
 case class NearestCentroid(vec: Expression, cents: Expression)
     extends BinaryExpression
@@ -482,7 +490,8 @@ case class NearestCentroid(vec: Expression, cents: Expression)
         else if (clusterLt(cl, bestCl)) { bestCl = cl; bestDraw = null }
       } else if (!bestDrNull) {
         // fast reject: > 2e-6 above the incumbent's rounded key cannot
-        // round to ≤ it; NaN incumbent must take the slow path (any real
+        // round to ≤ it at ANY magnitude (two-regime proof in the
+        // scaladoc); NaN incumbent must take the slow path (any real
         // candidate beats it, but NaN arithmetic fails the fast test);
         // +Inf vs +Inf incumbent likewise (Inf − Inf = NaN fails the
         // margin test, but the HOF sort ties the two and falls to the
@@ -491,7 +500,15 @@ case class NearestCentroid(vec: Expression, cents: Expression)
             (java.lang.Double.isInfinite(d2) && d2 == bestDr)) {
           val dr = round6(d2)
           val cmp = java.lang.Double.compare(dr, bestDr)
-          if (cmp < 0 || (cmp == 0 && clusterLt(cl, bestCl))) {
+          // full-key mirror of the HOF struct sort (dr, cluster, draw):
+          // equal rounded keys fall to the cluster tie-break; equal
+          // clusters (duplicate ids) fall to the RAW d2; an exact raw tie
+          // keeps the incumbent (array_sort stability)
+          val clustersEqual = !clusterLt(cl, bestCl) && !clusterLt(bestCl, cl)
+          val wins = cmp < 0 || (cmp == 0 && (clusterLt(cl, bestCl) ||
+            (clustersEqual && java.lang.Double.compare(d2,
+              bestDraw.asInstanceOf[java.lang.Double].doubleValue()) < 0)))
+          if (wins) {
             bestCl = cl; bestDr = dr
             bestDraw = java.lang.Double.valueOf(d2)
           }

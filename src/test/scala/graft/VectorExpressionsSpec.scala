@@ -221,6 +221,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assignBoth(emb, cents.orderBy(desc("cluster")))
   }
 
+  test("nearest_centroid ≡ HOF: DUPLICATE cluster ids (fit seeds from a " +
+      "dirty corpus) fall to the raw-d2 third sort key on a rounded tie") {
+    GraftFunctions.ensure(spark)
+    val emb = Seq((1L, Array(0.0))).toDF("vec_id", "embedding")
+    // both d2 round to 9.000000 at scale 6 but raw values differ; the
+    // LARGER raw comes first in array order, so keeping the incumbent on
+    // a (dr, cluster) tie would report the wrong raw d2
+    val cents = Seq(
+      ("dup", Array(-3.00000007)),
+      ("dup", Array(3.00000002))).toDF("cluster", "cv")
+    assignBoth(emb, cents)
+    assignBoth(emb, cents.orderBy(col("cv")(0)))
+  }
+
+  test("nearest_centroid ≡ HOF at d2 ~ 2e10: above 2^33 round6 is the " +
+      "identity (ulp/2 > 5e-7), so the rounded compare degenerates to raw") {
+    GraftFunctions.ensure(spark)
+    val emb = Seq((1L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val a = math.sqrt(2e10)
+    // d2 values a few ulps (of 2e10) apart, cluster names opposing array
+    // order — pins the large-magnitude regime of the fast-reject margin
+    // proof (no rounding collisions exist here; winners follow raw d2)
+    val cents = (0 to 6).map { i =>
+      (f"c${9 - i}", Array(a, math.sqrt(i * 1.9e-6)))
+    }.toDF("cluster", "cv")
+    assignBoth(emb, cents)
+    assignBoth(emb, cents.orderBy(desc("cluster")))
+  }
+
   test("nearest_centroid ≡ HOF: two +Inf distances tie and fall to the " +
       "cluster tie-break (Inf−Inf = NaN must not skip the slow path)") {
     GraftFunctions.ensure(spark)
