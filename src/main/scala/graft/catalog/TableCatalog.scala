@@ -107,9 +107,13 @@ final class TableCatalog(spark: SparkSession, root: String,
 
   /** True when `p` resolves to the local filesystem — judged from the
     * RESOLVED FileSystem, not the raw URI: a scheme-less path under a
-    * non-local fs.defaultFS is NOT local. */
-  private def isLocalScheme(p: Path): Boolean =
-    hadoopFs(p).getUri.getScheme == "file"
+    * non-local fs.defaultFS is NOT local. Every table path derives from
+    * one `root`, so the answer is computed once per catalog instance —
+    * this sits on the per-read pointer path and must not clone a Hadoop
+    * conf each call. */
+  private lazy val rootIsLocal: Boolean =
+    hadoopFs(new Path(root)).getUri.getScheme == "file"
+  private def isLocalScheme(p: Path): Boolean = rootIsLocal
 
   /** Atomically replace `dst` with `tmp`. On the local scheme this MUST
     * be an actual rename(2): Hadoop's FileContext rename with
