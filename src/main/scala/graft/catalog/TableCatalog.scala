@@ -418,11 +418,18 @@ final class TableCatalog(spark: SparkSession, root: String,
     val fs = hadoopFs(pointerPath(layer, table))
     // retention vacuum — never touches the version just committed, the
     // keepVersions-1 before it, or a version a live RESTORE/CLONE has
-    // pinned mid-copy
-    val pinnedHere = pinnedVersions(layer, table)
-    versions(layer, table).dropRight(keepVersions)
-      .filterNot(pinnedHere.contains)
-      .foreach(v => fs.delete(versionDir(layer, table, v), true))
+    // pinned mid-copy. The pin read AND the deletes must sit under the
+    // table lock: pins are TAKEN under it, so a lockless sweep could read
+    // the pin set, lose the CPU while a pin lands, then delete the
+    // freshly-pinned version — the yanked-mid-copy race again, this time
+    // on the commit path instead of the vacuum verb.
+    if (versions(layer, table).dropRight(keepVersions).nonEmpty)
+      withTableLock(layer, table) {
+        val pinnedHere = pinnedVersions(layer, table)
+        versions(layer, table).dropRight(keepVersions)
+          .filterNot(pinnedHere.contains)
+          .foreach(v => fs.delete(versionDir(layer, table, v), true))
+      }
     // a previously-APPENDED table's flat files were superseded by the
     // first versioned commit (read() follows the pointer); give them one
     // commit cycle of grace for in-flight readers, then vacuum them too.
@@ -968,7 +975,10 @@ final class TableCatalog(spark: SparkSession, root: String,
     val fs = hadoopFs(dir)
     if (!fs.exists(dir)) Set.empty
     else {
-      val re = "_PIN_([0-9]{5})_([0-9]+)_.*".r
+      // {5,}: %05d PADS to 5 digits but prints 6+ past version 99,999 —
+      // a {5} cap would silently ignore (and never sweep) such pins,
+      // un-protecting exactly the long-lived tables that reach them
+      val re = "_PIN_([0-9]{5,})_([0-9]+)_.*".r
       fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
         p.getName match {
           case re(v, pid) =>

@@ -103,10 +103,14 @@ object GoldJob {
     }
     val dist = euclideanDeg(col("lat"), col("lon"),
       col("station_lat"), col("station_lon"))
-    // distance materializes ONCE (column first, filter on the column):
-    // filter-then-withColumn computed the sqrt/pow tree twice per
-    // candidate pair — filter and project are separate codegen operators,
-    // so common-subexpression elimination never sees across them
+    // NOTE: column-first-then-filter does NOT deduplicate the distance
+    // computation — Catalyst's PushPredicateThroughNonJoin substitutes
+    // the alias back and pushes the predicate below the Project, so the
+    // optimized plan evaluates the sqrt/pow tree in the join filter AND
+    // the projection, identically to filter-then-withColumn (verified on
+    // the executed plan). The form is kept for readability only; forcing
+    // a single evaluation would need a pipeline barrier, which costs more
+    // than the arithmetic it saves.
     fx.join(lw, Seq("cell"))
       .withColumn("distance_deg", dist)
       .filter(col("distance_deg") < radiusDeg)
@@ -236,10 +240,16 @@ object GoldJob {
     val wrote = catalog.overwriteIfNonEmpty(
       goldAlertsGrid(fires, weather, maxPairsPerCell),
       "gold", "fire_risk_alerts")
-    maxPairsPerCell.foreach { cap =>
-      catalog.overwriteIfNonEmpty(
-        goldDenseSummary(fires, weather, cap), "gold", "fire_risk_alert_cells")
-    }
+    // the cells summary refreshes on EVERY cycle, exact included: an
+    // exact cycle after a capped one would otherwise leave the previous
+    // corpus's is_dense certificates beside a pair table that now holds
+    // those cells' full pair sets — two gold tables disagreeing about
+    // which cells were culled. In exact mode the cap is ∞, so no cell is
+    // marked dense and consumers are told to trust the pair table alone.
+    catalog.overwriteIfNonEmpty(
+      goldDenseSummary(fires, weather,
+        maxPairsPerCell.getOrElse(Long.MaxValue)),
+      "gold", "fire_risk_alert_cells")
     wrote
   }
 

@@ -854,9 +854,14 @@ object Similarity {
       selected += best
     }
     import spark.implicits._
+    // same non-finite guard as r12: a NaN-relevance candidate CAN be
+    // selected (NaN sorts greatest under desc, and a pool ≤ k selects
+    // everything), and BigDecimal(NaN) throws
+    def r4(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     selected.zipWithIndex.map { case (id, i) =>
-      (i + 1, id, BigDecimal(rel(id)).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (i + 1, id, r4(rel(id)))
     }.toSeq.toDF("rank", "vec_id", "rel")
   }
 }

@@ -293,16 +293,26 @@ case class ScalarQuantizeStruct(child: Expression)
     var hi = Double.NaN
     var seen = false
     var i = 0
+    // min/max under SPARK's double ordering (the HOF's array_min/array_max):
+    // NaN sorts GREATEST, and -0.0 ties 0.0 (no update on a tie, so the
+    // first-encountered zero representation wins, as in Spark's fold) —
+    // a plain </> loop silently skips NaN and diverges from the reference
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = at(i)
         if (!seen) { lo = x; hi = x; seen = true }
-        else { if (x < lo) lo = x; if (x > hi) hi = x }
+        else {
+          if (if (x.isNaN) false else lo.isNaN || x < lo) lo = x
+          if (if (x.isNaN) !hi.isNaN else !hi.isNaN && x > hi) hi = x
+        }
       }
       i += 1
     }
     val codes = new Array[Any](n)
-    if (seen && hi == lo) {
+    // flat check mirrors SQL `hi === lo`, where NaN equals NaN (Spark's
+    // NaN semantics) — Java's primitive == would send an all-NaN vector
+    // down the scaled branch and hand its null elements 255 instead of 0
+    if (seen && (hi == lo || (hi.isNaN && lo.isNaN))) {
       java.util.Arrays.fill(codes.asInstanceOf[Array[AnyRef]],
         Integer.valueOf(0))
     } else if (seen) {
@@ -312,7 +322,10 @@ case class ScalarQuantizeStruct(child: Expression)
         codes(i) =
           if (arr.isNullAt(i)) Integer.valueOf(255) // least() skips null
           else {
-            val c = math.floor((at(i) - lo) * 256.0 / range).toLong.toInt
+            // .toInt IS Spark's non-ANSI double→int cast (NaN→0,
+            // ±Inf→Int.Max/Min); the previous .toLong.toInt mapped
+            // +Inf to -1 where the HOF's cast+least yields 255
+            val c = math.floor((at(i) - lo) * 256.0 / range).toInt
             Integer.valueOf(if (c > 255) 255 else c)
           }
         i += 1

@@ -102,9 +102,14 @@ class GoldJobSpec extends SparkSpec {
     assert(cat.read("gold", "fire_risk_alerts").count() === 5)
     assert(cat.read("gold", "fire_risk_alert_cells")
       .filter($"is_dense" === 1).count() === 0)
-    // the EXACT cycle is its own verb — uncapped flagship semantics
+    // the EXACT cycle is its own verb — uncapped flagship semantics, and
+    // it REFRESHES the cells summary (cap=∞ → nothing dense) so the two
+    // gold tables can never disagree about which cells were culled
     assert(GoldJob.runCycleExact(cat))
     assert(cat.read("gold", "fire_risk_alerts").count() === 5)
+    assert(cat.read("gold", "fire_risk_alert_cells")
+      .filter($"is_dense" === 1).count() === 0,
+      "exact cycle left a stale dense certificate behind")
   }
 
   test("serving queries over gold") {

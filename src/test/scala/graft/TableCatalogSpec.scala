@@ -737,6 +737,17 @@ class TableCatalogSpec extends SparkSpec {
     java.nio.file.Files.write(stale, "1".getBytes)
     assert(cat.vacuum("silver", "t", keepLast = 1) === Seq(3))
     assert(!java.nio.file.Files.exists(stale), "dead pin must be swept")
+    // 6+-digit versions: %05d WIDENS past 99,999 — the pin parser must
+    // keep matching or such pins silently protect nothing
+    java.nio.file.Files.createDirectories(dir.resolve("_v/100000"))
+    val widePin = dir.resolve(
+      f"_PIN_100000_${ProcessHandle.current().pid()}_spec")
+    java.nio.file.Files.write(widePin, "1".getBytes)
+    cat.overwrite(Seq(5).toDF("x"), "silver", "t")
+    assert(!cat.vacuum("silver", "t", keepLast = 1).contains(100000),
+      "a live pin on a 6-digit version was ignored")
+    assert(cat.versions("silver", "t").contains(100000))
+    java.nio.file.Files.delete(widePin)
   }
 
   test("restore races a concurrent vacuum storm: the pinned source is " +

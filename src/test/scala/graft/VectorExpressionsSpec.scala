@@ -98,7 +98,19 @@ class VectorExpressionsSpec extends SparkSpec {
         Seq(Some(2f), None, Some(2f)),                   // flat WITH null → 0s
         Seq.empty,                                       // empty array
         Seq(None, None),                                 // all-null
-        Seq(Some(7.5f)))                                 // singleton (flat)
+        Seq(Some(7.5f)),                                 // singleton (flat)
+        // non-finite edges: Spark's ordering makes NaN the MAX and treats
+        // NaN === NaN as true; its double→int cast maps NaN→0, ±Inf→extremes
+        Seq(Some(1f), Some(Float.NaN), Some(5f)),        // NaN becomes hi
+        Seq(Some(Float.NaN), Some(Float.NaN)),           // all-NaN (flat!)
+        Seq(Some(Float.NaN), None, Some(Float.NaN)),     // all-NaN + null
+        Seq(Some(Float.NaN), Some(2f)),                  // NaN first
+        Seq(Some(1f), Some(Float.PositiveInfinity)),     // +Inf element
+        Seq(Some(Float.NegativeInfinity), Some(1f)),     // -Inf element
+        Seq(Some(Float.NegativeInfinity), Some(Float.PositiveInfinity),
+          Some(0f)),                                     // both infinities
+        Seq(Some(-0f), Some(0f)),                        // signed-zero tie
+        Seq(Some(0f), Some(-0f)))                        // ...both orders
     val df = vecs.zipWithIndex
       .toDF("v", "id").select(col("id"), col("v").cast("array<float>").as("v"))
       .localCheckpoint()
