@@ -507,7 +507,9 @@ final class TableCatalog(spark: SparkSession, root: String,
     val lock = new Path(dir, "_LOCK")
     val lockq = new Path(dir, "_LOCKQ")
     val fs = hadoopFs(lock)
-    fs.mkdirs(lockq)
+    // one mkdirs per (instance, table), not per acquisition — the queue
+    // dir is never removed once created
+    if (lockqReady.add(dir.toString)) fs.mkdirs(lockq)
     val fc = org.apache.hadoop.fs.FileContext
       .getFileContext(lock.toUri, spark.sessionState.newHadoopConf())
     val id = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -525,6 +527,13 @@ final class TableCatalog(spark: SparkSession, root: String,
     try {
       val o = fs.create(tmp, true)
       try o.write('1') finally o.close()
+      // No opportunistic skip-the-queue fast path: an empty-queue CAS
+      // attempt before enqueueing was tried and REINTRODUCED the
+      // starvation it looks too cheap to cause (a looping verb's next
+      // call barges during the window where a waiter has failed its CAS
+      // but not yet queued) — and a same-window A/B against the
+      // always-queue build showed the intent pair costs nothing
+      // measurable. Every contender queues, always.
       intent = newIntent()
       while (!held) {
         oldestLiveIntent(fs, lockq, staleLockMs) match {
@@ -560,6 +569,10 @@ final class TableCatalog(spark: SparkSession, root: String,
       if (held) fs.delete(lock, false)
     }
   }
+
+  /** Tables whose `_LOCKQ` dir this instance has already ensured. */
+  private val lockqReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Head of the `_LOCKQ` FIFO among intents with a LIVE owner; dead-
     * owner and over-age intents are swept as a side effect. None = empty
