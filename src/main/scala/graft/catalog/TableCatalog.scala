@@ -426,9 +426,19 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (versions(layer, table).dropRight(keepVersions).nonEmpty)
       withTableLock(layer, table) {
         val pinnedHere = pinnedVersions(layer, table)
+        val lockPath = new Path(path(layer, table), "_LOCK")
         versions(layer, table).dropRight(keepVersions)
           .filterNot(pinnedHere.contains)
-          .foreach(v => fs.delete(versionDir(layer, table, v), true))
+          .foreach { v =>
+            fs.delete(versionDir(layer, table, v), true)
+            // renew the lock's mtime between version-dir deletes: holder
+            // staleness is judged from that mtime (staleLockMs = 60s), so
+            // a retention sweep of many large version dirs that runs past
+            // 60s would otherwise let a contender break a LIVE holder's
+            // lock and reopen the concurrent-metadata-writer race
+            try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () } // best-effort
+          }
       }
     // a previously-APPENDED table's flat files were superseded by the
     // first versioned commit (read() follows the pointer); give them one
@@ -446,8 +456,12 @@ final class TableCatalog(spark: SparkSession, root: String,
           nm.startsWith("_LOCK") || nm.startsWith("_PIN_")
         // a swap tmp orphaned by a crash between create and rename would
         // otherwise live forever under its protected prefix — reclaim
-        // once it is old enough that no in-flight swap can own it
-        val agedSwapTmp = nm.contains(".__tmp") &&
+        // once it is old enough that no in-flight swap can own it. Same
+        // for `_LOCK.tmp<uuid>` CAS temps: protected by the `_LOCK`
+        // prefix, deleted by their creator's finally in a clean run, so
+        // an aged one can only be a crash orphan.
+        val agedSwapTmp = (nm.contains(".__tmp") ||
+            nm.startsWith("_LOCK.tmp")) &&
           now - st.getModificationTime > 3600 * 1000L
         if (!protectedName || agedSwapTmp)
           fs.delete(st.getPath, true)
@@ -937,7 +951,15 @@ final class TableCatalog(spark: SparkSession, root: String,
       val dropped = versions(layer, table).dropRight(keepLast)
         .filterNot(cur.contains)
         .filterNot(pinned.contains)
-      dropped.foreach(v => fs.delete(versionDir(layer, table, v), true))
+      val lockPath = new Path(path(layer, table), "_LOCK")
+      dropped.foreach { v =>
+        fs.delete(versionDir(layer, table, v), true)
+        // same holder-staleness renewal as publishVersion's sweep: keep
+        // the lock's mtime fresh so a >60s multi-version delete can't be
+        // judged stale and broken mid-hold
+        try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      }
       dropped
     }
   }
@@ -1130,7 +1152,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (fs.exists(srcDir)) {
       fs.listStatus(srcDir).map(_.getPath.getName)
         .filter(n => n.startsWith("_TAG_") && !n.startsWith("_TAG_op_")
-          && !n.endsWith(".__tmp"))
+          && !n.contains(".__tmp"))
         .map(_.stripPrefix("_TAG_"))
         .foreach(k => readTag(srcLayer, srcTable, k)
           .foreach(v => writeTag(dstLayer, dstTable, k, v)))
@@ -1154,7 +1176,9 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("_TAG_check_") && !n.endsWith(".__tmp"))
+      // contains, not endsWith: writeSwapFile temps are `_TAG_*.__tmp<uuid>`,
+      // so a crash-orphaned temp would otherwise read as a live constraint
+      .filter(n => n.startsWith("_TAG_check_") && !n.contains(".__tmp"))
       .map(_.stripPrefix("_TAG_check_"))
       .flatMap(n => readTag(layer, table, s"check_$n").map(n -> _))
       .toMap
@@ -1195,7 +1219,7 @@ final class TableCatalog(spark: SparkSession, root: String,
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("_TAG_gen_") && !n.endsWith(".__tmp"))
+      .filter(n => n.startsWith("_TAG_gen_") && !n.contains(".__tmp"))
       .map(_.stripPrefix("_TAG_gen_"))
       .flatMap(n => readTag(layer, table, s"gen_$n").map(n -> _))
       .toMap

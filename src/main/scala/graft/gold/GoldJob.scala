@@ -229,6 +229,16 @@ object GoldJob {
     * `gold_alerts` semantics, not the production default, because its
     * output is quadratic in per-cell density by definition.
     *
+    * THE CULL IS SURFACED, NEVER SILENT: a consumer reading only
+    * `fire_risk_alerts` sees NO rows for a culled dense cell, so every
+    * capped cycle (a) writes the certificate row for each culled cell
+    * into `fire_risk_alert_cells` (is_dense = 1 → read the certificate,
+    * not the pair table, for that cell), and (b) logs the culled-cell
+    * count in-cycle. Consumers of `fire_risk_alerts` MUST also read
+    * `fire_risk_alert_cells`' is_dense rows — that pairing is the
+    * contract, enforced here by refusing to finish a capped cycle
+    * without the certificate table.
+    *
     * @return true when the per-pair alerts table was (re)written
     */
   def runCycle(catalog: TableCatalog,
@@ -246,16 +256,32 @@ object GoldJob {
     // those cells' full pair sets — two gold tables disagreeing about
     // which cells were culled. In exact mode the cap is ∞, so no cell is
     // marked dense and consumers are told to trust the pair table alone.
-    catalog.overwriteIfNonEmpty(
+    val wroteCells = catalog.overwriteIfNonEmpty(
       goldDenseSummary(fires, weather,
         maxPairsPerCell.getOrElse(Long.MaxValue)),
       "gold", "fire_risk_alert_cells")
+    // surface the cull: count certificate rows from the tiny summary just
+    // written (per-cell cardinality — metadata-cheap) and say it out loud
+    if (maxPairsPerCell.isDefined && wroteCells) {
+      val culled = catalog.read("gold", "fire_risk_alert_cells")
+        .filter(col("is_dense") === 1).count()
+      if (culled > 0) log.warn(
+        s"gold cycle culled $culled dense cell(s) from fire_risk_alerts " +
+          s"(cap=${maxPairsPerCell.get} pairs/cell); their alerts are " +
+          "served as certificates in fire_risk_alert_cells (is_dense=1)")
+    }
     wrote
   }
 
-  /** The explicitly-requested EXACT cycle: uncapped per-pair alerts, no
-    * certificate table. Output-quadratic in per-cell density — correct,
-    * and priced accordingly; `runCycle`'s capped default is the serve.
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The explicitly-requested EXACT cycle: uncapped per-pair alerts, with
+    * the `fire_risk_alert_cells` certificate table refreshed under an
+    * infinite cap (no cell marked dense) — refreshed, not omitted, so a
+    * prior capped cycle's is_dense certificates can't survive beside a
+    * pair table that now holds those cells' full pair sets. Output-
+    * quadratic in per-cell density — correct, and priced accordingly;
+    * `runCycle`'s capped default is the serve.
     */
   def runCycleExact(catalog: TableCatalog): Boolean =
     runCycle(catalog, maxPairsPerCell = None)

@@ -711,6 +711,47 @@ class TableCatalogSpec extends SparkSpec {
     assert(cat.currentVersion("silver", "t") === Some(2))
   }
 
+  test("crash-orphaned tag swap temps (_TAG_*.__tmp<uuid>) are invisible: " +
+      "not a constraint, not a generated column, not cloned") {
+    import graft.catalog.ConstraintViolationException
+    val root = tmpDir("cat-tagtmp")
+    val cat = new TableCatalog(spark, root, keepVersions = 10)
+    cat.setCheck("silver", "t", "pos", "x > 0")
+    cat.overwriteChecked(Seq(1, 2).toDF("x"), "silver", "t")
+    // plant orphans exactly as a crash between writeSwapFile's create and
+    // rename would leave them: full temp name `_TAG_<key>.__tmp<uuid>`,
+    // content partially written (here: garbage that would fail expr())
+    val dir = java.nio.file.Paths.get(root, "silver", "t")
+    val uuid = "deadbeefdeadbeefdeadbeefdeadbeef"
+    java.nio.file.Files.write(dir.resolve(s"_TAG_check_x.__tmp$uuid"),
+      "x >".getBytes)
+    java.nio.file.Files.write(dir.resolve(s"_TAG_gen_y.__tmp$uuid"),
+      "x *".getBytes)
+    // enumerations see only the committed tag, never the orphans — a
+    // checked write neither evaluates the garbage nor derives a column
+    assert(cat.checks("silver", "t") === Map("pos" -> "x > 0"))
+    assert(cat.generatedColumns("silver", "t") === Map.empty)
+    cat.overwriteChecked(Seq(3, 4).toDF("x"), "silver", "t")
+    assert(cat.read("silver", "t").columns.toSeq === Seq("x"))
+    intercept[ConstraintViolationException] {
+      cat.overwriteChecked(Seq(-1).toDF("x"), "silver", "t")
+    }
+    // clone carries the live tag, not the phantom
+    cat.cloneTable("silver", "t", "silver", "t2")
+    assert(cat.checks("silver", "t2") === Map("pos" -> "x > 0"))
+    assert(cat.generatedColumns("silver", "t2") === Map.empty)
+    val t2Names = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "silver", "t2"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var phantom = false
+    while (t2Names.hasNext) {
+      val n = t2Names.next().getFileName.toString
+      if (n.startsWith("_TAG_") && (n.contains("gen_y") ||
+          (n.contains("check_x") && n.contains(".__tmp")))) phantom = true
+    }
+    assert(!phantom, "clone must not copy orphaned tag temps")
+  }
+
   test("version pins: vacuum skips a live-process pin, reclaims after unpin, " +
       "disregards and sweeps a dead owner's pin") {
     val root = tmpDir("cat-pin")
