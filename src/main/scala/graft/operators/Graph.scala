@@ -20,23 +20,89 @@ import org.apache.spark.sql.functions._
   * iteration at scale 1e12 — irrelevant to ranking, identical in both
   * engines.
   *
-  * Scale shape: each iteration is one equi join (ranks ⋈ edges on src —
-  * both sides hash-partitioned on the same key, so AQE reuses the
-  * exchange) and one map-side-combinable sum by dst. Five iterations =
-  * five shuffles of the EDGE list, the canonical Pregel-style cost; the
-  * rank vector is |nodes|, never materialized on the driver. The
-  * (edges ⋈ outdeg) contribution table and each iteration's rank vector
-  * are lazily localCheckpointed — without the cut, iteration k's plan
-  * CONTAINS iterations 1..k−1, so the edge list is re-scanned
-  * O(iterations²/2) times (15 scans for 5 iterations; measured 2.5×
-  * sf1 slope in r8 came mostly from this); with it, each iteration
-  * scans the materialized contribution table and the previous rank
-  * vector once — the exact persist-per-iteration discipline a 100 TB
-  * Pregel job runs, expressed with the engine's own checkpoint.
+  * Scale shape (the static edge set is NEVER re-shuffled): the edges
+  * are packed ONCE into an adjacency table (src, outdeg, nbrs[]) whose
+  * groupBy leaves it hash-partitioned on src, and the checkpoint
+  * preserves that partitioning (LogicalRDD keeps the executed plan's
+  * outputPartitioning). Each of the five iterations is then
+  *   (a) a CO-PARTITIONED equi join adj ⋈ ranks on src — the rank
+  *       vector comes out of the previous iteration's aggregation
+  *       hash-partitioned on the same key, so NEITHER side exchanges
+  *       (shuffled-hash build on the |V|-row rank side, no sort of the
+  *       array-laden adjacency stream), and
+  *   (b) one explode + map-side-combinable sum by dst, whose single
+  *       exchange moves narrow (dst, partial-sum) longs — the only
+  *       shuffle in the loop, rank-table-shaped, not edge-shaped.
+  * The r10 formulation joined the flat (src, dst, outdeg) contribution
+  * table instead: correct, but each iteration's SMJ re-sorted (and at
+  * sf10, re-spilled) the 120M-row edge stream — measured 13.5×/decade
+  * with heap/partition controls proving it was the topology, not
+  * resources. Packing the edges once is the Pregel discipline: static
+  * topology partitioned at load, only vertex state moves per superstep.
+  *
+  * Per-iteration rank vectors are lazily localCheckpointed — without the
+  * cut, iteration k's plan CONTAINS iterations 1..k−1, so the adjacency
+  * would be re-scanned O(iterations²/2) times.
+  *
+  * Hub bound: one adjacency row holds one node's full out-list, so the
+  * per-row payload is O(max outdeg). For power-law graphs with hubs past
+  * ~10⁷ out-edges, split hub rows by salting src into (src, salt) groups
+  * sharing the pre-computed global outdeg — the contribution sum by dst
+  * is salt-oblivious, so the result is unchanged. Not wired here: the
+  * purchase graphs this serves top out at ~10³.
   */
 object Graph {
 
   val Scale: Long = 1000000000000L // 1e12 rank micro-units
+
+  /** Eager localCheckpoint that KEEPS the plan's hash partitioning.
+    * Dataset.checkpoint copies the executed plan's outputPartitioning
+    * into the LogicalRDD — but only when that plan isn't an
+    * AdaptiveSparkPlanExec, which reports UnknownPartitioning (and whose
+    * coalesced final shuffle wouldn't match `shuffle.partitions` anyway).
+    * A checkpoint built under AQE therefore FORGETS it is hash(key) and
+    * every consumer re-exchanges it — measured by graft.tools.CkptProbe:
+    * 3 exchanges per PageRank superstep under AQE-built checkpoints, 1
+    * with this barrier. AQE is toggled off just for the materialization
+    * (eager, so the conf can be restored immediately) and restored in
+    * finally; downstream queries keep their own AQE setting.
+    */
+  private def ckptKeepPartitioning(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try df.localCheckpoint(true) finally spark.conf.set(key, old)
+  }
+
+  /** Edge set packed for iteration: (src, outdeg, nbrs) — one row per
+    * source node, hash-partitioned on src by its own groupBy, with the
+    * partitioning-preserving checkpoint so every iteration re-reads the
+    * packed arrays CO-PARTITIONED, never the raw edge scan. nbrs order is
+    * whatever collect_list produced; the integer contribution sum is
+    * order-independent, so it never affects results.
+    */
+  private[graft] def pageRankAdjacency(edges: DataFrame): DataFrame =
+    ckptKeepPartitioning(
+      edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("nbrs")))
+
+  /** One power-iteration superstep over the packed adjacency. The join
+    * carries zero Exchange on the adjacency side (co-partitioned on src;
+    * PlanQualitySpec pins it) and the shuffled-hash hint builds from the
+    * narrow rank side so the array-laden stream is never sorted; the
+    * groupBy's exchange — the superstep's only shuffle — moves (node,
+    * partial sum) longs.
+    */
+  private[graft] def pageRankIterate(adj: DataFrame, ranks: DataFrame,
+      base: Long): DataFrame =
+    adj.join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+        Seq("src"))
+      .select(explode(col("nbrs")).as("node"), expr("r DIV outdeg").as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("cs"))
+      .select(col("node"),
+        (lit(base) + expr("(85 * cs) DIV 100")).as("r"))
 
   /** Five power iterations of damped PageRank (d = 0.85) over a directed
     * edge list. `edges` must carry BIGINT `src`, `dst` columns and hold
@@ -48,22 +114,15 @@ object Graph {
     require(nNodes > 0, "empty graph")
     val init = Scale / nNodes
     val base = (15L * init) / 100L
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // materialize (src, dst, outdeg) once; every iteration re-reads this,
-    // not the raw edge scan + degree shuffle (lazy checkpoint: first use
-    // pays the build, Bench's cache-drop reclaims it between runs)
-    val contrib = edges.join(deg, Seq("src")).localCheckpoint(false)
-    var ranks = edges.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(init))
+    val adj = pageRankAdjacency(edges)
+    // init ranks are a projection OF the adjacency (same rows, same
+    // partitioning), so even iteration 1's join is exchange-free
+    var ranks = adj.select(col("src").as("node"), lit(init).as("r"))
     (1 to iterations).foreach { _ =>
-      ranks = contrib
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
-        .groupBy(col("node"))
-        .agg(sum(col("c")).as("cs"))
-        .select(col("node"),
-          (lit(base) + expr("(85 * cs) DIV 100")).as("r"))
-        .localCheckpoint(false) // cut lineage: next plan starts HERE
+      // partitioning-preserving cut: the next superstep's join sees this
+      // rank vector hash(node) == hash(src) and exchanges NOTHING — the
+      // groupBy partial-sum exchange is the loop's only shuffle
+      ranks = ckptKeepPartitioning(pageRankIterate(adj, ranks, base))
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }

@@ -125,6 +125,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles.size <= 3, s"corpus assignment shuffled: $shuffles\n$plan")
   }
 
+  test("graph_pagerank superstep: zero Exchange on the adjacency side; the " +
+      "only shuffle is the narrow contribution sum") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e0 = graft.Tables.lineitem(spark, sf)
+      .select((col("l_suppkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = graft.operators.Graph.pageRankAdjacency(edges)
+    val ranks0 = adj.select(col("src").as("node"),
+      lit(graft.operators.Graph.Scale / 100).as("r"))
+    val step = graft.operators.Graph.pageRankIterate(adj, ranks0, 1L)
+    step.collect() // force AQE final plan
+    val plan = planString(step)
+    // the packed edge set must never re-shuffle inside the loop: the one
+    // hash exchange is the (node, partial-sum) aggregation — if the
+    // adjacency (or the rank side, co-partitioned by construction) were
+    // exchanged, a second hashpartitioning would appear
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(shuffles.size === 1, s"superstep shuffles: $shuffles\n$plan")
+    // and the join must be the shuffled-hash build on the rank side, not a
+    // sort-merge that re-sorts the array-laden adjacency stream each pass
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("profile_lineitem: per-column branches, never the multi-distinct Expand") {
     // N count_distinct in ONE aggregation plans through Expand (N x row
     // multiplication before the shuffle) — the 31x regression this guards
