@@ -103,21 +103,47 @@ object Dedup {
       explode(col("ss")).as("s"))
     // rare-shingle inverted index: the df filter bounds per-key fan-out.
     // Barrier'd because both sides of the candidate self-join reference it —
-    // without it the df-aggregation join runs twice.
+    // without it the df-aggregation join runs twice. `nr` (the doc's
+    // distinct-RARE-shingle count) rides along for the count bound below;
+    // the window costs one pass over the already-keyed index.
     val rare = ex.join(
       ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("s"),
-      "s").localCheckpoint(eager = false)
+      "s")
+      .withColumn("nr", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .localCheckpoint(eager = false)
     // size-ratio prune (result-preserving: J >= t ⇒ min/max sizes >= t)
     // inside the join — without it every moderately-shared shingle floods
     // the verify stage with hopeless pairs
-    val candidates = rare.as("a")
+    val candRows = rare.as("a")
       .join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.ns"), col("b.ns")).cast("double") >=
             lit(threshold) * greatest(col("a.ns"), col("b.ns")))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .dropDuplicates("doc1", "doc2")
+    // SHARED-RARE COUNT BOUND, the lossless pre-verify prune that keeps the
+    // array joins off the hopeless-pair flood (sf10 measured 39.8M
+    // candidates feeding a 53s verify; near-dup output is orders smaller).
+    // The candidate join already emits one row per SHARED RARE shingle, so
+    // grouping the pair counts c_rare for free in the same exchange the old
+    // dropDuplicates paid. Then, since every shingle is rare or frequent,
+    //   common = c_rare + c_freq  with  c_freq ≤ min(f1, f2),
+    //   f_i = ns_i − nr_i (the doc's frequent-shingle count),
+    // so  common ≤ B = c_rare + min(f1, f2),  and J = c/(n1+n2−c) is
+    // increasing in c, giving  J ≤ B/(n1+n2−B). Pairs with that bound
+    // under the threshold CANNOT pass exact verification and are dropped
+    // on narrow integers only — full arrays are joined for survivors
+    // alone, whose exact Jaccard (and thus the output) is unchanged.
+    val candidates = candRows
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.ns").as("n1"), col("b.ns").as("n2"),
+        col("a.nr").as("nr1"), col("b.nr").as("nr2"))
+      .agg(count(lit(1)).as("c_rare"))
+      .withColumn("bound",
+        col("c_rare") + least(col("n1") - col("nr1"), col("n2") - col("nr2")))
+      .filter(col("bound").cast("double") /
+        (col("n1") + col("n2") - col("bound")) >= threshold)
+      .select("doc1", "doc2")
     candidates
       .join(sh.select(col("doc_id").as("doc1"), col("ss").as("ss1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("ss").as("ss2")), "doc2")
