@@ -78,6 +78,30 @@ object Bench {
     // codegen for stat-dependent plans (measured 3-7× on whichever query
     // ran first). With this pass BOTH timed reps below are fully warm.
     inventory.foreach { case (_, fn) => runOnce(fn, sfDir) }
+    // HOST-WINDOW CANARY (self-identifying degraded records): the box this
+    // runs on has documented multi-hour degradation windows where an
+    // IDENTICAL binary reads 157.9 vs 201.1s (BASELINE.md "Box-variance
+    // window") — the protocol "never compare across windows" used to be
+    // enforced only by a human reading that section. Now a fixed canary
+    // pair brackets the sweep: one trigger-floor stream query (the family
+    // every degradation window hits first) and one compute-bound kernel
+    // query, each timed warm before AND after. A post/pre ratio well
+    // above 1 means the window degraded DURING the sweep; a pre value far
+    // off its committed quiet-box record means the whole record sits in a
+    // bad window. Both land in the JSON so a reviewer never has to infer.
+    val canaryNames = Seq("events_window_stream", "heavy_hitters_cms")
+    def canaryPass(): Map[String, Double] = canaryNames.map { nm =>
+      val fn = SparkEntry.queries(nm)
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try BenchAction.consume(fn(spark, sfDir))
+        catch { case _: Throwable => () }
+        finally dropStaleCaches()
+        (System.nanoTime() - t0) / 1e9
+      }
+      nm -> ts.min
+    }.toMap
+    val canaryPre = canaryPass()
     // min of two fully-warm timed runs: single-shot numbers on a shared box
     // swing 2-3× from GC/scheduler noise; the min is the reproducible
     // throughput figure. A failing query must NOT masquerade as a fast
@@ -96,12 +120,25 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val canaryPost = canaryPass()
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // post/pre per canary: ~1.0 = stable window; >>1 = degraded mid-sweep
+    val canaryJson = {
+      val ents = canaryNames.map { nm =>
+        val pre = canaryPre(nm); val post = canaryPost(nm)
+        val ratio = if (pre > 0) post / pre else -1.0
+        s""""$nm":{"pre":${r3(pre)},"post":${r3(post)},"ratio":${r3(ratio)}}"""
+      }
+      ents.mkString("{", ",", "}")
+    }
+    val canaryRatios = canaryNames.map { nm =>
+      if (canaryPre(nm) > 0) canaryPost(nm) / canaryPre(nm) else -1.0
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of the run's output and
     // parses a JSON line out of them; the full per-query line is now ~3 KB,
     // so ANY placement of it gets its head cut (BENCH_r02..r04 all have
@@ -153,6 +190,7 @@ object Bench {
       }
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
         s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
+        s""""canary":[${canaryRatios.map(r3).mkString(",")}],""" +
         s""""full":${if (wroteFull) "\"" + outName + "\"" else "null"},"sf":"$sfDir"}"""
     }
     // the compact line is the FINAL print; logs are silenced first so no

@@ -238,12 +238,39 @@ final class TableCatalog(spark: SparkSession, root: String,
 
   /** Live snapshot: pointer-resolved for versioned (overwritten) tables,
     * flat directory for append-only ones.
+    *
+    * Lock-free with a bounded RE-RESOLVE retry: between this reader's
+    * pointer read and the parquet listing, the pointer can advance AND
+    * the previously-live version age past an aggressive vacuum
+    * (keepLast below the reader's lag) — first observed for real in the
+    * cross-JVM storm, where a foreign process's vacuum yanked the
+    * just-resolved dir. The freshly re-resolved current is then safe for
+    * keepVersions−1 further commits, so a couple of retries close the
+    * TOCTOU window without any reader-side lock. A scan that STARTS
+    * successfully can still lose files to a concurrent aggressive vacuum
+    * mid-execution — the documented Delta-style hazard of vacuuming
+    * below reader lag; pick keepLast accordingly.
     */
-  def read(layer: String, table: String): DataFrame =
-    currentVersion(layer, table) match {
-      case Some(v) => readVersion(layer, table, v)
-      case None => spark.read.format(format).load(path(layer, table))
+  def read(layer: String, table: String): DataFrame = {
+    var attempt = 0
+    while (true) {
+      currentVersion(layer, table) match {
+        case None =>
+          return spark.read.format(format).load(path(layer, table))
+        case Some(v) =>
+          try return readVersion(layer, table, v)
+          catch {
+            case e: Exception if attempt < 5 &&
+                (e.isInstanceOf[VacuumedVersionException] ||
+                  (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+                    String.valueOf(e.getMessage).contains("PATH_NOT_FOUND"))) =>
+              attempt += 1
+              Thread.sleep(10L * attempt)
+          }
+      }
     }
+    sys.error("unreachable")
+  }
 
   /** Time travel: any retained snapshot, with the schema it was written
     * with (the Delta `versionAsOf` surface).
@@ -703,14 +730,30 @@ final class TableCatalog(spark: SparkSession, root: String,
     var attempt = 1
     while (true) {
       val base = latestCommitted(layer, table)
-      val snapshot = build(base.map(readVersion(layer, table, _)))
-      try {
-        overwriteOptimistic(snapshot, layer, table, expected = base)
-        return base.getOrElse(0) + 1
-      } catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxAttempts) throw e
-          attempt += 1
+      // PIN the base for the whole build+write: `build`'s snapshot reads
+      // the base LAZILY — its parquet files are consumed during the
+      // staging write, a window long enough for a concurrent aggressive
+      // vacuum (another process's verb; first caught by the cross-JVM
+      // storm as a mid-stage FileNotFound) to reclaim an already-
+      // superseded base. A pin that comes back None means the base
+      // vanished before we could take it — re-resolve, same as a CAS
+      // conflict.
+      val pin = base.map(v => pinVersion(layer, table, v))
+      if (base.isDefined && pin.exists(_.isEmpty)) {
+        if (attempt >= maxAttempts)
+          throw new CommitConflictException(
+            s"$layer/$table: base version kept vanishing ($attempt attempts)")
+        attempt += 1
+      } else {
+        try {
+          val snapshot = build(base.map(readVersion(layer, table, _)))
+          overwriteOptimistic(snapshot, layer, table, expected = base)
+          return base.getOrElse(0) + 1
+        } catch {
+          case e: CommitConflictException =>
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
+        } finally pin.flatten.foreach(unpinVersion)
       }
     }
     -1 // unreachable
@@ -1090,9 +1133,17 @@ final class TableCatalog(spark: SparkSession, root: String,
         fs.mkdirs(dst.getParent)
         org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
       }
-      if (!fs.rename(tmp, target))
+      if (!fs.rename(tmp, target)) {
+        // distinguish "slot claimed by a concurrent committer" (a typed
+        // conflict the caller may retry against the fresh state — the
+        // cross-JVM storm hits this with OCC appends racing restore for
+        // the same next-version number) from a genuine I/O failure
+        if (fs.exists(target))
+          throw new CommitConflictException(
+            s"$target was committed concurrently during snapshot copy")
         throw new java.io.IOException(
           s"could not publish copied snapshot to $target")
+      }
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, true) catch { case _: Throwable => () }

@@ -1281,6 +1281,43 @@ object ExtQueries {
                          * 1.0 / strlen(f), 4) AS mean_byte
             FROM nz ORDER BY media_id, frame_idx"""))
 
+  /** REAL WAV decode through the driver gate (r10 VERDICT task 7): one
+    * genuine RIFF/WAVE PCM16 file is synthesized per document id,
+    * chunk-walk DECODED (magic, fmt, data, alignment — `decodeWav`), and
+    * every output column comes from the decoded container/samples. The
+    * synthesis closed form (s_k = (id·7919 + k·104729) mod 2¹⁶ − 2¹⁵,
+    * n = 1000 + id mod 500) is what lets DuckDB re-derive the features
+    * WITHOUT parsing bytes: if the decoder misreads the header, drops a
+    * chunk, or mis-signs a sample, the hash breaks. Σs² is exact in
+    * BIGINT on both sides, so rms survives the double round-trip
+    * bit-for-bit.
+    */
+  private val mmWavDecode = NamedQuery(
+    "multimodal_wav_decode",
+    (s, d) =>
+      Multimodal.wavFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("peak"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy(col("media_id")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(1000 + doc_id % 500 AS INT) AS n
+                         FROM documents),
+            sm AS (SELECT media_id, n,
+                          [CAST((media_id * 7919 + k * 104729) % 65536
+                                - 32768 AS BIGINT)
+                           FOR k IN range(0, n)] AS samples
+                   FROM par)
+            SELECT media_id,
+                   44100 AS sample_rate, 1 AS channels,
+                   n AS n_samples,
+                   CAST(n * 1000 // 44100 AS BIGINT) AS duration_ms,
+                   CAST(list_max(list_transform(samples, x -> abs(x)))
+                        AS INT) AS peak,
+                   round(sqrt(list_sum(list_transform(samples, x -> x * x))
+                              * 1.0 / n), 4) AS rms
+            FROM sm ORDER BY media_id"""))
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
@@ -1291,5 +1328,5 @@ object ExtQueries {
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
-    mmMeta, mmFrames, mmFrameStats)
+    mmMeta, mmFrames, mmFrameStats, mmWavDecode)
 }

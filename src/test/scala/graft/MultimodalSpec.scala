@@ -62,4 +62,72 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2, 32, 98.5),
       (2L, 0, 1, 120.0)))
   }
+
+  test("WAV codec: a hand-built PCM16 file decodes to its exact samples") {
+    // 4 known samples at 8kHz mono: peak and rms are hand-computable
+    val samples = Array[Short](1000, -2000, 3000, -32768)
+    val buf = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(8)
+    samples.foreach(buf.putShort)
+    val Some((rate, ch, n, durMs, peak, rms)) = Multimodal.decodeWav(buf.array())
+    assert((rate, ch, n, durMs, peak) === ((8000, 1, 4, 0L, 32768)))
+    val expectRms = math.sqrt(
+      samples.map(s => s.toLong * s).sum.toDouble / 4)
+    assert(rms === expectRms)
+  }
+
+  test("WAV codec: chunk walk skips unknown chunks (any order, word-aligned)") {
+    // LIST chunk with ODD length before fmt/data: the walk must skip its
+    // pad byte or every later offset is off-by-one
+    val samples = Array[Short](5, -5)
+    val junk = 7
+    val buf = java.nio.ByteBuffer.allocate(44 + 4 + 8 + junk + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 4 + 8 + junk + 1).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(junk)
+    (1 to junk + 1).foreach(_ => buf.put(9.toByte)) // junk + pad byte
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(4)
+    samples.foreach(buf.putShort)
+    val Some((rate, _, n, _, peak, _)) = Multimodal.decodeWav(buf.array())
+    assert((rate, n, peak) === ((44100, 2, 5)))
+  }
+
+  test("WAV codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeWav(
+      ("not a riff header at all padpadpad" * 2).getBytes).isEmpty)
+    // right magic, truncated mid-chunk: chunk length overruns the buffer
+    val wav = Multimodal.synthWav(1L, 100)
+    assert(Multimodal.decodeWav(wav.take(50)).isEmpty)
+    // non-PCM audioFormat rejected
+    val bad = wav.clone()
+    bad(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
+  test("WAV synth→decode roundtrip matches the closed form end to end") {
+    val feats = Multimodal.wavFeatures(
+      Seq(3L, 42L).toDF("doc_id"), "doc_id")
+      .orderBy($"media_id").collect()
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (1000 + id % 500).toInt
+      val s = (0 until n).map(k =>
+        ((id * 7919 + k.toLong * 104729) % 65536 - 32768).toInt)
+      assert(r.getAs[Int]("sample_rate") === 44100)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Int]("n_samples") === n)
+      assert(r.getAs[Long]("duration_ms") === n.toLong * 1000 / 44100)
+      assert(r.getAs[Int]("peak") === s.map(math.abs).max)
+      assert(r.getAs[Double]("rms") ===
+        math.sqrt(s.map(x => x.toLong * x).sum.toDouble / n))
+    }
+  }
 }
