@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * instead of dropping both ends of every pair independently (which
   * over-deletes on transitive chains a~b~c).
   *
-  * Scale design (100 TB): min-label propagation — every iteration is one
-  * shuffle join (labels × edges) + one groupBy, i.e. the same cost shape as
-  * a large equi join; no driver-side graph ever materializes. Convergence
+  * Scale design (100 TB): min-label propagation with the static edge set
+  * partitioned ONCE (hash(dst), partitioning-preserving checkpoint) — each
+  * iteration is a co-partitioned join plus one map-side-combined min-label
+  * aggregation, so only label-table-shaped bytes shuffle per round; the
+  * edges never re-exchange. No driver-side graph ever materializes. Convergence
   * is O(cluster diameter) iterations, and near-dup clusters are shallow
   * (dense blobs around a template, diameter ≲ 4), so 3-5 rounds settle
   * real corpora. Each round is `localCheckpoint`ed: iterative plans
@@ -44,13 +46,19 @@ object Clusters {
     require(driverFallbackEdges < Int.MaxValue, "fallback threshold must fit an Int")
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
                            col(bCol).cast("long").as("dst"))
-    // symmetrize once; distinct keeps the per-round join input minimal
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = false)
+    // symmetrize once, then pin the STATIC edge set hash(dst) — the
+    // per-round join's key — through the partitioning-preserving barrier
+    // (PlanBarriers scaladoc: an AQE-built checkpoint forgets its
+    // partitioning and every round would re-exchange the edges, the
+    // PageRank defect class). Each round then exchanges only the
+    // label-table-sized aggregation, never the edges.
+    val edges = graft.plans.PlanBarriers.ckptKeepPartitioning(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("dst")))
 
-    // size gate: the count doubles as the lazy checkpoint's materialization
-    // job (every downstream path reads those cached partitions), and —
-    // unlike collecting probe rows — nothing lands on the driver unless
+    // size gate (the checkpoint above already materialized the edges, so
+    // this count is metadata-cheap); nothing lands on the driver unless
     // the edge list is already known to be small
     val probeCount = edges.count()
     if (probeCount <= driverFallbackEdges)
@@ -58,9 +66,9 @@ object Clusters {
         edges.collect().map(r => (r.getLong(0), r.getLong(1))),
         pairs.sparkSession)
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(eager = false)
+    var labels = graft.plans.PlanBarriers.ckptKeepPartitioning(
+      edges.select(col("dst").as("node")).distinct()
+        .withColumn("label", col("node")))
 
     // decimal(38,0) so the checksum can't overflow (ANSI throws on long
     // overflow, and billions of 64-bit ids would)
@@ -71,13 +79,8 @@ object Clusters {
     var converged = false
     var prevSum = labelSum(labels)
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .select(col("src").as("node"), col("label"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(eager = false)
+      val next = graft.plans.PlanBarriers.ckptKeepPartitioning(
+        propagateRound(edges, labels))
       // labels only ever decrease, so the fixpoint test is one cheap scalar
       // aggregate per round (sum unchanged ⇔ no label moved) — no join
       val nextSum = labelSum(next)
@@ -87,6 +90,25 @@ object Clusters {
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** One min-label propagation round: each node adopts min(own label,
+    * neighbors' labels). The join is co-partitioned on dst (edges pinned
+    * hash(dst) by `connectedComponents`; labels come out of the previous
+    * round's aggregation hash(node) → renamed) with the shuffled-hash
+    * build on the label side — zero Exchange on the edge stream and no
+    * per-round sort of it; the round's only shuffle is the
+    * map-side-combined min-label aggregation. Plan-pinned by
+    * PlanQualitySpec; exposed package-private for exactly that pin.
+    */
+  private[graft] def propagateRound(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val viaNeighbors = edges
+      .join(labels.select(col("node").as("dst"), col("label"))
+        .hint("shuffle_hash"), "dst")
+      .select(col("src").as("node"), col("label"))
+    labels.union(viaNeighbors)
+      .groupBy("node").agg(min("label").as("label"))
   }
 
   /** Connected components via alternating large-star/small-star rewrites

@@ -55,25 +55,9 @@ object Graph {
 
   val Scale: Long = 1000000000000L // 1e12 rank micro-units
 
-  /** Eager localCheckpoint that KEEPS the plan's hash partitioning.
-    * Dataset.checkpoint copies the executed plan's outputPartitioning
-    * into the LogicalRDD — but only when that plan isn't an
-    * AdaptiveSparkPlanExec, which reports UnknownPartitioning (and whose
-    * coalesced final shuffle wouldn't match `shuffle.partitions` anyway).
-    * A checkpoint built under AQE therefore FORGETS it is hash(key) and
-    * every consumer re-exchanges it — measured by graft.tools.CkptProbe:
-    * 3 exchanges per PageRank superstep under AQE-built checkpoints, 1
-    * with this barrier. AQE is toggled off just for the materialization
-    * (eager, so the conf can be restored immediately) and restored in
-    * finally; downstream queries keep their own AQE setting.
-    */
-  private def ckptKeepPartitioning(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(true) finally spark.conf.set(key, old)
-  }
+  // partitioning-preserving barrier shared by all iterative operators
+  private def ckptKeepPartitioning(df: DataFrame): DataFrame =
+    graft.plans.PlanBarriers.ckptKeepPartitioning(df)
 
   /** Edge set packed for iteration: (src, outdeg, nbrs) — one row per
     * source node, hash-partitioned on src by its own groupBy, with the

@@ -152,6 +152,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("dedup_clusters propagation round: zero Exchange on the edge side; the " +
+      "only shuffle is the min-label aggregation") {
+    import org.apache.spark.sql.functions.col
+    val fwd = graft.Tables.lineitem(spark, sf)
+      .select((col("l_suppkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+    // same load-time discipline as connectedComponents: symmetrize, pin
+    // hash(dst) through the partitioning-preserving barrier
+    val edges = graft.plans.PlanBarriers.ckptKeepPartitioning(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("dst")))
+    val labels = graft.plans.PlanBarriers.ckptKeepPartitioning(
+      edges.select(col("dst").as("node")).distinct()
+        .withColumn("label", col("node")))
+    val round = graft.operators.Clusters.propagateRound(edges, labels)
+    round.collect() // force AQE final plan
+    val plan = planString(round)
+    // the pinned edge set must never re-shuffle inside the loop: the ONE
+    // hash exchange is the label-sized min aggregation (the union's label
+    // leg re-keys with it — same exchange node under AQE reuse); if the
+    // edge stream were exchanged the count would exceed 2
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(shuffles.size <= 2, s"propagation round shuffles: $shuffles\n$plan")
+    // and the join must be the shuffled-hash build on the label side, not
+    // a sort-merge that re-sorts the edge stream every pass
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("profile_lineitem: per-column branches, never the multi-distinct Expand") {
     // N count_distinct in ONE aggregation plans through Expand (N x row
     // multiplication before the shuffle) — the 31x regression this guards
