@@ -65,6 +65,26 @@ object PipelineQueries {
              SELECT n AS node, min(r) AS cluster_id FROM reach
              GROUP BY 1 ORDER BY 1"""))
 
+  /** Same duplicate-cluster resolution through the OTHER component
+    * algorithm: alternating large-star/small-star rewrites [Kiveris et
+    * al., SoCC'14] instead of min-label propagation. Semantics are
+    * identical by construction (cluster_id = min reachable id), so the
+    * two paths share one oracle — this gate hash-pins their agreement on
+    * real near-dup pairs through the driver's DuckDB compare, not just
+    * the synthetic-graph spec. Star is the scale path for DEEP graphs
+    * (O(log² n) rounds vs O(diameter)): entity-resolution chains, link
+    * graphs — shapes where the min-label loop's round count explodes.
+    */
+  private val dedupClustersStar = NamedQuery(
+    "dedup_clusters_star",
+    (s, d) =>
+      Clusters.connectedComponentsStar(
+          Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), n = 3,
+            threshold = 0.8, maxShingleDf = 20),
+          "doc1", "doc2")
+        .orderBy(col("node")),
+    dedupClusters.oracle)
+
   /** Deterministic ~10% Bernoulli sample by md5(doc_id) prefix — same rows
     * on any engine / partition layout (auditable split).
     */
@@ -1124,7 +1144,8 @@ object PipelineQueries {
             FROM t"""))
 
   val all: Seq[NamedQuery] =
-    Seq(dedupClusters, dedupKeep, dedupKeepQuality, sampleBernoulli, sampleStratified,
+    Seq(dedupClusters, dedupClustersStar, dedupKeep, dedupKeepQuality,
+        sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
         decontaminate, decontaminateBloom, mixBudget, repetition,
