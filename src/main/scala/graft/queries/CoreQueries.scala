@@ -857,27 +857,54 @@ object CoreQueries {
   // rank/dense_rank (q4), lead/lag (q8), range frames (q29) and ntile
   // (q30). The ORDER BY carries the full (qty DESC, orderkey, linenumber)
   // tiebreak so every rank value is deterministic — percent_rank over a
-  // tied prefix is engine-stable only when the sort is total. One window
-  // exchange serves all five functions (same partition + sort → Catalyst
-  // plans a single Sort + Window); the rn<=15 filter bounds output to
-  // 15 rows per returnflag while the ranks are computed over the FULL
-  // partition — at 100 TB this is the "score every row, ship a page"
-  // shape, and the shuffle is sized by the scan, not the output.
+  // tied prefix is engine-stable only when the sort is total.
+  //
+  // SCALE RESTATEMENT (r11). The naive form — all five functions in one
+  // window, rn<=15 after — forces a FULL per-key sort, and the partition
+  // key has 3 values: each rank family sorts ~n/3 rows in ONE task, the
+  // one plan shape that cannot parallelize below key cardinality (honest
+  // sf1 9.0s, sf10 75.2s, 8.3×/decade — all of it single-task sort). But
+  // under a TOTAL order every full-partition function here is a closed
+  // form of (rn, per-key aggregates):
+  //   rank = rn             ⇒ percent_rank = (rn-1)/(N-1)   (0 when N=1)
+  //   cume_dist = rn/N      (no ties by construction)
+  //   full-frame last = the partition min of l_quantity
+  //   full-frame nth_value(qty, 3) = the qty at rn=3 (null when N<3)
+  // so the only window left is row_number itself, whose rn<=15 filter
+  // Catalyst pushes BELOW the exchange as a map-side WindowGroupLimit
+  // (each scan task ships its local top-15 per flag) — plan-pinned in
+  // PlanQualitySpec. What remains: one map-side-combined agg for
+  // (N, min_qty), one broadcast join back, arithmetic identical
+  // bit-for-bit to the engines' own window internals (both compute the
+  // same integer→double divisions). At 100 TB the cost is two pruned
+  // column scans — no task ever sorts more than its local top-15.
   private val q34 = NamedQuery(
     "q34_rank_family",
     (s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
-      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
                 col("l_quantity"))
+      val stats = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), min(col("l_quantity")).as("min_qty"))
+      val top = base
         .withColumn("rn", row_number().over(w))
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
-        .withColumn("third_qty", nth_value(col("l_quantity"), 3).over(wf))
-        .withColumn("min_qty", last(col("l_quantity")).over(wf))
         .filter(col("rn") <= 15)
+      val third = top.filter(col("rn") === 3)
+        .select(col("l_returnflag"), col("l_quantity").as("third_qty"))
+      top
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .join(broadcast(third), Seq("l_returnflag"), "left")
+        .withColumn("pr", round(
+          when(col("n_rows") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double")
+              / (col("n_rows") - 1).cast("double")), 6))
+        .withColumn("cd", round(
+          col("rn").cast("double") / col("n_rows").cast("double"), 6))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("rn"), col("pr"), col("cd"),
+                col("third_qty"), col("min_qty"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
     Some("""WITH w AS (

@@ -182,6 +182,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q34_rank_family: rn<=15 pushes a map-side WindowGroupLimit; no task " +
+      "sorts a full returnflag partition") {
+    val plan = planString(run("q34_rank_family"))
+    // partial (below the window exchange) + final — each scan task ships
+    // only its local top-15 per flag; the full-partition rank family is
+    // restated as closed forms of (rn, per-key aggregates), which is what
+    // makes this pushdown legal (see the q34 NamedQuery comment)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    // only row_number windows — two instances (the third_qty branch
+    // re-evaluates the 45-row group-limited window above the reused
+    // exchange); percent_rank/cume_dist/nth_value/last must NOT reappear
+    // as window functions (they would drag the full partition into one
+    // task, the 8.3x/decade shape this rewrite removed)
+    assert("Window \\[".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("percent_rank("), plan)
+    assert(!plan.contains("cume_dist("), plan)
+    assert(!plan.contains("nth_value("), plan)
+    // the per-key stats join back as broadcasts, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("profile_lineitem: per-column branches, never the multi-distinct Expand") {
     // N count_distinct in ONE aggregation plans through Expand (N x row
     // multiplication before the shuffle) — the 31x regression this guards

@@ -56,8 +56,10 @@ out = {
              "driver - a harness artifact (production sinks write "
              "distributed), evidenced by the 1g maxResultSize abort at 16 GiB "
              "heap. graph_pagerank/dedup_ngram_capped/dedup_clusters/"
-             "dedup_keeplist re-recorded on the r11 plans (edge-set pinning, "
-             "shared-rare-count verify prune, co-partitioned propagation)."),
+             "dedup_keeplist/split_leakage_safe/q34_rank_family re-recorded "
+             "on the r11 plans (edge-set pinning, shared-rare-count verify "
+             "prune, co-partitioned propagation, WindowGroupLimit rank "
+             "restatement)."),
 }
 json.dump(out, open("BENCH_SF10.json", "w"), indent=None)
 print(json.dumps({"total": out["value"], "n": out["n_queries"]}))
