@@ -129,18 +129,48 @@ object Graph {
     * duplicates and self-loops tolerated (normalized away). Output: one
     * row (n_nodes, n_edges, n_wedges, n_triangles), all exact BIGINTs.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame,
+      compactIds: Option[Boolean] = None): DataFrame = {
     graft.plans.GraftFunctions.ensure(edges.sparkSession)
-    val e = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    // Adaptive element width: when every node id fits an int, the WHOLE
+    // pipeline runs at 4-byte ids — the dominant cost at scale is the
+    // Σ outdeg² adjacency-array exchange (8.3B elements ≈ 66 GB at the
+    // sf10 probe), and element width is a straight 2× on its bytes, plus
+    // the same 2× on every narrower edge/degree shuffle downstream.
+    // `compactIds`: Some(b) when the caller knows its id domain more
+    // cheaply than a probe — e.g. a bounds agg on the RAW id column
+    // before its edge derivation (the co-purchase gate does this off one
+    // narrow parquet scan); None probes the derived edges with one
+    // narrow scan. >2³¹ id spaces keep the exact long path either way
+    // (the synthetic sf1/sf10 corpora shift keys by copy·10¹⁰, so they
+    // exercise exactly that fallback). NOT an eager checkpoint of the
+    // edge set: at sf10 the 2 GiB of pinned blocks starved the
+    // downstream aggregation's execution memory (AGGREGATE_OUT_OF_MEMORY
+    // at 8 GiB) — the second derivation pass is the cheaper currency.
+    val fitsInt = compactIds.getOrElse {
+      val bounds = edges.agg(
+        max(greatest(col("src"), col("dst"))).cast("long").as("hi"),
+        min(least(col("src"), col("dst"))).cast("long").as("lo")).head()
+      !bounds.isNullAt(0) && bounds.getLong(0) <= Int.MaxValue &&
+        bounds.getLong(1) >= Int.MinValue
+    }
+    val idT = if (fitsInt) "int" else "long"
+    val e = edges.select(least(col("src"), col("dst")).cast(idT).as("a"),
+        greatest(col("src"), col("dst")).cast(idT).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // shuffled-hash build on the |V|-row degree side both times — SMJ
+    // would sort the |E|-row edge stream twice for joins whose build
+    // side is a narrow per-task map (same discipline as the PageRank
+    // superstep join)
     val withDeg = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .join(deg.select(col("n").as("a"), col("d").as("da"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db"))
+        .hint("shuffle_hash"), Seq("b"))
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = withDeg.select(
@@ -169,11 +199,22 @@ object Graph {
       .agg(sum(shiftright(size(col("nbrs")).cast("long") *
         (size(col("nbrs")).cast("long") - 1L), 1))
         .as("n_wedges"))
-    val withU = oriented
-      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+    // (u, v, N⁺(u)) comes from EXPLODING adj, not from joining the
+    // oriented edge list back against it: explode(nbrs) re-emits exactly
+    // the oriented edges with the source adjacency already attached —
+    // row-for-row what the r10 `oriented ⋈ adj` join produced, minus one
+    // full edge-stream shuffle join (at sf10 that join exchanged 120M
+    // narrow rows plus the array build side; the explode is narrow)
+    val withU = adj.select(col("src"), explode(col("nbrs")).as("dst"),
+      col("nbrs").as("__nu"))
+    // shuffled-hash build on the adjacency side: an SMJ here SORTS the
+    // exploded probe stream — whose payload is Σ outdeg² array elements
+    // (~33 GB at sf10), the measured spill storm — while the build side
+    // is the |V|-row adjacency (bounded per task). The probe stream now
+    // exchanges WITHOUT sorting.
     val triangles = withU
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")),
-        Seq("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv"))
+        .hint("shuffle_hash"), Seq("dst"))
       .select(graft.plans.GraftColumns
         .sortedIntersectSize(col("__nu"), col("__nv")).as("__t"))
       .agg(coalesce(sum(col("__t")), lit(0L)).as("n_triangles"))

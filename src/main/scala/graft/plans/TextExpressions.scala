@@ -167,10 +167,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** |A ∩ B| for two SORTED array<long> (as produced by shingle_hash_set):
-  * one linear merge pass, no per-row allocation — replaces
+/** |A ∩ B| for two SORTED array<long> OR array<int> (both sides the same
+  * width): one linear merge pass, no per-row allocation — replaces
   * `size(array_intersect(a, b))`, which builds a boxed hash set per row
-  * and dominated the dedup verify stage.
+  * and dominated the dedup verify stage. The int overload exists for
+  * graph adjacency payloads: when node ids fit an int the caller can run
+  * the WHOLE pipeline at half width (Graph.triangleCount's adaptive
+  * compaction — the Σ outdeg² array exchange is the dominant shuffle at
+  * scale and element width is a straight 2× on its bytes).
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -180,12 +184,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size expects two array<long>, got " +
+        s"sorted_intersect_size expects two array<long> or two array<int>, got " +
           s"${l.simpleString}, ${r.simpleString}")
     }
 
   override def dataType: DataType = IntegerType
+
+  private lazy val intElems = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -195,12 +206,22 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var common = 0
-    while (i < na && j < nb) {
-      val va = a.getLong(i)
-      val vb = b.getLong(j)
-      if (va == vb) { common += 1; i += 1; j += 1 }
-      else if (va < vb) i += 1
-      else j += 1
+    if (intElems) {
+      while (i < na && j < nb) {
+        val va = a.getInt(i)
+        val vb = b.getInt(j)
+        if (va == vb) { common += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val va = a.getLong(i)
+        val vb = b.getLong(j)
+        if (va == vb) { common += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
     }
     common
   }

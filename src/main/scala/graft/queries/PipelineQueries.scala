@@ -1112,7 +1112,17 @@ object PipelineQueries {
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      Graph.triangleCount(edges)
+      // edge ids ⊆ the raw l_partkey domain, so the int-width decision
+      // comes off one narrow column scan instead of triangleCount's
+      // default probe (which would re-execute the self-join derivation):
+      // int at the bench SFs, long on the copy·10¹⁰-shifted sf1/sf10
+      // scale corpora
+      val b = Tables.lineitem(s, d)
+        .agg(max(col("l_partkey")).cast("long"), min(col("l_partkey")).cast("long"))
+        .head()
+      val fitsInt = !b.isNullAt(0) && b.getLong(0) <= Int.MaxValue &&
+        b.getLong(1) >= Int.MinValue
+      Graph.triangleCount(edges, compactIds = Some(fitsInt))
     },
     Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -66,4 +66,21 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(Graph.triangleCount(df).head().getLong(3) === 2L)
   }
+
+  test("triangleCount: ids past 2^31 take the long path; all three call modes agree") {
+    // same K4 shifted past Int.MaxValue — the width probe must pick the
+    // long pipeline and count identically
+    val off = Int.MaxValue.toLong + 10L
+    val k4big = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).map { case (a, b) => (a + off, b + off) }.toDF("src", "dst")
+    val probed = Graph.triangleCount(k4big).head()
+    val forcedLong = Graph.triangleCount(k4big, compactIds = Some(false)).head()
+    assert(probed.getLong(3) === 4L)
+    assert(probed === forcedLong)
+    // and the int-range K4 agrees between probed (int) and forced-long
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(k4, compactIds = Some(true)).head() ===
+      Graph.triangleCount(k4, compactIds = Some(false)).head())
+  }
 }

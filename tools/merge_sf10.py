@@ -58,8 +58,8 @@ out = {
              "heap. graph_pagerank/dedup_ngram_capped/dedup_clusters/"
              "dedup_keeplist/split_leakage_safe/q34_rank_family re-recorded "
              "on the r11 plans (edge-set pinning, shared-rare-count verify "
-             "prune, co-partitioned propagation, WindowGroupLimit rank "
-             "restatement)."),
+             "prune, co-partitioned propagation, WindowGroupLimit rank restatement, "
+             "triangle explode+SHJ rewrite)."),
 }
 json.dump(out, open("BENCH_SF10.json", "w"), indent=None)
 print(json.dumps({"total": out["value"], "n": out["n_queries"]}))
