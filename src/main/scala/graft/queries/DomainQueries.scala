@@ -1318,21 +1318,35 @@ object DomainQueries {
   private val statsPercentileDisc = NamedQuery(
     "stats_percentile_disc", {
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("cents"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .select(col("o_orderpriority"), col("o_orderkey"),
+        // Two-phase percentile_disc (r11, same remedy as
+        // approx_quantiles_hdr's exact side): the row_number construction
+        // sorted a whole priority partition in ONE task (5 keys). The
+        // rank-r element in (cents, orderkey) order has the same CENTS as
+        // in cents-only order (identical multiset), and the smallest
+        // cents whose cumulative frequency reaches r IS that element — so
+        // the shuffle carries the (priority, cents) frequency table
+        // (map-side combined) and the one remaining window walks the
+        // distinct value domain, not the corpus.
+        val c = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("o_orderpriority"))))
-          .filter(col("rn") === ceil(lit(0.5) * col("n")) ||
-                  col("rn") === ceil(lit(0.9) * col("n")))
+        val freq = c.groupBy(col("o_orderpriority"), col("cents"))
+          .agg(count(lit(1)).as("__c"))
+        val wc = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("__cum", sum(col("__c")).over(wc))
+        val n = c.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n"))
+        cum.join(broadcast(n), Seq("o_orderpriority"))
+          .withColumn("__r50", ceil(lit(0.5) * col("__n")))
+          .withColumn("__r90", ceil(lit(0.9) * col("__n")))
           .groupBy(col("o_orderpriority"))
-          .agg(min(when(col("rn") === ceil(lit(0.5) * col("n")),
-            col("cents"))).as("p50_cents"),
-            min(when(col("rn") === ceil(lit(0.9) * col("n")),
-              col("cents"))).as("p90_cents"))
+          .agg(min(when(col("__cum") >= col("__r50") &&
+              col("__cum") - col("__c") < col("__r50"), col("cents")))
+              .as("p50_cents"),
+            min(when(col("__cum") >= col("__r90") &&
+              col("__cum") - col("__c") < col("__r90"), col("cents")))
+              .as("p90_cents"))
           .orderBy(col("o_orderpriority"))
       }
     },

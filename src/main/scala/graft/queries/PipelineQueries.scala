@@ -1030,15 +1030,30 @@ object PipelineQueries {
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       val est = Quantiles.hdrDistinctQuantiles(li, "l_returnflag", "cents",
         qs = Seq(0.5, 0.9, 0.99))
-      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-      val ranked = li.withColumn("__rn", row_number().over(wq))
+      // EXACT side, two-phase (r11): the old row_number window sorted a
+      // whole returnflag partition in ONE task (3 keys — the q34 shape;
+      // at sf10 this side, not the sketch, was the 59.8s). percentile_disc
+      // at rank r = ceil(q·n) is the smallest value whose cumulative
+      // count reaches r, so: (flag, cents) frequency table (map-side
+      // combined — the shuffle carries distinct values, not rows), one
+      // cumulative-sum window over DISTINCT cents per flag, and the
+      // bracketing row cum−c < r ≤ cum. The remaining window is per-flag
+      // single-task but over the value DOMAIN (~10⁵), not the corpus; at
+      // 100 TB with a pathological domain the next escalation is a
+      // range-partitioned two-phase prefix sum.
+      val freq = li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("__c"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = freq.withColumn("__cum", sum(col("__c")).over(wc))
       val exact = li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("__n"))
         .select(col("l_returnflag"),
           explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"), col("__n"))
         .withColumn("__r", ceil(col("q") * col("__n")))
-        .join(ranked, Seq("l_returnflag"))
-        .filter(col("__rn") === col("__r"))
+        .join(cum, Seq("l_returnflag"))
+        .filter(col("__cum") >= col("__r") &&
+          col("__cum") - col("__c") < col("__r"))
         .select(col("l_returnflag"), col("q"), col("cents").as("exact_cents"))
       est.join(exact, Seq("l_returnflag", "q"))
         .select(col("l_returnflag"), col("q"), col("est_cents"),
