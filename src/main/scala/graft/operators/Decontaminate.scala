@@ -105,4 +105,65 @@ object Decontaminate {
       candidates, col(idCol) === col("__cand_id"), "left_semi")
     flagAgainstShingles(surviving, bs, n, minHits, idCol, textCol)
   }
+
+  /** FUZZY decontamination: corpus docs whose n-gram Jaccard similarity
+    * to SOME benchmark doc reaches `threshold` — the near-duplicate form
+    * of eval-set leakage that the hit-count contracts above are blind to
+    * (a lightly paraphrased benchmark answer shares most but not all
+    * shingles, so no single-shingle count threshold separates it from
+    * topical overlap; a similarity threshold does). Output: one row per
+    * contaminated corpus doc with its BEST-matching benchmark doc
+    * (max Jaccard, ties → min bench id) — deterministic, so the whole
+    * fuzzy pipeline sits under an exact hash oracle.
+    *
+    * Scale design mirrors `Dedup.ngramJaccardPairsCapped`, asymmetric:
+    * the benchmark inverted index is df-capped (a shingle in > `maxShingleDf`
+    * BENCHMARK docs is boilerplate and generates only hopeless fan-out)
+    * and BROADCAST — the 100 TB corpus streams through the candidate join
+    * unshuffled, exactly like the exact/bloom paths. The size-ratio prune
+    * (J ≥ t ⇒ min(nc,nb) ≥ t·max(nc,nb)) drops hopeless pairs inside the
+    * join. Only candidate pairs (bounded by benchmark size × near-dup
+    * rate) reach the full-set verify, whose `sorted_intersect_size`
+    * Jaccard is exact — false positives impossible; the df cap costs only
+    * recall on pairs sharing nothing but boilerplate, the standard
+    * curation trade.
+    */
+  def flagContaminatedFuzzy(corpus: DataFrame, bench: DataFrame, n: Int,
+      threshold: Double, maxShingleDf: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.ensure(corpus.sparkSession)
+    val shB = Dedup.shingleSets(bench, n, idCol, textCol)
+      .select(col("doc_id").as("bench_id"), col("ss").as("ssb"))
+      .localCheckpoint(eager = false)
+    val bIdx = shB.select(col("bench_id"), size(col("ssb")).as("nb"),
+      explode(col("ssb")).as("s"))
+    val bRare = bIdx.join(
+      bIdx.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s"),
+      "s")
+    val shC = Dedup.shingleSets(corpus, n, idCol, textCol)
+    val cIdx = shC.select(col("doc_id"), size(col("ss")).as("nc"),
+      explode(col("ss")).as("s"))
+    val candidates = cIdx.join(broadcast(bRare),
+        cIdx("s") === bRare("s") &&
+          least(col("nc"), col("nb")).cast("double") >=
+            lit(threshold) * greatest(col("nc"), col("nb")))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("c_rare"))
+      .select("doc_id", "bench_id")
+    candidates
+      .join(shC.select(col("doc_id"), col("ss").as("ssc")), "doc_id")
+      .join(shB, "bench_id")
+      .withColumn("common",
+        graft.plans.GraftColumns.sortedIntersectSize(col("ssc"), col("ssb")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("ssc")) + size(col("ssb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      // best benchmark match per contaminated doc: max Jaccard, ties to
+      // the smallest bench id — struct max, no window
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), negate(col("bench_id")).as("__nb")))
+        .as("w"))
+      .select(col("doc_id"), negate(col("w")("__nb")).as("bench_id"),
+        round(col("w")("jaccard"), 4).as("jaccard"))
+  }
 }

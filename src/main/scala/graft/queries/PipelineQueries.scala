@@ -584,6 +584,56 @@ object PipelineQueries {
     },
     Some(decontOracle))
 
+  /** FUZZY decontamination: corpus docs ≥0.8 n-gram Jaccard to SOME
+    * benchmark doc — near-duplicate eval leakage the hit-count contracts
+    * are blind to (paraphrase shares most-but-not-all shingles). Emits
+    * each contaminated doc's best benchmark match (max Jaccard, ties →
+    * min bench id), so the candidate cap, the exact verify, AND the
+    * best-match selection all sit under the hash gate. The oracle mirrors
+    * the df-capped benchmark index (df over BENCHMARK docs ≤ 20), the
+    * size-ratio prune, and the tie rule relationally.
+    */
+  private val decontaminateFuzzy = NamedQuery(
+    "decontaminate_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.flagContaminatedFuzzy(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0),
+          n = 3, threshold = 0.8, maxShingleDf = 20)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS l
+                          FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                                ELSE list_distinct([array_to_string(l[i:i+2], ' ')
+                                                    FOR i IN range(1, len(l) - 1)])
+                           END AS ss
+                    FROM tok),
+             b AS (SELECT doc_id AS bench_id, ss AS ssb FROM sh
+                   WHERE doc_id % 19 = 0),
+             c AS (SELECT doc_id, ss AS ssc FROM sh WHERE doc_id % 19 != 0),
+             bex AS (SELECT bench_id, len(ssb) AS nb, unnest(ssb) AS s FROM b),
+             brare AS (SELECT bex.bench_id, bex.nb, bex.s FROM bex
+                       JOIN (SELECT s FROM bex GROUP BY s
+                             HAVING count(*) <= 20) r USING (s)),
+             cex AS (SELECT doc_id, len(ssc) AS nc, unnest(ssc) AS s FROM c),
+             cand AS (SELECT DISTINCT doc_id, bench_id
+                      FROM cex JOIN brare USING (s)
+                      WHERE least(nc, nb) * 1.0 >= 0.8 * greatest(nc, nb)),
+             v AS (SELECT cand.doc_id, cand.bench_id,
+                          len(list_intersect(c.ssc, b.ssb)) AS common,
+                          len(c.ssc) AS nc, len(b.ssb) AS nb
+                   FROM cand JOIN c USING (doc_id) JOIN b USING (bench_id)),
+             j AS (SELECT doc_id, bench_id,
+                          common * 1.0 / (nc + nb - common) AS jaccard
+                   FROM v WHERE common * 1.0 / (nc + nb - common) >= 0.8),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY jaccard DESC, bench_id) AS rn FROM j)
+             SELECT doc_id, bench_id, round(jaccard, 4) AS jaccard
+             FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   /** Deterministic data mixture: per-source token budgets, docs taken in
     * md5 order until each budget is spent (first doc crossing it included).
     */
@@ -1173,7 +1223,8 @@ object PipelineQueries {
         sampleBernoulli, sampleStratified,
         tfidfTopK, packSeq, splitSafe, quantize, scrub, skewSalted,
         skewSaltedJoin, sessionize, lengthPercentiles, sampleWeighted,
-        decontaminate, decontaminateBloom, mixBudget, repetition,
+        decontaminate, decontaminateBloom, decontaminateFuzzy,
+        mixBudget, repetition,
         chunkWindows, vocabTopK, approxDistinctKmv, fuzzyJoin,
         heavyHittersCms, graphPageRank, bm25TopK, approxDistinctHll,
         pmiBigrams, approxQuantilesHdr, graphTriangles)

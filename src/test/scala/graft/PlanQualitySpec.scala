@@ -219,6 +219,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("decontaminate_fuzzy: benchmark index broadcasts into the candidate " +
+      "join; the corpus is never cartesian- or sort-merge-joined there") {
+    val plan = planString(run("decontaminate_fuzzy"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the candidate join (corpus shingle stream x broadcast bench index)
+    // must be the broadcast one; the verify joins re-key only the SMALL
+    // candidate set, so any SMJ of the full corpus stream is a regression
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj === 0, plan)
+  }
+
   test("text_repetition: both aggregations keep map-side partials") {
     val plan = planString(run("text_repetition"))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
