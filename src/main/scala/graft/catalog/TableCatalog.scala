@@ -201,6 +201,55 @@ final class TableCatalog(spark: SparkSession, root: String,
   private def versionDir(layer: String, table: String, v: Int) =
     new Path(path(layer, table), f"_v/$v%05d")
 
+  /** Reclaim one version dir through a rename-aside barrier: atomically
+    * move `_v/NNNNN` to `_v/.trash_<uuid>` BEFORE the recursive delete,
+    * so a lock-free reader racing the reclamation only ever observes
+    * dir-present-and-complete or dir-missing — the two states `read()`'s
+    * re-resolve retry owns. A plain recursive delete removes the data
+    * files before the directory itself; a reader that resolved the
+    * pointer inside that window analyzes an existing-but-empty dir to
+    * `UNABLE_TO_INFER_SCHEMA` (caught live by the r11 cross-JVM storm,
+    * 1-in-2 full-suite runs). The dot-prefixed trash name is invisible to
+    * `versions()` (its `toInt` filter) and to Spark's listings, so a
+    * crash between rename and delete orphans nothing a reader can reach;
+    * `sweepTrash` (called by every locked reclamation pass) collects such
+    * orphans. Every reclamation path MUST go through here — the explicit
+    * `vacuum` verb, `publishVersion`'s retention sweep, and the OCC
+    * commit tail.
+    */
+  private def reclaimVersionDir(layer: String, table: String, v: Int): Unit = {
+    val dir = versionDir(layer, table, v)
+    val fs = hadoopFs(dir)
+    val trash = new Path(dir.getParent,
+      ".trash_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val moved =
+      try fs.rename(dir, trash)
+      catch { case _: java.io.IOException => false }
+    if (moved) fs.delete(trash, true)
+    // rename refused (already gone, or a store without dir rename):
+    // fall back to the plain delete — on a rename-less store the
+    // half-deleted window is unavoidable and the reader retry owns it
+    else if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  /** Collect crash-orphaned `_v/.trash_*` dirs (rename-aside landed, the
+    * follow-up delete was lost). Always safe regardless of age: the
+    * rename already made the tree unreachable to every reader, and the
+    * call sites all hold the table `_LOCK`, so no concurrent reclaimer
+    * owns a live trash dir while we sweep.
+    */
+  private def sweepTrash(layer: String, table: String): Unit = {
+    val vRoot = new Path(path(layer, table), "_v")
+    val fs = hadoopFs(vRoot)
+    if (fs.exists(vRoot))
+      fs.listStatus(vRoot).iterator
+        .filter(_.getPath.getName.startsWith(".trash_"))
+        .foreach { st =>
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+        }
+  }
+
   /** Committed version number, if the table is versioned.
     *
     * The pointer is read through the RAW (checksum-free) filesystem when
@@ -250,6 +299,13 @@ final class TableCatalog(spark: SparkSession, root: String,
     * successfully can still lose files to a concurrent aggressive vacuum
     * mid-execution — the documented Delta-style hazard of vacuuming
     * below reader lag; pick keepLast accordingly.
+    *
+    * The retry covers every manifestation of "the resolved version was
+    * reclaimed under us": dir gone (`VacuumedVersionException` /
+    * `PATH_NOT_FOUND`) and — defense-in-depth behind the rename-aside
+    * barrier in `reclaimVersionDir` — dir present but emptied
+    * (`UNABLE_TO_INFER_SCHEMA`), the half-deleted window a plain
+    * recursive delete exposes (caught live by the r11 cross-JVM storm).
     */
   def read(layer: String, table: String): DataFrame = {
     var attempt = 0
@@ -263,7 +319,9 @@ final class TableCatalog(spark: SparkSession, root: String,
             case e: Exception if attempt < 5 &&
                 (e.isInstanceOf[VacuumedVersionException] ||
                   (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
-                    String.valueOf(e.getMessage).contains("PATH_NOT_FOUND"))) =>
+                    (String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
+                      String.valueOf(e.getMessage)
+                        .contains("UNABLE_TO_INFER_SCHEMA")))) =>
               attempt += 1
               Thread.sleep(10L * attempt)
           }
@@ -454,10 +512,11 @@ final class TableCatalog(spark: SparkSession, root: String,
       withTableLock(layer, table) {
         val pinnedHere = pinnedVersions(layer, table)
         val lockPath = new Path(path(layer, table), "_LOCK")
+        sweepTrash(layer, table)
         versions(layer, table).dropRight(keepVersions)
           .filterNot(pinnedHere.contains)
           .foreach { v =>
-            fs.delete(versionDir(layer, table, v), true)
+            reclaimVersionDir(layer, table, v)
             // renew the lock's mtime between version-dir deletes: holder
             // staleness is judged from that mtime (staleLockMs = 60s), so
             // a retention sweep of many large version dirs that runs past
@@ -709,9 +768,10 @@ final class TableCatalog(spark: SparkSession, root: String,
         if (currentVersion(layer, table).forall(_ < next))
           writePointer(layer, table, next)
         val pinned = pinnedVersions(layer, table)
+        sweepTrash(layer, table)
         versions(layer, table).dropRight(keepVersions)
           .filterNot(pinned.contains)
-          .foreach(v => fs.delete(versionDir(layer, table, v), true))
+          .foreach(v => reclaimVersionDir(layer, table, v))
       }
     }
   }
@@ -730,30 +790,31 @@ final class TableCatalog(spark: SparkSession, root: String,
     var attempt = 1
     while (true) {
       val base = latestCommitted(layer, table)
-      // PIN the base for the whole build+write: `build`'s snapshot reads
-      // the base LAZILY — its parquet files are consumed during the
-      // staging write, a window long enough for a concurrent aggressive
-      // vacuum (another process's verb; first caught by the cross-JVM
-      // storm as a mid-stage FileNotFound) to reclaim an already-
-      // superseded base. A pin that comes back None means the base
-      // vanished before we could take it — re-resolve, same as a CAS
-      // conflict.
-      val pin = base.map(v => pinVersion(layer, table, v))
-      if (base.isDefined && pin.exists(_.isEmpty)) {
-        if (attempt >= maxAttempts)
+      try {
+        // PIN the base for the whole build+write: `build`'s snapshot reads
+        // the base LAZILY — its parquet files are consumed during the
+        // staging write, a window long enough for a concurrent aggressive
+        // vacuum (another process's verb; first caught by the cross-JVM
+        // storm as a mid-stage FileNotFound) to reclaim an already-
+        // superseded base. A pin that comes back None means the base
+        // vanished before we could take it — re-resolve, same as a CAS
+        // conflict. The pin sits INSIDE the retried try: its internal
+        // `withTableLock` can time out under contention as a
+        // CommitConflictException, which is a retryable contention
+        // outcome exactly like a CAS loss, not a caller error.
+        val pin = base.map(v => pinVersion(layer, table, v))
+        if (base.isDefined && pin.exists(_.isEmpty))
           throw new CommitConflictException(
-            s"$layer/$table: base version kept vanishing ($attempt attempts)")
-        attempt += 1
-      } else {
+            s"$layer/$table: base version $base vanished before pinning")
         try {
           val snapshot = build(base.map(readVersion(layer, table, _)))
           overwriteOptimistic(snapshot, layer, table, expected = base)
           return base.getOrElse(0) + 1
-        } catch {
-          case e: CommitConflictException =>
-            if (attempt >= maxAttempts) throw e
-            attempt += 1
         } finally pin.flatten.foreach(unpinVersion)
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
       }
     }
     -1 // unreachable
@@ -995,8 +1056,9 @@ final class TableCatalog(spark: SparkSession, root: String,
         .filterNot(cur.contains)
         .filterNot(pinned.contains)
       val lockPath = new Path(path(layer, table), "_LOCK")
+      sweepTrash(layer, table)
       dropped.foreach { v =>
-        fs.delete(versionDir(layer, table, v), true)
+        reclaimVersionDir(layer, table, v)
         // same holder-staleness renewal as publishVersion's sweep: keep
         // the lock's mtime fresh so a >60s multi-version delete can't be
         // judged stale and broken mid-hold

@@ -74,11 +74,16 @@ object CatalogStorm {
                 // a scan that STARTED on a live version can lose files to
                 // a concurrent keepLast=2 vacuum mid-execution — the
                 // documented aggressive-vacuum-below-reader-lag hazard
-                // (Delta semantics), benign here. Construction-time
-                // PATH_NOT_FOUND is NOT excused: read()'s re-resolve
-                // retry owns that window now.
-                case e: Throwable if {
-                  var c: Throwable = e; var fnf = false
+                // (Delta semantics), benign here. ONLY task-execution
+                // failures qualify (a SparkException from the running job
+                // with FNF in its cause chain): a bare/unwrapped FNF or an
+                // AnalysisException raised while CONSTRUCTING the
+                // DataFrame is the window read()'s re-resolve retry owns,
+                // and excusing it would blind the storm to exactly the
+                // defect class it exists to catch (r11: the half-deleted
+                // dir escape).
+                case e: org.apache.spark.SparkException if {
+                  var c: Throwable = e.getCause; var fnf = false
                   while (c != null && !fnf) {
                     fnf = c.isInstanceOf[java.io.FileNotFoundException]
                     c = c.getCause
