@@ -8,6 +8,14 @@ object Bench {
     // sidecar writes (simhash/LSH/IVF/PQ gate artifacts) are pure overhead
     // — disable them so the timed reps measure the algorithm alone.
     OracleSidecar.enabled = false
+    // Engine-only replay sinks: timed stream replays commit their output
+    // through the distributed parquet FileStreamSink instead of the memory
+    // sink's per-micro-batch O(output) driver collect — the documented
+    // harness artifact (BASELINE.md "memory-sink measurement artifact";
+    // a 16 GiB collect aborted the sf10 stream-stream join at the default
+    // 1g maxResultSize). Verify and the specs keep the memory-sink oracle
+    // path: this flag is bench-only.
+    graft.streaming.ReplaySink.engineOnly = true
     // Output-file split (two provenances that must never merge): a plain
     // run — which is what the DRIVER invokes — writes BENCH_DRIVER.json,
     // untracked; the repo's committed quiet-box baseline BENCH_LOCAL.json
@@ -54,8 +62,12 @@ object Bench {
     // them between executions keeps the pool empty; the NEXT run of the
     // same query rebuilds its own checkpoints from scratch either way, so
     // timings measure the query, not the cache history.
-    def dropStaleCaches(): Unit =
+    def dropStaleCaches(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // reclaim engine-only replay sink dirs (consumed by now: this slot
+      // runs strictly after BenchAction.consume returned)
+      graft.streaming.ReplaySink.sweep()
+    }
     // the one sanctioned consumer: noop write, structurally non-prunable
     // (count() let Catalyst drop whole computations — see BenchAction and
     // BASELINE.md "Bench-pruning artifact")
@@ -90,25 +102,55 @@ object Bench {
     // off its committed quiet-box record means the whole record sits in a
     // bad window. Both land in the JSON so a reviewer never has to infer.
     val canaryNames = Seq("events_window_stream", "heavy_hitters_cms")
+    // a canary run that THROWS must not masquerade as a timing (the same
+    // hazard the main timed loop guards): record -1, the self-identifying
+    // sentinel, and let the ratio math propagate it
     def canaryPass(): Map[String, Double] = canaryNames.map { nm =>
       val fn = SparkEntry.queries(nm)
-      val ts = (1 to 2).map { _ =>
+      val ts = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try BenchAction.consume(fn(spark, sfDir))
-        catch { case _: Throwable => () }
-        finally dropStaleCaches()
-        (System.nanoTime() - t0) / 1e9
+        val t = try {
+          BenchAction.consume(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] canary $nm FAILED: $e"); None
+        }
+        dropStaleCaches()
+        t
       }
-      nm -> ts.min
+      nm -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val canaryPre = canaryPass()
+    // MID-SWEEP canary segments: the r11 driver record proved the pre/post
+    // endpoint pair cannot LOCALIZE a degradation spike — its two graph
+    // queries read 2.1-2.2× quiet while the endpoint smear said 1.23×. One
+    // cheap fixed probe (the compute-bound canary, single shot) runs every
+    // `segStride` queries of the timed loop; each probe's ratio vs the
+    // min-of-2 pre value classifies ITS segment's host window, so every
+    // per-query number inherits a window label. Single-shot vs min-of-2
+    // jitter makes ~1.3 the quiet-window noise floor; sustained ≥1.5 marks
+    // a degraded segment.
+    val segStride = 25
+    val segProbeName = "heavy_hitters_cms"
+    val segRatios = scala.collection.mutable.ListBuffer.empty[Double]
+    def segProbeRun(): Unit = {
+      val fn = SparkEntry.queries(segProbeName)
+      val t0 = System.nanoTime()
+      val ok = try { BenchAction.consume(fn(spark, sfDir)); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropStaleCaches()
+      val base = canaryPre.getOrElse(segProbeName, -1.0)
+      segRatios += (if (ok && base > 0) sec / base else -1.0)
+    }
     // min of two fully-warm timed runs: single-shot numbers on a shared box
     // swing 2-3× from GC/scheduler noise; the min is the reproducible
     // throughput figure. A failing query must NOT masquerade as a fast
     // success: it reports -1 and the error goes to stderr. The cache drop
     // runs AFTER the timer stops: it is bookkeeping between measurements,
     // not part of any query's cost.
-    val results = inventory.map { case (name, fn) =>
+    val results = inventory.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % segStride == 0) segProbeRun()
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         val t = try { BenchAction.consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -127,18 +169,23 @@ object Bench {
     val canaryJson = {
       val ents = canaryNames.map { nm =>
         val pre = canaryPre(nm); val post = canaryPost(nm)
-        val ratio = if (pre > 0) post / pre else -1.0
+        val ratio = if (pre > 0 && post > 0) post / pre else -1.0
         s""""$nm":{"pre":${r3(pre)},"post":${r3(post)},"ratio":${r3(ratio)}}"""
       }
       ents.mkString("{", ",", "}")
     }
     val canaryRatios = canaryNames.map { nm =>
-      if (canaryPre(nm) > 0) canaryPost(nm) / canaryPre(nm) else -1.0
+      if (canaryPre(nm) > 0 && canaryPost(nm) > 0) canaryPost(nm) / canaryPre(nm)
+      else -1.0
     }
+    // per-segment window ratios (stride × position recovers which queries
+    // each probe brackets; inventory is sorted, so position is stable)
+    val segJson = s""""seg_stride":$segStride,"seg_probe":"$segProbeName",""" +
+      s""""segments":[${segRatios.map(r3).mkString(",")}]"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,$segJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of the run's output and
     // parses a JSON line out of them; the full per-query line is now ~3 KB,
     // so ANY placement of it gets its head cut (BENCH_r02..r04 all have
@@ -171,7 +218,8 @@ object Bench {
           false
       }
     val compactJson = {
-      val budget = 1500 // bytes for the queries map; window is ~2000 total
+      val budget = 1400 // bytes for the queries map; window is ~2000 total
+      // (trimmed 100 bytes for the "segments" array, ~8 ratios at sf0.1)
       // FAILED queries (-1.0) pin to the FRONT of the fill: a failure is
       // the first thing a reviewer of a truncated log must see, and under
       // plain slowest-first ordering its -1 sorted LAST and was elided
@@ -191,6 +239,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
         s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
         s""""canary":[${canaryRatios.map(r3).mkString(",")}],""" +
+        s""""segments":[${segRatios.map(r3).mkString(",")}],""" +
         s""""full":${if (wroteFull) "\"" + outName + "\"" else "null"},"sf":"$sfDir"}"""
     }
     // the compact line is the FINAL print; logs are silenced first so no

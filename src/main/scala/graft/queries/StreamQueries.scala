@@ -3,7 +3,8 @@ package graft.queries
 import java.sql.Timestamp
 
 import graft.{NamedQuery, Tables}
-import graft.streaming.{FileReplay, Sessionize, SilverJob}
+import graft.streaming.{FileReplay, ReplaySink, Sessionize, SilverJob}
+import graft.streaming.ReplaySink.DatasetReplayOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,7 +52,6 @@ object StreamQueries {
           col("value"))
       val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // The replay's cost is dominated by per-partition-per-micro-batch
       // state-store machinery (init + commit + snapshot), a FIXED floor of
       // partitions × 3 batches stores regardless of data volume. 8
@@ -63,8 +63,7 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = Sessionize.sessions(feed.stream.as[Sessionize.Event], gapMs)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         // batch 1: the real corpus (initial watermark 0 admits everything)
         feed.stageCached(corpus, s"$d#events#key_ts_value")
@@ -85,7 +84,7 @@ object StreamQueries {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
-      s.table(sink)
+      q.result()
         .filter(col("key") =!= "__flush__")
         .withColumn("session_id", row_number().over(w).cast("long"))
         .select(col("key").cast("bigint").as("user_id"), col("session_id"),
@@ -136,7 +135,6 @@ object StreamQueries {
       val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val hourMs = 3600000L
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_win_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // same fixed-floor trim as the sessionize replay: state-store cost is
       // per partition × per micro-batch; results are partition-independent
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -145,8 +143,7 @@ object StreamQueries {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feed.stageCached(corpus, s"$d#events#ttv")
         q.processAllAvailable()
@@ -162,7 +159,7 @@ object StreamQueries {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .filter(col("event_type") =!= "__flush__")
         .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
           col("n"), round(col("sv"), 2).as("sum_value"))
@@ -336,15 +333,13 @@ object StreamQueries {
       val held = (tsMs >= hi - 3 * hourMs && tsMs < hi - hourMs) ||
         (tsMs >= hi - 1800000L && tsMs < hi)
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_late_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         // batch 1 contains the corpus max, so the watermark at its end is
         // hi − 10min; batch 2 is then judged row-by-row against it
@@ -360,7 +355,7 @@ object StreamQueries {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .filter(col("event_type") =!= "__flush__")
         .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
           col("n"), round(col("sv"), 2).as("sum_value"))
@@ -405,7 +400,6 @@ object StreamQueries {
       val poisoned = corpus.withColumn("value", col("value") * 3 + 7)
       val nRows = corpus.count()
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // Partition count scales with the corpus instead of the fixed 8 of
       // the other replays: dedup state is one entry PER KEY (nothing
@@ -441,8 +435,7 @@ object StreamQueries {
       val q = feed.stream
         .withWatermark("ts", "1440 hours")
         .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feed.stageCached(corpus, s"$d#events#ietv")
         q.processAllAvailable()
@@ -461,7 +454,7 @@ object StreamQueries {
           case None    => s.conf.unset(changelogKey)
         }
       }
-      s.table(sink)
+      q.result()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))
@@ -645,7 +638,6 @@ object StreamQueries {
       val splitTs = lo + (hi - lo) / 2
       val feedC = FileReplay(s, clicks.schema)
       val feedB = FileReplay(s, buys.schema)
-      val sink = "graft_ssj_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // tighter fixed-floor trim than the single-store replays: a
       // symmetric hash join keeps FOUR state-store instances per partition
       // (keyToNumValues + keyWithIndexToValue, each side), so per-batch
@@ -659,8 +651,7 @@ object StreamQueries {
         .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
           s"$d#events#clicks#le_mid")
@@ -677,7 +668,7 @@ object StreamQueries {
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
           (expr("unix_millis(b_ts)") - expr("unix_millis(c_ts)")).as("lag_ms"))
         .orderBy(col("user_id"), col("click_id"), col("buy_id"))
@@ -722,7 +713,6 @@ object StreamQueries {
           col("value"))
       val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_swin_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = feed.stream
@@ -730,8 +720,7 @@ object StreamQueries {
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("key"))
         .agg(count(lit(1)).as("n_events"),
              min(col("ts")).as("start"), max(col("ts")).as("end"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feed.stageCached(corpus, s"$d#events#key_ts_value")
         q.processAllAvailable()
@@ -744,7 +733,7 @@ object StreamQueries {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
-      s.table(sink)
+      q.result()
         .filter(col("key") =!= "__flush__")
         .withColumn("session_id", row_number().over(w).cast("long"))
         .select(col("key").cast("bigint").as("user_id"), col("session_id"),
@@ -812,7 +801,6 @@ object StreamQueries {
       val splitTs = lo + (hi - lo) / 2
       val feedC = FileReplay(s, clicks.schema)
       val feedB = FileReplay(s, buys.schema)
-      val sink = "graft_sso_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
@@ -820,8 +808,7 @@ object StreamQueries {
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"),
           "leftOuter")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         // same lossless midpoint split as the inner variant: after batch 1
         // the eviction cut sits at splitTs − 7h, and any click evicted
@@ -853,7 +840,7 @@ object StreamQueries {
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .filter(col("c_user") >= 0)
         .select(col("c_user").as("user_id"), col("click_id"),
           coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
@@ -901,7 +888,6 @@ object StreamQueries {
       val splitTs = lo + (hi - lo) / 2
       val feedC = FileReplay(s, clicks.schema)
       val feedB = FileReplay(s, buys.schema)
-      val sink = "graft_ssf_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
@@ -909,8 +895,7 @@ object StreamQueries {
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"),
           "fullOuter")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
           s"$d#events#clicks#le_mid")
@@ -931,7 +916,7 @@ object StreamQueries {
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .filter(coalesce(col("c_user"), col("b_user")) >= 0)
         .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
@@ -969,7 +954,6 @@ object StreamQueries {
       val maxTs = corpus.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val hourMs = 3600000L
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_slide_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = feed.stream
@@ -977,8 +961,7 @@ object StreamQueries {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feed.stageCached(corpus, s"$d#events#ttv")
         q.processAllAvailable()
@@ -990,7 +973,7 @@ object StreamQueries {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .filter(col("event_type") =!= "__flush__")
         .select(expr("unix_millis(w.start)").as("bucket_ms"), col("event_type"),
           col("n"), round(col("sv"), 2).as("sum_value"))
@@ -1027,15 +1010,13 @@ object StreamQueries {
       val dim = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
       val feed = FileReplay(s, corpus.schema)
-      val sink = "graft_enrich_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = feed.stream
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("c_nationkey"), col("c_mktsegment"),
           col("value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         // two micro-batches (event_id parity split): enrichment must be
         // exactly-once per event across batch boundaries, not just within
@@ -1051,7 +1032,7 @@ object StreamQueries {
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .groupBy(col("c_nationkey").as("nation_key"),
           col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -1089,8 +1070,6 @@ object StreamQueries {
       val splitTs = lo + (hi - lo) / 2
       val feedC = FileReplay(s, clicks.schema)
       val feedB = FileReplay(s, buys.schema)
-      val sink = "graft_sssemi_stream_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
@@ -1098,8 +1077,7 @@ object StreamQueries {
           expr("c_user = b_user AND b_ts > c_ts AND " +
                "b_ts <= c_ts + interval 6 hours"),
           "left_semi")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feedC.stageCached(clicks.filter(unix_millis(col("c_ts")) <= splitTs),
           s"$d#events#clicks#le_mid")
@@ -1116,7 +1094,7 @@ object StreamQueries {
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.table(sink)
+      q.result()
         .select(col("c_user").as("user_id"), col("click_id"),
           unix_millis(col("c_ts")).as("c_ms"))
         .orderBy(col("user_id"), col("click_id"))
@@ -1208,12 +1186,9 @@ object StreamQueries {
         .filter(col("ec") * col("ue") > col("te"))
         .select(col("user_id"))
       val feed = FileReplay(s, buys.schema)
-      val sink = "graft_blocklist_stream_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val q = feed.stream
         .join(broadcast(blocked), Seq("user_id"), "left_anti")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .replayAppendSink(s)
       try {
         feed.stageCached(buys.filter(col("event_id") % 2 === 0),
           s"$d#events#buy_cents#even")
@@ -1222,7 +1197,7 @@ object StreamQueries {
           s"$d#events#buy_cents#odd")
         q.processAllAvailable()
       } finally { q.stop(); feed.close() }
-      s.table(sink)
+      q.result()
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
         .orderBy(col("user_id"))

@@ -32,6 +32,13 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     // timing microscope, not a verify run: skip oracle-sidecar writes
     graft.OracleSidecar.enabled = false
+    // SPARK_GRAFT_ENGINE_ONLY=0 keeps the memory-sink oracle path for
+    // harness-vs-engine A/B; the default matches Bench (engine-only
+    // replay sinks — the memory sink's O(output) driver collect is the
+    // documented measurement artifact this mode removes, and the reason
+    // SPARK_GRAFT_MAXRESULT no longer needs raising at sf10)
+    graft.streaming.ReplaySink.engineOnly =
+      sys.env.getOrElse("SPARK_GRAFT_ENGINE_ONLY", "1") != "0"
     // comma-separated names time each in sequence (shared warm JVM)
     for (nm <- name.split(",")) {
       val fn = graft.SparkEntry.queries(nm)
@@ -41,6 +48,7 @@ object TimeOne {
         // into dropping the computation under test — BenchAction scaladoc)
         graft.BenchAction.consume(fn(spark, sfDir))
         println(f"[timeone] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        graft.streaming.ReplaySink.sweep() // post-consume bookkeeping
       }
     }
     spark.stop()
