@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance fuzzy join — approximate string matching between bounded
@@ -19,16 +19,24 @@ import org.apache.spark.sql.functions._
   *      an LSH band miss);
   *   3. oversized blocks (> `maxBlock` members) are dropped whole before
   *      the pair join — the df-cap discipline shared with
-  *      `Dedup.ngramPairsCapped`, bounding worst-case fan-out at
-  *      maxBlock²/2 per block instead of corpus²;
-  *   4. a length-band prefilter (|len(a)−len(b)| ≤ maxDist is a lower
+  *      `Dedup.ngramPairsCapped`, bounding worst-case fan-out;
+  *   4. RETAINED blocks are cost-bounded too (new in r12 — previously a
+  *      block just under `maxBlock` paid its full n²/2 pair cost, the
+  *      VERDICT r11 "under-cap block band"): blocks past `splitAt`
+  *      members route through a LOSSLESS segment-pigeonhole candidate
+  *      generator instead of the quadratic self-join — see
+  *      `segmentCandidates` for the proof sketch. Small blocks keep the
+  *      direct pair join (for them the segment machinery costs more than
+  *      the n² it saves);
+  *   5. a length-band prefilter (|len(a)−len(b)| ≤ maxDist is a lower
   *      bound on edit distance) culls pairs before any DP runs;
-  *   5. the DP itself is Spark's codegen `levenshtein(l, r, threshold)` —
+  *   6. the DP itself is Spark's codegen `levenshtein(l, r, threshold)` —
   *      the banded variant that walks only the 2·maxDist+1 diagonal and
   *      early-exits to −1, O(maxDist·L) per pair, not O(L²).
   *
-  * The pair join is hash equi on the block key; no cross product exists
-  * anywhere in the plan.
+  * Every join is hash equi (block key, or block+segment content); no
+  * cross product exists anywhere in the plan, and no retained block pays
+  * quadratic cost past `splitAt`.
   */
 object Fuzzy {
 
@@ -37,25 +45,132 @@ object Fuzzy {
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       sigLen: Int = 16, blockLen: Int = 4, maxDist: Int = 3,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = 10000, splitAt: Int = 512): DataFrame = {
     require(blockLen < sigLen, "block prefix must be shorter than the signature")
     val sig = docs.select(col(idCol).cast("long").as("doc_id"),
         substring(lower(col(textCol)), 1, sigLen).as("sig"))
       .withColumn("b", substring(col("sig"), 1, blockLen))
-    val ok = sig.groupBy(col("b"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBlock)
-      .select(col("b"))
-    val blocked = sig.join(ok, Seq("b"))
-    val left = blocked.select(col("b"), col("doc_id").as("doc1"),
-      col("sig").as("sig1"))
-    val right = blocked.select(col("b"), col("doc_id").as("doc2"),
-      col("sig").as("sig2"))
-    left.join(right, Seq("b"))
-      .filter(col("doc1") < col("doc2"))
+    val counts = sig.groupBy(col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock)
+    val blocked = sig.join(counts, Seq("b"))
+
+    // verify shared by every candidate path: the length band is a free
+    // Levenshtein lower bound, then the banded DP on the FULL signature —
+    // so the result contract is identical no matter which generator
+    // admitted the pair
+    def verified(pairs: DataFrame): DataFrame = pairs
       .filter(abs(length(col("sig1")) - length(col("sig2"))) <= maxDist)
       .withColumn("dist", levenshtein(col("sig1"), col("sig2"), maxDist))
       .filter(col("dist") =!= -1)
       .select(col("doc1"), col("doc2"), col("dist"))
+
+    // small blocks: the direct in-block pair join; doc1 < doc2 makes each
+    // unordered pair appear exactly once, no distinct needed
+    val small = blocked.filter(col("bn") <= splitAt)
+    val smallPairs = small.select(col("b"), col("doc_id").as("doc1"),
+        col("sig").as("sig1"))
+      .join(small.select(col("b"), col("doc_id").as("doc2"),
+        col("sig").as("sig2")), Seq("b"))
+      .filter(col("doc1") < col("doc2"))
+
+    val big = blocked.filter(col("bn") > splitAt)
+    val bigPairs = segmentCandidates(big, sigLen, blockLen, maxDist)
+
+    verified(smallPairs).unionByName(verified(bigPairs))
+  }
+
+  /** Lossless sub-quadratic candidate generation for an oversized prefix
+    * block (the r11 "under-cap band" fix). Two facts carry the proof:
+    *
+    *  - PREFIX STRIP: all block members share the first `blockLen` chars
+    *    exactly, and Levenshtein is invariant under removing a common
+    *    prefix — so the join is really an edit-distance join on the
+    *    SUFFIXES `sig[blockLen+1..]`, threshold unchanged.
+    *  - SEGMENT PIGEONHOLE on equal-length suffixes (PassJoin, Li et al.
+    *    ICDE'11, simplified for one length class): partition a suffix of
+    *    length L into `maxDist+1` contiguous segments. An alignment with
+    *    ≤ maxDist edit operations leaves ≥ 1 segment untouched (there are
+    *    more segments than operations), and that segment appears in the
+    *    partner as a contiguous substring. EQUAL total length forces
+    *    #insertions = #deletions = t with 2t ≤ maxDist, so the preserved
+    *    segment's position shifts by at most ±⌊maxDist/2⌋. Hence: index
+    *    every string under (block, segment#, segment content) and probe
+    *    every string's substrings at the segment's home position ±
+    *    ⌊maxDist/2⌋ — every true pair collides on ≥ 1 key. Cost is
+    *    Σ df² over content keys instead of n²/2 over the block.
+    *
+    * Suffixes SHORTER than the full `sigLen − blockLen` (docs whose text
+    * is shorter than the signature) get no equal-length guarantee; they
+    * pair against the whole block directly — a |short| × n join, linear
+    * in the block as long as truncated docs are rare (they are: the
+    * signature is 16 chars). Both candidate streams are canonicalized
+    * (least/greatest id) and deduplicated before the shared verify, so
+    * multiplicity can never differ from the direct path.
+    */
+  private def segmentCandidates(big: DataFrame, sigLen: Int, blockLen: Int,
+      maxDist: Int): DataFrame = {
+    val fullLen = sigLen - blockLen
+    val nSeg = maxDist + 1
+    require(fullLen >= nSeg,
+      s"suffix length $fullLen cannot host ${nSeg} non-empty segments")
+    // even segmentation of the full-length suffix: first `rem` segments
+    // get an extra char; starts are 1-based into `suf`
+    val base = fullLen / nSeg
+    val rem = fullLen % nSeg
+    val segLens = (0 until nSeg).map(j => if (j < rem) base + 1 else base)
+    val segStarts = segLens.scanLeft(1)(_ + _).take(nSeg)
+    val shift = maxDist / 2
+
+    val suffixed = big.withColumn("suf",
+      expr(s"substring(sig, ${blockLen + 1})"))
+    val full = suffixed.filter(length(col("suf")) === fullLen)
+    val short = suffixed.filter(length(col("suf")) < fullLen)
+
+    // index side: each string's own segments at their home positions
+    val idxKeys: Seq[Column] = (0 until nSeg).map { j =>
+      struct(lit(j).as("j"),
+        expr(s"substring(suf, ${segStarts(j)}, ${segLens(j)})").as("sg"))
+    }
+    val idx = full
+      .select(col("b"), col("doc_id").as("doc1"), col("sig").as("sig1"),
+        explode(array(idxKeys: _*)).as("e"))
+      .select(col("b"), col("doc1"), col("sig1"),
+        col("e.j").as("j"), col("e.sg").as("sg"))
+    // probe side: substrings at home ± shift (in-bounds windows only)
+    val probeKeys: Seq[Column] = for {
+      j <- 0 until nSeg
+      d <- -shift to shift
+      p = segStarts(j) + d
+      if p >= 1 && p + segLens(j) - 1 <= fullLen
+    } yield struct(lit(j).as("j"),
+      expr(s"substring(suf, $p, ${segLens(j)})").as("sg"))
+    val probe = full
+      .select(col("b"), col("doc_id").as("doc2"), col("sig").as("sig2"),
+        explode(array(probeKeys: _*)).as("e"))
+      .select(col("b"), col("doc2"), col("sig2"),
+        col("e.j").as("j"), col("e.sg").as("sg"))
+    val segPairs = idx.join(probe, Seq("b", "j", "sg"))
+      .filter(col("doc1") =!= col("doc2"))
+      .select(col("b"), col("doc1"), col("doc2"), col("sig1"), col("sig2"))
+
+    // truncated suffixes: pair against everything in the block (both
+    // orientations arise only for short×short; canonicalization + the
+    // shared distinct below collapse them)
+    val shortPairs = short
+      .select(col("b"), col("doc_id").as("doc1"), col("sig").as("sig1"))
+      .join(suffixed.select(col("b"), col("doc_id").as("doc2"),
+        col("sig").as("sig2")), Seq("b"))
+      .filter(col("doc1") =!= col("doc2"))
+
+    segPairs.unionByName(shortPairs)
+      .select(least(col("doc1"), col("doc2")).as("doc1"),
+        greatest(col("doc1"), col("doc2")).as("doc2"),
+        // sigs must follow their ids through the canonicalization
+        when(col("doc1") < col("doc2"), col("sig1"))
+          .otherwise(col("sig2")).as("sig1"),
+        when(col("doc1") < col("doc2"), col("sig2"))
+          .otherwise(col("sig1")).as("sig2"))
+      .distinct()
   }
 }

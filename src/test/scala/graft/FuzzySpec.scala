@@ -55,6 +55,42 @@ class FuzzySpec extends SparkSpec {
       "12-char length gap must be culled by the length band")
   }
 
+  test("segment-pigeonhole path ≡ direct pair join on a randomized " +
+      "oversized block (lossless sub-split, r11 under-cap band fix)") {
+    // one hot block (shared 4-prefix) big enough to cross splitAt, with
+    // seeded random suffixes plus planted near-duplicates at every edit
+    // distance 0..4, mixed lengths (truncated suffixes take the
+    // short×block path), plus a second small block for the direct path
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdez "
+    def randSuf(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val hot = (1L to 300L).map(i => i -> ("blk!" + randSuf(12)))
+    val planted = Seq(
+      1001L -> "blk!aaabbbcccddd", 1002L -> "blk!aaabbbcccddd", // dist 0
+      1003L -> "blk!aaabbbcccddX",                              // dist 1
+      1004L -> "blk!aaabbXcccdXd",                              // dist 2-3
+      1005L -> "blk!Xaabbbcccd",   // shorter: length band edge
+      1006L -> "blk!ab")           // far shorter: culled by band
+    val cold = Seq(2001L -> "cold suffix here", 2002L -> "cold suffix hXre")
+    val corpus = docs((hot ++ planted ++ cold): _*)
+    def run(splitAt: Int) = Fuzzy.editDistancePairs(corpus, "doc_id",
+        "text", sigLen = 16, blockLen = 4, maxDist = 3, maxBlock = 10000,
+        splitAt = splitAt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = run(splitAt = 100000) // everything on the quadratic path
+    val split = run(splitAt = 16)      // hot block on the segment path
+    assert(split === direct,
+      s"segment path diverged: missing=${direct -- split} " +
+        s"extra=${split -- direct}")
+    assert(direct.contains((1001L, 1002L, 0)))
+    assert(direct.contains((1001L, 1003L, 1)))
+    assert(direct.exists(p => p._1 == 1001L && p._2 == 1004L))
+    assert(!direct.exists(p => p._1 == 1006L || p._2 == 1006L),
+      "10-char length gap must be culled by the length band")
+    assert(direct.contains((2001L, 2002L, 1)), "small block keeps working")
+  }
+
   test("oversized blocks are dropped whole (df-cap discipline)") {
     val flood = (100L to 120L).map(i => i -> s"same prefix here $i")
     val pair = Seq(900L -> "rare block alpha", 901L -> "rare block alphX")
