@@ -44,32 +44,78 @@ import org.apache.spark.sql.functions._
   * cut, iteration k's plan CONTAINS iterations 1..k−1, so the adjacency
   * would be re-scanned O(iterations²/2) times.
   *
-  * Hub bound: one adjacency row holds one node's full out-list, so the
-  * per-row payload is O(max outdeg). For power-law graphs with hubs past
-  * ~10⁷ out-edges, split hub rows by salting src into (src, salt) groups
-  * sharing the pre-computed global outdeg — the contribution sum by dst
-  * is salt-oblivious, so the result is unchanged. Not wired here: the
-  * purchase graphs this serves top out at ~10³.
+  * Hub bound (wired in r12, VERDICT r11 task 5): one adjacency row holds
+  * one node's full out-list, so the per-row payload is O(max outdeg) —
+  * for power-law graphs (web/link graphs at 100 TB) a 10⁷-out-edge hub
+  * is a straight executor OOM as a single array. Behind an outdeg probe
+  * (1-row bounds collect, the accepted scalar-probe idiom), hub graphs
+  * build a SALTED adjacency instead: each hub's out-edges hash-spread
+  * across ceil(outdeg/maxNbrs) (src, salt) rows that all carry the
+  * GLOBAL outdeg. The contribution sum by dst is salt-oblivious — each
+  * neighbor still receives exactly `r DIV outdeg` once — so ranks are
+  * bit-identical to the unsalted path (GraphSpec pins this on a
+  * 10⁶-out-edge hub). The superstep exchange count is unchanged: the
+  * salted groupBy runs on an edge set pre-partitioned by src alone
+  * (hash(src) satisfies the (src, salt) clustering), so the adjacency
+  * stays co-partitioned with the rank vector on src.
   */
 object Graph {
 
   val Scale: Long = 1000000000000L // 1e12 rank micro-units
 
+  /** Max neighbors per adjacency row before hub salting engages: 2²² ids
+    * ≈ 34 MB of longs per row — comfortably under task/record limits,
+    * far above every non-power-law corpus (the purchase graphs top out
+    * at ~10³, so they never pay the salted load's extra deg join).
+    */
+  val PageRankMaxNbrs: Int = 1 << 22
+
   // partitioning-preserving barrier shared by all iterative operators
   private def ckptKeepPartitioning(df: DataFrame): DataFrame =
     graft.plans.PlanBarriers.ckptKeepPartitioning(df)
 
-  /** Edge set packed for iteration: (src, outdeg, nbrs) — one row per
-    * source node, hash-partitioned on src by its own groupBy, with the
-    * partitioning-preserving checkpoint so every iteration re-reads the
-    * packed arrays CO-PARTITIONED, never the raw edge scan. nbrs order is
-    * whatever collect_list produced; the integer contribution sum is
-    * order-independent, so it never affects results.
+  /** Edge set packed for iteration: (src, outdeg, nbrs) — hash-partitioned
+    * on src, with the partitioning-preserving checkpoint so every
+    * iteration re-reads the packed arrays CO-PARTITIONED, never the raw
+    * edge scan. nbrs order is whatever collect_list produced; the integer
+    * contribution sum is order-independent, so it never affects results.
+    *
+    * Hub graphs (max outdeg > maxNbrs, probed) emit MULTIPLE rows per hub
+    * src — (src, salt) groups sharing the global outdeg, each holding
+    * ~maxNbrs neighbors (hash-spread, so the bound is probabilistic with
+    * small variance) — see the companion scaladoc for the equivalence
+    * argument. The salted groupBy keys on (src, salt) but runs on input
+    * partitioned by src ALONE (hash(src) satisfies the clustered-by-
+    * (src, salt) requirement), so the output partitioning every superstep
+    * join relies on is hash(src) in both regimes.
     */
-  private[graft] def pageRankAdjacency(edges: DataFrame): DataFrame =
-    ckptKeepPartitioning(
-      edges.groupBy(col("src"))
-        .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("nbrs")))
+  private[graft] def pageRankAdjacency(edges: DataFrame,
+      maxNbrs: Int = PageRankMaxNbrs): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val probe = deg.agg(max(col("outdeg"))).head() // 1-row bounds collect
+    val maxOut = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxOut <= maxNbrs)
+      ckptKeepPartitioning(
+        edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg"),
+            collect_list(col("dst")).as("nbrs")))
+    else {
+      // one edge-sized exchange (the repartition) — the same order of
+      // load cost as the plain path's groupBy — plus a narrow deg join
+      // built from the already-aggregated (src, outdeg) side
+      val parted = edges.repartition(col("src"))
+      val withDeg = parted.join(deg.hint("shuffle_hash"), Seq("src"))
+      val nSalts = expr(s"(outdeg - 1) DIV $maxNbrs + 1")
+      val salted = withDeg.withColumn("salt",
+        when(col("outdeg") > maxNbrs,
+          pmod(xxhash64(col("dst")), nSalts)).otherwise(lit(0L)))
+      ckptKeepPartitioning(
+        salted.groupBy(col("src"), col("salt"))
+          .agg(first(col("outdeg")).as("outdeg"),
+            collect_list(col("dst")).as("nbrs"))
+          .select(col("src"), col("outdeg"), col("nbrs")))
+    }
+  }
 
   /** One power-iteration superstep over the packed adjacency. The join
     * carries zero Exchange on the adjacency side (co-partitioned on src;
@@ -94,14 +140,19 @@ object Graph {
     * symmetrized graph). Returns (node, rank_fp).
     */
   def pageRankFixedPoint(edges: DataFrame, nNodes: Long,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, maxNbrs: Int = PageRankMaxNbrs): DataFrame = {
     require(nNodes > 0, "empty graph")
     val init = Scale / nNodes
     val base = (15L * init) / 100L
-    val adj = pageRankAdjacency(edges)
+    val adj = pageRankAdjacency(edges, maxNbrs)
     // init ranks are a projection OF the adjacency (same rows, same
-    // partitioning), so even iteration 1's join is exchange-free
-    var ranks = adj.select(col("src").as("node"), lit(init).as("r"))
+    // partitioning), so even iteration 1's join is exchange-free. The
+    // src-dedup matters only under hub salting (multiple adjacency rows
+    // per hub would otherwise duplicate its init rank); it is a
+    // same-partitioning aggregate — alias-aware, so NO exchange — and a
+    // no-op row-wise on unsalted graphs
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(init).as("r"))
     (1 to iterations).foreach { _ =>
       // partitioning-preserving cut: the next superstep's join sees this
       // rank vector hash(node) == hash(src) and exchanges NOTHING — the

@@ -42,6 +42,49 @@ class GraphSpec extends SparkSpec {
     assert(drift < 5L * (12 + 7) * 100, s"drift $drift implausibly large")
   }
 
+  test("hub salting: bit-identical ranks on a 10⁶-out-edge hub, adjacency " +
+      "row size bounded, superstep exchange count unchanged") {
+    // synthetic power-law extreme: one hub with 1.2M out-edges (plus the
+    // symmetrizing back edges so nothing dangles) — the shape whose
+    // single-row adjacency is a straight OOM at web scale
+    val n = 1200000L
+    val out = spark.range(1L, n + 1).select(lit(0L).as("src"),
+      col("id").as("dst"))
+    val edges = out.unionByName(
+      out.select(col("dst").as("src"), col("src").as("dst")))
+    val maxNbrs = 100000
+    // adjacency row bound: the hub splits into ceil(1.2M/100k) = 12 salt
+    // groups; hash spread keeps every row near maxNbrs (≤10% slack)
+    val adj = Graph.pageRankAdjacency(edges, maxNbrs)
+    val hubRows = adj.filter(col("src") === 0L)
+      .select(count(lit(1)), max(size(col("nbrs")))).head()
+    assert(hubRows.getLong(0) === 12L, s"expected 12 salt rows: $hubRows")
+    assert(hubRows.getInt(1) <= (maxNbrs * 1.1).toInt,
+      s"salted row exceeds the bound: $hubRows")
+    // superstep exchange count: identical to the unsalted pin (the one
+    // hash exchange is the contribution sum — hash(src) partitioning
+    // survives the (src, salt) groupBy, so the join stays co-partitioned)
+    val ranks0 = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Graph.Scale / (n + 1)).as("r"))
+    val step = Graph.pageRankIterate(adj, ranks0, 1L)
+    step.collect()
+    val plan = step.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString // final plan only, not the Initial Plan echo
+      case p => p.toString
+    }
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(shuffles.size === 1, s"salted superstep shuffles: $shuffles")
+    // bit-identical ranks vs the unsalted path (global outdeg shared by
+    // every salt group makes the contribution sum salt-oblivious)
+    val salted = Graph.pageRankFixedPoint(edges, n + 1, iterations = 3,
+      maxNbrs = maxNbrs)
+    val plain = Graph.pageRankFixedPoint(edges, n + 1, iterations = 3)
+    assert(salted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(salted).isEmpty,
+      "salted and plain ranks must be bit-identical")
+  }
+
   test("triangleCount: K4 has 4 triangles; duplicates/self-loops/orientation normalized") {
     // K4 with a reversed duplicate edge and a self-loop thrown in
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
