@@ -159,10 +159,14 @@ object Multimodal {
     var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
     var bits = 0
     var data: Option[(Int, Int)] = None // (offset, byteLen)
-    while (off + 8 <= payload.length) {
+    while (off.toLong + 8 <= payload.length) {
       val id = ascii4(off)
       val len = buf.getInt(off + 4)
-      if (len < 0 || off + 8 + len > payload.length) return None
+      // bound check in LONG arithmetic: a crafted chunk length near
+      // Int.MaxValue overflows `off + 8 + len` to negative in ints,
+      // passing the guard and turning the promised None into an
+      // IndexOutOfBounds downstream
+      if (len < 0 || off.toLong + 8L + len > payload.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

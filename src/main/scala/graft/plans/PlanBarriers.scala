@@ -19,12 +19,23 @@ object PlanBarriers {
     * own AQE setting. This is the Pregel load-time discipline for every
     * iterative operator whose STATIC side must stay put: partition once,
     * exchange only the small per-round state.
+    *
+    * The toggle + materialize run under a per-session lock: the conf is
+    * session-global, so two unsynchronized callers could interleave —
+    * the second reading "false" as the old value and restoring it,
+    * leaving AQE silently disabled session-wide. The lock serializes the
+    * read-modify-restore; the window where an UNRELATED concurrent query
+    * plans without AQE remains (the conf is one value per session), but
+    * it is now bounded by one materialization and always restores the
+    * true prior value.
     */
   def ckptKeepPartitioning(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(true) finally spark.conf.set(key, old)
+    spark.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val old = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try df.localCheckpoint(true) finally spark.conf.set(key, old)
+    }
   }
 }
