@@ -123,4 +123,73 @@ object Quantiles {
   def hdrDistinctQuantiles(df: DataFrame, group: String, centsCol: String,
       qs: Seq[Double], s: Int = DefaultS): DataFrame =
     hdrQuantiles(hdrSketch(df, group, centsCol, s), group, qs, s)
+
+  /** Cumulative frequency over a per-key integer value domain — the
+    * building block of every exact percentile here: given a frequency
+    * table (keys…, value, count), append `__cum` = running count in
+    * ascending value order per key.
+    *
+    * Two regimes behind a DOMAIN-CARDINALITY gate (one aggregation, one
+    * 1-row collect — the accepted bounds-probe idiom):
+    *
+    *  - domain ≤ `escalateAt` rows: the plain per-key window. One task
+    *    walks each key's distinct-value domain — fine while the domain is
+    *    orders of magnitude under the corpus (~10⁵ cents values vs 10⁸
+    *    rows).
+    *  - past the gate (pathological domains near |rows| — unique-valued
+    *    columns, micro-timestamps): a RANGE-PARTITIONED two-phase prefix
+    *    sum. Values bucket by a fixed-width integer shift of (value − lo)
+    *    — monotone and engine-exact, no float boundary — sized so the
+    *    per-key bucket count stays ≤ `targetBuckets`. Phase 1 cumsums the
+    *    tiny per-(key, bucket) subtotal table for each bucket's offset
+    *    (≤ targetBuckets rows per key); phase 2 windows WITHIN each
+    *    (key, bucket) — parallel tasks of ~domain/targetBuckets rows —
+    *    and adds the offset. No task ever sorts a whole key's domain.
+    *    Fixed-width bucketing spreads any near-unique domain; it does not
+    *    equalize an adversarially point-concentrated one (that shape
+    *    would need quantile boundaries — and its concentrated values
+    *    collapse the frequency table anyway, which is what the gate
+    *    measures).
+    *
+    * `valueCol` must be integral (the repo's cents/ids discipline).
+    * Results are identical in both regimes (QuantilesSpec pins equality
+    * on a unique-values corpus).
+    */
+  def cumFreq(freq: DataFrame, keys: Seq[String], valueCol: String,
+      cntCol: String, escalateAt: Long = 1L << 21,
+      targetBuckets: Int = 4096): DataFrame = {
+    val ks = keys.map(col)
+    val wPlain = Window.partitionBy(ks: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probe = freq.agg(count(lit(1)).as("__rows"),
+      min(col(valueCol)).cast("long").as("__lo"),
+      max(col(valueCol)).cast("long").as("__hi")).head()
+    if (probe.getLong(0) <= escalateAt || probe.isNullAt(1))
+      freq.withColumn("__cum", sum(col(cntCol)).over(wPlain))
+    else {
+      val lo = probe.getLong(1)
+      val span = BigInt(probe.getLong(2)) - BigInt(lo) + 1
+      var shift = 0
+      while ((span >> shift) > targetBuckets) shift += 1
+      val bktCols = ks :+ col("__bkt")
+      val bFreq = freq.withColumn("__bkt",
+        call_function("shiftright",
+          col(valueCol).cast("long") - lit(lo), lit(shift)))
+      val sub = bFreq.groupBy(bktCols: _*)
+        .agg(sum(col(cntCol)).as("__bc"))
+      // offsets: counts in strictly-earlier buckets; per key this window
+      // walks ≤ targetBuckets subtotal rows, not the domain
+      val wOff = Window.partitionBy(ks: _*).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sub.withColumn("__off",
+          coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+        .select((ks :+ col("__bkt") :+ col("__off")): _*)
+      val wIn = Window.partitionBy(bktCols: _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bFreq.join(offs, keys :+ "__bkt")
+        .withColumn("__cum",
+          sum(col(cntCol)).over(wIn) + col("__off"))
+        .drop("__bkt", "__off")
+    }
+  }
 }

@@ -1325,17 +1325,17 @@ object DomainQueries {
         // in cents-only order (identical multiset), and the smallest
         // cents whose cumulative frequency reaches r IS that element — so
         // the shuffle carries the (priority, cents) frequency table
-        // (map-side combined) and the one remaining window walks the
-        // distinct value domain, not the corpus.
+        // (map-side combined), and the cumulative sum runs through
+        // Quantiles.cumFreq: plain domain window below the cardinality
+        // gate, range-partitioned two-phase prefix sum past it (r12 —
+        // no single task ever sorts a pathological near-unique domain).
         val c = Tables.orders(s, d)
           .select(col("o_orderpriority"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
         val freq = c.groupBy(col("o_orderpriority"), col("cents"))
           .agg(count(lit(1)).as("__c"))
-        val wc = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("cents"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = freq.withColumn("__cum", sum(col("__c")).over(wc))
+        val cum = graft.operators.Quantiles.cumFreq(
+          freq, Seq("o_orderpriority"), "cents", "__c")
         val n = c.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n"))
         cum.join(broadcast(n), Seq("o_orderpriority"))
           .withColumn("__r50", ceil(lit(0.5) * col("__n")))

@@ -1087,15 +1087,13 @@ object PipelineQueries {
       // count reaches r, so: (flag, cents) frequency table (map-side
       // combined — the shuffle carries distinct values, not rows), one
       // cumulative-sum window over DISTINCT cents per flag, and the
-      // bracketing row cum−c < r ≤ cum. The remaining window is per-flag
-      // single-task but over the value DOMAIN (~10⁵), not the corpus; at
-      // 100 TB with a pathological domain the next escalation is a
-      // range-partitioned two-phase prefix sum.
+      // bracketing row cum−c < r ≤ cum. The cumulative sum runs through
+      // Quantiles.cumFreq (r12): per-flag domain window below the
+      // cardinality gate, range-partitioned two-phase prefix sum past it
+      // — the escalation the r11 scaladoc promised, now wired.
       val freq = li.groupBy(col("l_returnflag"), col("cents"))
         .agg(count(lit(1)).as("__c"))
-      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = freq.withColumn("__cum", sum(col("__c")).over(wc))
+      val cum = Quantiles.cumFreq(freq, Seq("l_returnflag"), "cents", "__c")
       val exact = li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("__n"))
         .select(col("l_returnflag"),

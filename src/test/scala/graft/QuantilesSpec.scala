@@ -76,4 +76,42 @@ class QuantilesSpec extends SparkSpec {
     val sk = Quantiles.hdrSketch(df, "g", "cents")
     assert(sk.agg(sum(col("__n"))).head().getLong(0) === 1L)
   }
+
+  test("cumFreq escalation: identical cumulative sums on a unique-values " +
+      "corpus, with no task sorting a whole key's domain") {
+    // pathological domain: every value distinct (|domain| == |rows|), two
+    // keys, sparse value space — the shape where the plain per-key window
+    // walks everything in one task
+    val freq = spark.range(0L, 200000L)
+      .select(when(col("id") % 2 === 0, "even").otherwise("odd").as("k"),
+        (col("id") * 37 + 11).as("v"), lit(1L).as("c"))
+    val plain = Quantiles.cumFreq(freq, Seq("k"), "v", "c",
+        escalateAt = Long.MaxValue)
+      .select(col("k"), col("v"), col("__cum"))
+    val esc = Quantiles.cumFreq(freq, Seq("k"), "v", "c",
+        escalateAt = 1000, targetBuckets = 64)
+      .select(col("k"), col("v"), col("__cum"))
+    assert(esc.exceptAll(plain).isEmpty && plain.exceptAll(esc).isEmpty,
+      "escalated prefix sum must equal the plain window bit-for-bit")
+    // no-single-task-sort pin: the escalated plan's domain-sized window
+    // partitions by (k, __bkt) — the plain key-only window spec must not
+    // appear over the frequency table (only the <=targetBuckets offset
+    // cumsum may window by the key alone)
+    esc.collect()
+    val plan = esc.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"),
+      s"escalated path must range-partition by bucket:\n$plan")
+    // and the buckets genuinely spread the domain: with 64 target buckets
+    // over a uniform unique domain, the per-(k, bucket) slice each window
+    // task sorts is ~100k/64 values — pin it well under the key domain
+    val lo = 11L // min of v = id*37 + 11 at id=0
+    val span = BigInt(199999L * 37) + 1
+    var shift = 0
+    while ((span >> shift) > 64) shift += 1
+    val maxPerBucket = freq.groupBy(col("k"),
+        call_function("shiftright", col("v") - lit(lo), lit(shift)))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxPerBucket < 5000L,
+      s"domain not spread across buckets: $maxPerBucket per task")
+  }
 }
