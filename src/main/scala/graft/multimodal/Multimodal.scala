@@ -222,6 +222,130 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // REAL codec #2: BMP via javax.imageio (r11 VERDICT task 9). JPEG and
+  // H.264 stay environment-blocked (no native media libs), but the JDK's
+  // own ImageIO ships a pure-JVM BMP reader — so the IMAGE modality gets
+  // a genuinely decoded format too, behind the same synthesize-and-decode
+  // discipline as WAV: genuine container bytes in, every output column
+  // from the decoder's pixels out, closed-form content so the DuckDB
+  // oracle re-derives the features without parsing a byte.
+
+  /** Decoded BMP facts: container metadata plus content features computed
+    * from the actual decoded pixels. All channel sums are exact BIGINTs
+    * (≤ 255·w·h ≪ 2⁶³), so the oracle comparison has no float surface
+    * except the final rounded mean.
+    */
+  case class BmpFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      wsum_r: Long,
+      mean_lum: Double)
+
+  /** Synthesize a genuine 24bpp bottom-up BI_RGB BMP. Stored channel
+    * bytes follow the closed form
+    *   f(k, c) = (seed·7919 + k·104729 + c·131) mod 256
+    * with k = storedRow·w + x (stored rows run bottom-up) and c ∈
+    * {0=B, 1=G, 2=R} (BMP's on-disk channel order), rows padded to
+    * 4-byte boundaries per the format.
+    */
+  def synthBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, 24bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      var x = 0
+      while (x < w) {
+        val k = row.toLong * w + x
+        var c = 0
+        while (c < 3) {
+          buf.put(((seed * 7919 + k * 104729 + c * 131) % 256).toByte)
+          c += 1
+        }
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP decode through `javax.imageio.ImageIO` (the JDK's own BMP
+    * plugin — pure JVM, present in every runtime): parse the container,
+    * decode the pixel raster, and compute content features from the
+    * DECODED image — exact per-channel sums plus a position-weighted red
+    * sum Σ (yImg·w + x)·R(x, yImg) that is sensitive to the bottom-up row
+    * order (a decoder that flipped rows would keep the plain sums but
+    * break the weighted one). None for anything ImageIO cannot read —
+    * never an exception, the same drop-bad-media contract as decodeWav.
+    * Returns (width, height, sum_r, sum_g, sum_b, wsum_r).
+    */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+    if (payload == null || payload.length < 54) return None
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        sumR += r
+        sumG += (rgb >> 8) & 0xff
+        sumB += rgb & 0xff
+        wsumR += (y.toLong * w + x) * r
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sumR, sumG, sumB, wsumR))
+  }
+
+  /** Synthesize-and-REALLY-decode BMP features for each id of `df` — the
+    * image-modality twin of `wavFeatures`: payload built and decoded in
+    * one mapPartitions pass (bytes never shuffle), dimensions varied per
+    * id (w = 8 + id mod 9, h = 6 + id mod 7) so container/padding shapes
+    * differ across rows, every output column from the decoder.
+    */
+  def bmpFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val payload = synthBmp(id, w, h)
+          decodeBmp(payload).map { case (dw, dh, sr, sg, sb, wr) =>
+            // raw double; the gate rounds via Spark's round() so both
+            // engines share one rounding definition
+            BmpFeatures(id, dw, dh, dw.toLong * dh, sr, sg, sb, wr,
+              (sr + sg + sb).toDouble / (3.0 * dw * dh))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th 64-byte "frame" of
     * the payload — the partition/batch shape of real frame sampling.
     */

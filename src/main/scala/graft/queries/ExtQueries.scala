@@ -1318,6 +1318,52 @@ object ExtQueries {
                               * 1.0 / n), 4) AS rms
             FROM sm ORDER BY media_id"""))
 
+  /** REAL BMP decode through the driver gate (r11 VERDICT task 9 — the
+    * image-modality twin of `multimodal_wav_decode`): one genuine 24bpp
+    * bottom-up BMP is synthesized per document id and decoded through
+    * the JDK's own ImageIO BMP reader; every output column comes from
+    * the decoded raster. The stored-byte closed form
+    * f(k, c) = (id·7919 + k·104729 + c·131) mod 256 (k = storedRow·w + x,
+    * c = B/G/R on disk, w = 8 + id mod 9, h = 6 + id mod 7) lets DuckDB
+    * re-derive everything WITHOUT touching bytes: plain channel sums are
+    * row-order-invariant, so the gate also carries a position-weighted
+    * red sum over DECODED coordinates — the oracle maps stored row r to
+    * image row h−1−r (bottom-up), and a decoder that flipped, swapped
+    * channels, or misread padding breaks the hash.
+    */
+  private val mmBmpDecode = NamedQuery(
+    "multimodal_bmp_decode",
+    (s, d) =>
+      Multimodal.bmpFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), round(col("mean_lum"), 4).as("mean_lum"))
+        .orderBy(col("media_id")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(8 + doc_id % 9 AS INT) AS w,
+                                CAST(6 + doc_id % 7 AS INT) AS h
+                         FROM documents),
+            px AS (SELECT media_id, w, h,
+                          [CAST((media_id * 7919 + k * 104729) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS b,
+                          [CAST((media_id * 7919 + k * 104729 + 131) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS g,
+                          [CAST((media_id * 7919 + k * 104729 + 262) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS r,
+                          [CAST(((media_id * 7919 + k * 104729 + 262) % 256)
+                                * ((h - 1 - k // w) * w + k % w)
+                                AS BIGINT) FOR k IN range(0, w * h)] AS wr
+                   FROM par)
+            SELECT media_id, w AS width, h AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(r) AS BIGINT) AS sum_r,
+                   CAST(list_sum(g) AS BIGINT) AS sum_g,
+                   CAST(list_sum(b) AS BIGINT) AS sum_b,
+                   CAST(list_sum(wr) AS BIGINT) AS wsum_r,
+                   round((list_sum(r) + list_sum(g) + list_sum(b)) * 1.0
+                         / (3.0 * w * h), 4) AS mean_lum
+            FROM px ORDER BY media_id"""))
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
@@ -1328,5 +1374,5 @@ object ExtQueries {
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
-    mmMeta, mmFrames, mmFrameStats, mmWavDecode)
+    mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode)
 }

@@ -130,4 +130,54 @@ class MultimodalSpec extends SparkSpec {
         math.sqrt(s.map(x => x.toLong * x).sum.toDouble / n))
     }
   }
+
+  test("BMP codec: ImageIO decodes the synthesized container to the " +
+      "closed-form pixels, bottom-up order verified per pixel") {
+    val (seed, w, h) = (7L, 5, 4) // odd width => 15-byte rows, 1-byte pad
+    val payload = Multimodal.synthBmp(seed, w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "JDK ImageIO must read the synthesized BMP")
+    assert(img.getWidth === w && img.getHeight === h)
+    def f(k: Long, c: Int) = ((seed * 7919 + k * 104729 + c * 131) % 256).toInt
+    for (yImg <- 0 until h; x <- 0 until w) {
+      val k = (h - 1 - yImg).toLong * w + x // stored rows run bottom-up
+      val rgb = img.getRGB(x, yImg)
+      assert(((rgb >> 16) & 0xff) === f(k, 2), s"R at ($x,$yImg)")
+      assert(((rgb >> 8) & 0xff) === f(k, 1), s"G at ($x,$yImg)")
+      assert((rgb & 0xff) === f(k, 0), s"B at ($x,$yImg)")
+    }
+    // decoder features agree with direct pixel math
+    val Some((dw, dh, sr, sg, sb, wr)) = Multimodal.decodeBmp(payload)
+    assert((dw, dh) === (w, h))
+    val ks = for (yImg <- 0 until h; x <- 0 until w)
+      yield (yImg.toLong * w + x, (h - 1 - yImg).toLong * w + x)
+    assert(sr === ks.map { case (_, k) => f(k, 2).toLong }.sum)
+    assert(sg === ks.map { case (_, k) => f(k, 1).toLong }.sum)
+    assert(sb === ks.map { case (_, k) => f(k, 0).toLong }.sum)
+    assert(wr === ks.map { case (pos, k) => pos * f(k, 2) }.sum,
+      "position-weighted sum must see the decoded (top-down) orientation")
+  }
+
+  test("BMP codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeBmp(null).isEmpty)
+    assert(Multimodal.decodeBmp(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeBmp("not a bitmap at all, just text padded"
+      .getBytes("US-ASCII")).isEmpty)
+    val truncated = Multimodal.synthBmp(3L, 8, 8).take(60)
+    assert(Multimodal.decodeBmp(truncated).isEmpty)
+  }
+
+  test("BMP synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 40L).toDF("doc_id")
+    val out = Multimodal.bmpFeatures(df, "doc_id").collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === (8 + id % 9).toInt)
+      assert(r.getAs[Int]("height") === (6 + id % 7).toInt)
+      assert(r.getAs[Long]("n_pixels") ===
+        (8 + id % 9) * (6 + id % 7))
+    }
+  }
 }
