@@ -42,7 +42,8 @@ object Clusters {
     * on both paths (min-reachable-id), spec-pinned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 15, driverFallbackEdges: Long = 4000000L): DataFrame = {
+      maxIter: Int = 15, driverFallbackEdges: Long = 4000000L,
+      bucketedAtEdges: Long = Graph.BucketedPinAtEdges): DataFrame = {
     require(driverFallbackEdges < Int.MaxValue, "fallback threshold must fit an Int")
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
                            col(bCol).cast("long").as("dst"))
@@ -52,7 +53,7 @@ object Clusters {
     // partitioning and every round would re-exchange the edges, the
     // PageRank defect class). Each round then exchanges only the
     // label-table-sized aggregation, never the edges.
-    val edges = graft.plans.PlanBarriers.ckptKeepPartitioning(
+    var edges = graft.plans.PlanBarriers.ckptKeepPartitioning(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .repartition(col("dst")))
@@ -65,6 +66,15 @@ object Clusters {
       return unionFindLocal(
         edges.collect().map(r => (r.getLong(0), r.getLong(1))),
         pairs.sparkSession)
+    // past the bucketed threshold, RE-pin the edge set as a bucketed
+    // persisted table (cluster-survivable, zero storage-memory — see
+    // PlanBarriers.pinBucketed): the same count that ran the fallback
+    // gate selects the pin currency, and the one-time write reads from
+    // the already-materialized checkpoint, not the raw pair derivation.
+    // Every round's join stays exchange-free on the edge side under
+    // both currencies (plan-pinned).
+    if (probeCount >= bucketedAtEdges)
+      edges = graft.plans.PlanBarriers.pinBucketed(edges, "dst")
 
     var labels = graft.plans.PlanBarriers.ckptKeepPartitioning(
       edges.select(col("dst").as("node")).distinct()

@@ -70,6 +70,14 @@ object Graph {
     */
   val PageRankMaxNbrs: Int = 1 << 22
 
+  /** Edge count past which the static side pins as a bucketed persisted
+    * table instead of a localCheckpoint: 2·10⁹ edges ≈ 32 GB packed —
+    * around where lineage-truncated storage-memory blocks stop being a
+    * reasonable currency on a real cluster (executor loss aborts the
+    * job; blocks contend execution memory).
+    */
+  val BucketedPinAtEdges: Long = 2000000000L
+
   // partitioning-preserving barrier shared by all iterative operators
   private def ckptKeepPartitioning(df: DataFrame): DataFrame =
     graft.plans.PlanBarriers.ckptKeepPartitioning(df)
@@ -90,12 +98,25 @@ object Graph {
     * join relies on is hash(src) in both regimes.
     */
   private[graft] def pageRankAdjacency(edges: DataFrame,
-      maxNbrs: Int = PageRankMaxNbrs): DataFrame = {
+      maxNbrs: Int = PageRankMaxNbrs,
+      bucketedAtEdges: Long = BucketedPinAtEdges): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val probe = deg.agg(max(col("outdeg"))).head() // 1-row bounds collect
+    // 1-row bounds collect: max outdeg gates hub salting, |E| selects the
+    // pin currency — one probe aggregation serves both gates
+    val probe = deg.agg(max(col("outdeg")), sum(col("outdeg"))).head()
     val maxOut = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val nEdges = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    // pin currency by size: localCheckpoint under the threshold (fast,
+    // but lineage-truncated and storage-memory-resident), bucketed
+    // persisted table past it (cluster-survivable — see
+    // PlanBarriers.pinBucketed; the superstep join is exchange-free
+    // under BOTH, plan-pinned)
+    def pin(adj: DataFrame): DataFrame =
+      if (nEdges >= bucketedAtEdges)
+        graft.plans.PlanBarriers.pinBucketed(adj, "src")
+      else ckptKeepPartitioning(adj)
     if (maxOut <= maxNbrs)
-      ckptKeepPartitioning(
+      pin(
         edges.groupBy(col("src"))
           .agg(count(lit(1)).as("outdeg"),
             collect_list(col("dst")).as("nbrs")))
@@ -109,7 +130,7 @@ object Graph {
       val salted = withDeg.withColumn("salt",
         when(col("outdeg") > maxNbrs,
           pmod(xxhash64(col("dst")), nSalts)).otherwise(lit(0L)))
-      ckptKeepPartitioning(
+      pin(
         salted.groupBy(col("src"), col("salt"))
           .agg(first(col("outdeg")).as("outdeg"),
             collect_list(col("dst")).as("nbrs"))
@@ -140,11 +161,12 @@ object Graph {
     * symmetrized graph). Returns (node, rank_fp).
     */
   def pageRankFixedPoint(edges: DataFrame, nNodes: Long,
-      iterations: Int = 5, maxNbrs: Int = PageRankMaxNbrs): DataFrame = {
+      iterations: Int = 5, maxNbrs: Int = PageRankMaxNbrs,
+      bucketedAtEdges: Long = BucketedPinAtEdges): DataFrame = {
     require(nNodes > 0, "empty graph")
     val init = Scale / nNodes
     val base = (15L * init) / 100L
-    val adj = pageRankAdjacency(edges, maxNbrs)
+    val adj = pageRankAdjacency(edges, maxNbrs, bucketedAtEdges)
     // init ranks are a projection OF the adjacency (same rows, same
     // partitioning), so even iteration 1's join is exchange-free. The
     // src-dedup matters only under hub salting (multiple adjacency rows

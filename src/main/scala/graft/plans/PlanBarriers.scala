@@ -5,6 +5,40 @@ import org.apache.spark.sql.DataFrame
 /** Lineage barriers that KEEP physical properties. */
 object PlanBarriers {
 
+  /** Cluster-survivable pin for a STATIC iteration side (r12, VERDICT r11
+    * task 3): write `df` ONCE as a bucketed persisted table on `key` with
+    * numBuckets = shuffle.partitions, and read it back — the scan reports
+    * `HashPartitioning(key, buckets)` from the bucket metadata, so every
+    * co-partitioned superstep join stays exchange-free exactly as under
+    * `ckptKeepPartitioning` (PlanQualitySpec pins both variants).
+    *
+    * Why a second currency: `localCheckpoint` is lineage-TRUNCATING — on
+    * a real cluster an executor loss aborts the whole job because the
+    * pinned blocks have no recompute path — and the blocks contend
+    * storage memory with execution (the documented
+    * AGGREGATE_OUT_OF_MEMORY near-miss, Graph.scala). A bucketed table
+    * trades one distributed write for file-backed blocks any executor
+    * can re-read after a loss, with zero storage-memory footprint — the
+    * right currency once the static side stops being small. Callers
+    * select by size threshold (PageRank probes |E| for free in its
+    * outdeg probe; connectedComponents reuses its fallback-gate count).
+    *
+    * The table registers under a unique generated name in the session
+    * catalog (in-memory, session-scoped) with data under java.io.tmpdir;
+    * a production deployment would point both at durable storage — the
+    * partitioning contract is identical.
+    */
+  def pinBucketed(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val tag = "graft_pin_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"${System.getProperty("java.io.tmpdir")}/$tag"
+    df.write.mode("overwrite").bucketBy(buckets, key)
+      .option("path", path).saveAsTable(tag)
+    s.table(tag)
+  }
+
   /** Eager localCheckpoint that preserves the plan's hash partitioning.
     * `Dataset.checkpoint` copies the executed plan's outputPartitioning
     * into the `LogicalRDD` — but only when that plan isn't an

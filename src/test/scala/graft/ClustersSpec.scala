@@ -45,6 +45,21 @@ class ClustersSpec extends SparkSpec {
     assert(fast === dist)
   }
 
+  test("bucketed edge pin agrees with the checkpoint pin on a random graph") {
+    val rnd = new scala.util.Random(29)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("doc1", "doc2")
+    val ckpt = Clusters.connectedComponents(pairs, "doc1", "doc2",
+        maxIter = 50, driverFallbackEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val bucketed = Clusters.connectedComponents(pairs, "doc1", "doc2",
+        maxIter = 50, driverFallbackEdges = 0L, bucketedAtEdges = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(ckpt === bucketed, "pin currency must never change a cluster")
+  }
+
   test("large-star/small-star agrees with union-find on chains, blobs, and a random graph") {
     // deep path (the min-label loop's worst case), a dense blob, a pair
     val adversarial = ((0L until 64L).map(i => (i, i + 1)) ++

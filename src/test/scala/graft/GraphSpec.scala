@@ -31,6 +31,14 @@ class GraphSpec extends SparkSpec {
     assert(a === b, "integer arithmetic must be layout-invariant")
   }
 
+  test("bucketed static pin yields bit-identical ranks to the checkpoint pin") {
+    val a = Graph.pageRankFixedPoint(starEdges, 7L, 5)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRankFixedPoint(starEdges, 7L, 5, bucketedAtEdges = 1L)
+      .orderBy("node").collect().toSeq
+    assert(a === b, "pin currency must never change a rank")
+  }
+
   test("total rank mass stays within deterministic floor-rounding drift") {
     // each node loses < outdeg ulps to the two integer divisions per
     // iteration; total drift over 5 iterations is bounded by

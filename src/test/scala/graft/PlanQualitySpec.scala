@@ -182,6 +182,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bucketed static pin (r12 task 3): the superstep/propagation joins " +
+      "stay exchange-free reading the bucketed table, for BOTH operators") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e0 = graft.Tables.lineitem(spark, sf)
+      .select((col("l_suppkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // PageRank: force the bucketed pin (threshold 1) and assert the same
+    // single-exchange superstep the localCheckpoint variant pins above
+    val adj = graft.operators.Graph.pageRankAdjacency(edges,
+      bucketedAtEdges = 1L)
+    val ranks0 = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(graft.operators.Graph.Scale / 100).as("r"))
+    val step = graft.operators.Graph.pageRankIterate(adj, ranks0, 1L)
+    step.collect()
+    val plan = planString(step)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(shuffles.size === 1,
+      s"bucketed superstep shuffles: $shuffles\n$plan")
+    assert(plan.contains("ShuffledHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"adjacency must come from the bucketed scan\n$plan")
+    // connectedComponents: bucketed edge pin, same propagation contract
+    val ccEdges = graft.plans.PlanBarriers.pinBucketed(
+      edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("dst")), "dst")
+    val labels = graft.plans.PlanBarriers.ckptKeepPartitioning(
+      ccEdges.select(col("dst").as("node")).distinct()
+        .withColumn("label", col("node")))
+    val round = graft.operators.Clusters.propagateRound(ccEdges, labels)
+    round.collect()
+    val planCc = planString(round)
+    val shufflesCc = "Exchange hashpartitioning".r.findAllIn(planCc).toSeq
+    assert(shufflesCc.size <= 2,
+      s"bucketed propagation shuffles: $shufflesCc\n$planCc")
+    assert(!planCc.contains("SortMergeJoin"), planCc)
+  }
+
   test("q34_rank_family: rn<=15 pushes a map-side WindowGroupLimit; no task " +
       "sorts a full returnflag partition") {
     val plan = planString(run("q34_rank_family"))
