@@ -99,13 +99,27 @@ object Graph {
     */
   private[graft] def pageRankAdjacency(edges: DataFrame,
       maxNbrs: Int = PageRankMaxNbrs,
-      bucketedAtEdges: Long = BucketedPinAtEdges): DataFrame = {
+      bucketedAtEdges: Long = BucketedPinAtEdges,
+      maxOutdegHint: Option[Long] = None,
+      edgeCountHint: Option[Long] = None): DataFrame = {
+    // The hub gate needs max outdeg and the pin gate needs |E|. When the
+    // caller already owns cheaper bounds — e.g. a narrow pre-derivation
+    // aggregate over the raw fact table, the `compactIds` discipline from
+    // triangleCount — the probe is skipped: probing `edges` here executes
+    // its whole derivation (distinct + union + groupBy), measured ~17s of
+    // pure re-derivation at sf10. An OVERESTIMATE of max outdeg is always
+    // safe (salting is lossless; it would only engage early), an
+    // underestimate is not — hints must be upper bounds.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // 1-row bounds collect: max outdeg gates hub salting, |E| selects the
-    // pin currency — one probe aggregation serves both gates
-    val probe = deg.agg(max(col("outdeg")), sum(col("outdeg"))).head()
-    val maxOut = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-    val nEdges = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val (maxOut, nEdges) = (maxOutdegHint, edgeCountHint) match {
+      case (Some(mo), ec) => (mo, ec.getOrElse(0L))
+      case (None, _) =>
+        // 1-row bounds collect: one probe aggregation serves both gates
+        val probe = deg.agg(max(col("outdeg")), sum(col("outdeg"))).head()
+        (if (probe.isNullAt(0)) 0L else probe.getLong(0),
+          edgeCountHint.getOrElse(
+            if (probe.isNullAt(1)) 0L else probe.getLong(1)))
+    }
     // pin currency by size: localCheckpoint under the threshold (fast,
     // but lineage-truncated and storage-memory-resident), bucketed
     // persisted table past it (cluster-survivable — see
@@ -162,11 +176,14 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, nNodes: Long,
       iterations: Int = 5, maxNbrs: Int = PageRankMaxNbrs,
-      bucketedAtEdges: Long = BucketedPinAtEdges): DataFrame = {
+      bucketedAtEdges: Long = BucketedPinAtEdges,
+      maxOutdegHint: Option[Long] = None,
+      edgeCountHint: Option[Long] = None): DataFrame = {
     require(nNodes > 0, "empty graph")
     val init = Scale / nNodes
     val base = (15L * init) / 100L
-    val adj = pageRankAdjacency(edges, maxNbrs, bucketedAtEdges)
+    val adj = pageRankAdjacency(edges, maxNbrs, bucketedAtEdges,
+      maxOutdegHint, edgeCountHint)
     // init ranks are a projection OF the adjacency (same rows, same
     // partitioning), so even iteration 1's join is exchange-free. The
     // src-dedup matters only under hub salting (multiple adjacency rows

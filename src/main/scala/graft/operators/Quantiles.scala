@@ -159,13 +159,22 @@ object Quantiles {
       cntCol: String, escalateAt: Long = 1L << 21,
       targetBuckets: Int = 4096): DataFrame = {
     val ks = keys.map(col)
+    // materialize the frequency table ONCE before probing: the probe is
+    // an action, and without the barrier it would execute the whole
+    // corpus aggregation a second time when the chosen regime's plan
+    // runs (measured +2.4s on approx_quantiles_hdr at sf10). The pinned
+    // blocks are domain-sized — small by definition below the gate; for
+    // a pathological domain the pin is still the cheaper currency than
+    // a double corpus aggregation (and the bucketed-table pin is the
+    // further escalation if storage memory ever objects).
+    val fr = graft.plans.PlanBarriers.ckptKeepPartitioning(freq)
     val wPlain = Window.partitionBy(ks: _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val probe = freq.agg(count(lit(1)).as("__rows"),
+    val probe = fr.agg(count(lit(1)).as("__rows"),
       min(col(valueCol)).cast("long").as("__lo"),
       max(col(valueCol)).cast("long").as("__hi")).head()
     if (probe.getLong(0) <= escalateAt || probe.isNullAt(1))
-      freq.withColumn("__cum", sum(col(cntCol)).over(wPlain))
+      fr.withColumn("__cum", sum(col(cntCol)).over(wPlain))
     else {
       val lo = probe.getLong(1)
       val span = BigInt(probe.getLong(2)) - BigInt(lo) + 1
