@@ -43,20 +43,33 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 15, driverFallbackEdges: Long = 4000000L,
-      bucketedAtEdges: Long = Graph.BucketedPinAtEdges): DataFrame = {
+      bucketedAtEdges: Long = Graph.BucketedPinAtEdges,
+      edgeCountHint: Option[Long] = None): DataFrame = {
     require(driverFallbackEdges < Int.MaxValue, "fallback threshold must fit an Int")
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
                            col(bCol).cast("long").as("dst"))
+    val derived = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+    // A caller-known edge count past the bucketed threshold goes STRAIGHT
+    // to the bucketed persisted pin: the default path's localCheckpoint
+    // materializes the whole symmetrized edge set into storage memory
+    // FIRST, which at graph sizes the bucketed currency exists for is
+    // itself the OOM (measured: the 240M-edge sf10 purchase graph cannot
+    // even finish the checkpoint at 8 GiB, while the bucketed write
+    // streams through). The hint skips the checkpoint AND the driver
+    // fallback gate (both are about small graphs).
+    if (edgeCountHint.exists(_ >= bucketedAtEdges))
+      return propagateLoop(
+        graft.plans.PlanBarriers.pinBucketed(derived, "dst"), maxIter)
     // symmetrize once, then pin the STATIC edge set hash(dst) — the
     // per-round join's key — through the partitioning-preserving barrier
     // (PlanBarriers scaladoc: an AQE-built checkpoint forgets its
     // partitioning and every round would re-exchange the edges, the
     // PageRank defect class). Each round then exchanges only the
     // label-table-sized aggregation, never the edges.
-    var edges = graft.plans.PlanBarriers.ckptKeepPartitioning(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(col("dst")))
+    var edges = graft.plans.PlanBarriers.ckptKeepPartitioning(derived)
 
     // size gate (the checkpoint above already materialized the edges, so
     // this count is metadata-cheap); nothing lands on the driver unless
@@ -75,6 +88,11 @@ object Clusters {
     // both currencies (plan-pinned).
     if (probeCount >= bucketedAtEdges)
       edges = graft.plans.PlanBarriers.pinBucketed(edges, "dst")
+    propagateLoop(edges, maxIter)
+  }
+
+  /** The min-label propagation loop over an already-pinned edge set. */
+  private def propagateLoop(edges: DataFrame, maxIter: Int): DataFrame = {
 
     var labels = graft.plans.PlanBarriers.ckptKeepPartitioning(
       edges.select(col("dst").as("node")).distinct()

@@ -995,20 +995,22 @@ object PipelineQueries {
         .distinct()
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-      val n = edges.select(col("src")).distinct().count()
-      // hub-gate upper bound from the RAW fact table (one narrow
-      // map-side-combined pass): a node's symmetrized out-degree is its
-      // count of DISTINCT partners, ≤ its raw lineitem occurrence count —
-      // so probing pre-distinct is a safe overestimate (salting is
-      // lossless, an early trigger costs nothing) and skips re-deriving
-      // the distinct+union edge set inside pageRankAdjacency's probe
-      // (measured ~17s of pure re-derivation at sf10)
-      val degBound = li
-        .select(explode(array(col("l_suppkey"), col("l_partkey"))).as("nd"))
+      // ONE narrow map-side-combined pass over the RAW fact table yields
+      // both scalars the iteration needs: |V| (distinct encoded node ids
+      // — exact, every node of the symmetrized graph appears) and a safe
+      // hub-gate upper bound (a node's symmetrized out-degree is its
+      // count of DISTINCT partners ≤ its raw occurrence count;
+      // overestimates are harmless — salting is lossless). Probing the
+      // DERIVED edge set instead re-executed its distinct+union
+      // derivation twice (once for |V|, once for the outdeg probe) —
+      // measured ~17s of pure re-derivation at sf10.
+      val stats = li
+        .select(explode(array(col("l_suppkey") * 2,
+          col("l_partkey") * 2 + 1)).as("nd"))
         .groupBy(col("nd")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head().getLong(0)
-      Graph.pageRankFixedPoint(edges, n, iterations = 5,
-          maxOutdegHint = Some(degBound))
+        .agg(count(lit(1)).as("n"), max(col("c")).as("b")).head()
+      Graph.pageRankFixedPoint(edges, stats.getLong(0), iterations = 5,
+          maxOutdegHint = Some(stats.getLong(1)))
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(20)
         .select(

@@ -58,6 +58,13 @@ class ClustersSpec extends SparkSpec {
         maxIter = 50, driverFallbackEdges = 0L, bucketedAtEdges = 1L)
       .as[(Long, Long)].collect().toMap
     assert(ckpt === bucketed, "pin currency must never change a cluster")
+    // the checkpoint-free hint path (web-scale callers: the edge set is
+    // too big to localCheckpoint at all — the measured sf10 shape)
+    val hinted = Clusters.connectedComponents(pairs, "doc1", "doc2",
+        maxIter = 50, driverFallbackEdges = 0L, bucketedAtEdges = 1L,
+        edgeCountHint = Some(Long.MaxValue))
+      .as[(Long, Long)].collect().toMap
+    assert(ckpt === hinted, "the hint path must never change a cluster")
   }
 
   test("large-star/small-star agrees with union-find on chains, blobs, and a random graph") {
