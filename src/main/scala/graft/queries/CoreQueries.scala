@@ -690,14 +690,56 @@ object CoreQueries {
   private val q30 = NamedQuery(
     "q30_ntile_buckets",
     (s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      // ntile(10) RESTATED as closed forms over the (status, cents)
+      // frequency table (r12 — the q34/percentile discipline): the naive
+      // window sorts each of THREE status partitions in one task (the
+      // whole 5M-row partition at sf10 — measured 26s, 12.7×/decade).
+      // Deciles are contiguous rank ranges, so the output needs only
+      // (a) each decile's rank bounds — pure arithmetic from n, the
+      // standard ntile split base = n DIV 10 with the remainder spread
+      // over leading tiles; (b) the PRICE at each bound — a rank→value
+      // lookup, i.e. the smallest cents whose cumulative frequency
+      // reaches the rank (ties by orderkey can't change the cents at a
+      // rank: identical multiset); (c) count = hi−lo+1, no data at all.
+      // The cumulative sum runs through Quantiles.cumFreq — and since
+      // o_totalprice is near-unique, the domain-cardinality gate trips
+      // at sf1+ and this query becomes the range-partitioned prefix
+      // sum's first production consumer.
+      val o = Tables.orders(s, d).select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val freq = o.groupBy(col("o_orderstatus"), col("cents"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = graft.operators.Quantiles.cumFreq(
+        freq, Seq("o_orderstatus"), "cents", "__c")
+      val n = cum.groupBy(col("o_orderstatus"))
+        .agg(max(col("__cum")).as("__n"))
+      val tiles = n
+        .select(col("o_orderstatus"), col("__n"),
+          explode(sequence(lit(1), lit(10))).as("decile"))
+        .withColumn("__base", expr("__n DIV 10"))
+        .withColumn("__rem", col("__n") % 10)
+        .withColumn("__lo", when(col("decile") <= col("__rem"),
+            (col("decile") - 1) * (col("__base") + 1) + 1)
+          .otherwise(col("__rem") * (col("__base") + 1) +
+            (col("decile") - col("__rem") - 1) * col("__base") + 1))
+        .withColumn("__hi", when(col("decile") <= col("__rem"),
+            col("__lo") + col("__base"))
+          .otherwise(col("__lo") + col("__base") - 1))
+        .filter(col("__hi") >= col("__lo")) // ntile emits no empty tile
+      // ONE bracket pass: each (status, decile) needs the cents at its
+      // two bound ranks; a cum row brackets rank r iff cum−c < r ≤ cum
+      def brackets(bound: Column) =
+        col("__cum") >= bound && col("__cum") - col("__c") < bound
+      cum.join(broadcast(tiles), Seq("o_orderstatus"))
+        .filter(brackets(col("__lo")) || brackets(col("__hi")))
         .groupBy(col("o_orderstatus"), col("decile"))
-        .agg(count(lit(1)).as("n"),
-             r2(min(col("o_totalprice"))).as("min_price"),
-             r2(max(col("o_totalprice"))).as("max_price"))
+        .agg(first(col("__hi") - col("__lo") + 1).as("__n"),
+          min(when(brackets(col("__lo")), col("cents"))).as("__locents"),
+          min(when(brackets(col("__hi")), col("cents"))).as("__hicents"))
+        .select(col("o_orderstatus"), col("decile"),
+          col("__n").cast("long").as("n"),
+          round(col("__locents") / 100.0, 2).as("min_price"),
+          round(col("__hicents") / 100.0, 2).as("max_price"))
         .orderBy(col("o_orderstatus"), col("decile"))
     },
     Some("""WITH t AS (SELECT o_orderstatus, o_totalprice,
