@@ -63,15 +63,23 @@ object DomainQueries {
         col("event_id"),
         (col("value") % 170.0 - 85.0).as("lat"),
         ((col("value") * 2.0) % 350.0 - 175.0).as("lon"))
+      // neighbor enumeration on the SMALL side (r12): each center
+      // registers under its 3×3 neighbor cells (25 → ≤225 broadcast
+      // rows) and each point joins on its OWN single cell — a matching
+      // pair's center cell is within ±1 of the point's cell, so coverage
+      // is identical to exploding the points, but the 60M-row stream no
+      // longer multiplies ×9 before the join (sf10 17.4 → the explode
+      // was the whole slope). Pairs stay unique: a point has one cell.
       val centers = Tables.nation(s, d).select(
         col("n_nationkey"),
         ((col("n_nationkey") * 37.0) % 170.0 - 85.0).as("clat"),
         ((col("n_nationkey") * 73.0) % 350.0 - 175.0).as("clon"))
-        .withColumn("cell", gridCell(col("clat"), col("clon"), radius))
+        .withColumn("cell",
+          explode(gridCellNeighbors(col("clat"), col("clon"), radius)))
       val dist = euclideanDeg(col("lat"), col("lon"), col("clat"), col("clon"))
       pts
-        .withColumn("cell", explode(gridCellNeighbors(col("lat"), col("lon"), radius)))
-        .join(centers, Seq("cell"))
+        .withColumn("cell", gridCell(col("lat"), col("lon"), radius))
+        .join(broadcast(centers), Seq("cell"))
         .filter(dist < radius)
         .select(col("event_id"), col("n_nationkey"), round(dist, 4).as("dist"))
         .orderBy(col("event_id"), col("n_nationkey"))
