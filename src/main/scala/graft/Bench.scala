@@ -67,6 +67,12 @@ object Bench {
       // reclaim engine-only replay sink dirs (consumed by now: this slot
       // runs strictly after BenchAction.consume returned)
       graft.streaming.ReplaySink.sweep()
+      // the complete/update-mode replays still use the memory sink (the
+      // file sink cannot express upserts) — their temp views hold
+      // collected aggregates and would accumulate across 190 queries ×
+      // 4 passes; the in-memory view registry makes this a map sweep
+      spark.sessionState.catalog.listLocalTempViews("graft_*")
+        .foreach(n => spark.catalog.dropTempView(n.table))
     }
     // the one sanctioned consumer: noop write, structurally non-prunable
     // (count() let Catalyst drop whole computations — see BenchAction and
