@@ -101,7 +101,7 @@ object Clusters {
     // decimal(38,0) so the checksum can't overflow (ANSI throws on long
     // overflow, and billions of 64-bit ids would)
     def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
     var iter = 0
     var converged = false
@@ -181,7 +181,7 @@ object Clusters {
     // (ids may be negative, so linear terms cancel adversarially)
     def checksum(e: DataFrame): java.math.BigDecimal =
       e.agg(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
 
     var iter = 0
     var converged = false

@@ -46,7 +46,7 @@ object ProfileSemantic {
         .localCheckpoint(eager = true)
       val tFit = (System.nanoTime() - t0) / 1e9
       val cand = assigned.groupBy("cluster").count()
-        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0)
       val t1 = System.nanoTime()
       val out = graft.operators.Dedup
         .embeddingCosinePairs(assigned, threshold = 0.4,
