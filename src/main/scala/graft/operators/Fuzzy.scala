@@ -47,6 +47,11 @@ object Fuzzy {
       sigLen: Int = 16, blockLen: Int = 4, maxDist: Int = 3,
       maxBlock: Int = 10000, splitAt: Int = 512): DataFrame = {
     require(blockLen < sigLen, "block prefix must be shorter than the signature")
+    // a suffix too short to host maxDist+1 non-empty segments cannot use
+    // the pigeonhole — such configs keep the pre-split direct path for
+    // every retained block (the pre-r12 behavior) instead of failing
+    val segmentable = sigLen - blockLen >= maxDist + 1
+    val effSplitAt = if (segmentable) splitAt else maxBlock
     val sig = docs.select(col(idCol).cast("long").as("doc_id"),
         substring(lower(col(textCol)), 1, sigLen).as("sig"))
       .withColumn("b", substring(col("sig"), 1, blockLen))
@@ -67,14 +72,15 @@ object Fuzzy {
 
     // small blocks: the direct in-block pair join; doc1 < doc2 makes each
     // unordered pair appear exactly once, no distinct needed
-    val small = blocked.filter(col("bn") <= splitAt)
+    val small = blocked.filter(col("bn") <= effSplitAt)
     val smallPairs = small.select(col("b"), col("doc_id").as("doc1"),
         col("sig").as("sig1"))
       .join(small.select(col("b"), col("doc_id").as("doc2"),
         col("sig").as("sig2")), Seq("b"))
       .filter(col("doc1") < col("doc2"))
 
-    val big = blocked.filter(col("bn") > splitAt)
+    if (!segmentable) return verified(smallPairs)
+    val big = blocked.filter(col("bn") > effSplitAt)
     val bigPairs = segmentCandidates(big, sigLen, blockLen, maxDist)
 
     verified(smallPairs).unionByName(verified(bigPairs))

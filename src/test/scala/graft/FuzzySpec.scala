@@ -91,6 +91,19 @@ class FuzzySpec extends SparkSpec {
     assert(direct.contains((2001L, 2002L, 1)), "small block keeps working")
   }
 
+  test("suffix too short for the pigeonhole keeps the direct path " +
+      "(no failure on degenerate configs)") {
+    // sigLen − blockLen = 2 < maxDist + 1 = 4: segments impossible; the
+    // oversized block must fall back to the direct pair join, not throw
+    val d = docs((1L to 40L).map(i => i -> s"abcdX$i") :+
+      (100L -> "abcdZZ"): _*)
+    val out = Fuzzy.editDistancePairs(d, "doc_id", "text",
+        sigLen = 6, blockLen = 4, maxDist = 3, maxBlock = 1000,
+        splitAt = 8)
+      .collect()
+    assert(out.nonEmpty, "degenerate config must still produce pairs")
+  }
+
   test("oversized blocks are dropped whole (df-cap discipline)") {
     val flood = (100L to 120L).map(i => i -> s"same prefix here $i")
     val pair = Seq(900L -> "rare block alpha", 901L -> "rare block alphX")
