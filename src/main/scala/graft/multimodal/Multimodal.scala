@@ -350,6 +350,133 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // REAL codec #3: PNG via javax.imageio (round 12). The JDK's PNG
+  // plugin is pure JVM end to end — zlib INFLATE through java.util.zip
+  // plus per-scanline de-filtering — so unlike BMP's raw raster this
+  // format exercises a genuinely COMPRESSED, predictively-filtered
+  // decode path. Same synthesize-and-decode discipline as WAV/BMP:
+  // genuine container bytes in (signature, IHDR, one deflated IDAT,
+  // IEND, every chunk CRC-32-stamped), every output column from the
+  // decoder's pixels out, pixel content closed-form so the DuckDB
+  // oracle re-derives the features byte-free. The encoder cycles
+  // through ALL FIVE PNG filter types (scanline y stores under filter
+  // y mod 5: None/Sub/Up/Average/Paeth), so a decoder that skipped or
+  // botched any predictor breaks the hash — not just the header walk.
+
+  /** Synthesize a genuine 8-bit RGB truecolor PNG. DECODED channel
+    * bytes follow the closed form
+    *   f(k, c) = (seed·7919 + k·104729 + c·131) mod 256
+    * with k = y·w + x (PNG scanlines are top-down) and c ∈ {0=R, 1=G,
+    * 2=B} (PNG's in-stream channel order — note BMP's was B/G/R).
+    * Scanline y is stored under filter type y mod 5, the filtered bytes
+    * computed from the target raw values per the PNG spec, and the
+    * whole filtered stream deflated into one IDAT. Compression-level
+    * determinism is irrelevant: only the DECODED pixels are ever
+    * oracled, never the compressed bytes.
+    */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val bpr = w * 3
+    def f(k: Long, c: Int): Int =
+      ((seed * 7919 + k * 104729 + c * 131) % 256).toInt
+    val raw = Array.tabulate(h) { y =>
+      val row = new Array[Int](bpr)
+      var x = 0
+      while (x < bpr) { row(x) = f(y.toLong * w + x / 3, x % 3); x += 1 }
+      row
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new java.io.ByteArrayOutputStream(h * (1 + bpr))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered.write(ft)
+      var x = 0
+      while (x < bpr) {
+        val cur = raw(y)(x)
+        val left = if (x >= 3) raw(y)(x - 3) else 0
+        val up = if (y > 0) raw(y - 1)(x) else 0
+        val ul = if (x >= 3 && y > 0) raw(y - 1)(x - 3) else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ => cur - paeth(left, up, ul)
+        }
+        filtered.write(enc & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // PNG is BE
+      out.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(sig); bos.write(chunk("IHDR", ihdr))
+    bos.write(chunk("IDAT", zout.toByteArray))
+    bos.write(chunk("IEND", Array.emptyByteArray))
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode: same format-sniffing ImageIO path as `decodeBmp`
+    * (for PNG it rides the JDK's pure-JVM PNG reader — zlib inflate +
+    * per-scanline de-filtering), same feature tuple, same None-for-
+    * anything-unreadable contract. For PNG the raster index i = y·w + x
+    * equals the synthesis k directly (top-down scanlines, no BMP flip),
+    * so the position-weighted sum pins scanline stride and every filter
+    * predictor: a Sub/Paeth bug shifts bytes within a row, an
+    * Up/Average bug propagates across rows — either breaks `wsum_r`.
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    decodeBmp(payload)
+
+  /** Synthesize-and-REALLY-decode PNG features for each id of `df` —
+    * the compressed-image twin of `bmpFeatures`, same one-pass
+    * mapPartitions discipline (bytes never shuffle). Dimensions vary
+    * per id (w = 9 + id mod 8, h = 5 + id mod 6): h ≥ 5 guarantees
+    * every image stores at least one scanline under each of the five
+    * PNG filter types.
+    */
+  def pngFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (9 + id % 8).toInt
+          val h = (5 + id % 6).toInt
+          val payload = synthPng(id, w, h)
+          decodePng(payload).map { case (dw, dh, sr, sg, sb, wr) =>
+            BmpFeatures(id, dw, dh, dw.toLong * dh, sr, sg, sb, wr,
+              (sr + sg + sb).toDouble / (3.0 * dw * dh))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th 64-byte "frame" of
     * the payload — the partition/batch shape of real frame sampling.
     */

@@ -4,6 +4,7 @@ import graft.{NamedQuery, Tables}
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Similarity}
 import graft.multimodal.Multimodal
+import graft.sources.Warc
 import org.apache.spark.sql.functions._
 
 /** North-star extension operators (BASELINE.json / builder brief): the
@@ -1364,7 +1365,100 @@ object ExtQueries {
                          / (3.0 * w * h), 4) AS mean_lum
             FROM px ORDER BY media_id"""))
 
+  /** REAL PNG decode through the driver gate (round 12 — the
+    * compressed-image twin of `multimodal_bmp_decode`): one genuine
+    * 8-bit RGB truecolor PNG is synthesized per document id — signature,
+    * IHDR, a single zlib-DEFLATED IDAT, IEND, every chunk CRC-32-stamped,
+    * scanline y stored under filter type y mod 5 so all five PNG
+    * predictors (None/Sub/Up/Average/Paeth) are exercised in every
+    * image — and decoded through the JDK's pure-JVM ImageIO PNG reader
+    * (java.util.zip inflate + de-filtering). Every output column comes
+    * from the decoded raster. The pixel closed form
+    * f(k, c) = (id·7919 + k·104729 + c·131) mod 256 (k = y·w + x
+    * top-down, c = R/G/B in-stream, w = 9 + id mod 8, h = 5 + id mod 6)
+    * lets DuckDB re-derive everything WITHOUT touching bytes; the
+    * position-weighted red sum's weight is k itself (PNG has no BMP
+    * flip), so a filter-predictor bug anywhere in the inflate/de-filter
+    * chain breaks the hash.
+    */
+  private val mmPngDecode = NamedQuery(
+    "multimodal_png_decode",
+    (s, d) =>
+      Multimodal.pngFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), round(col("mean_lum"), 4).as("mean_lum"))
+        .orderBy(col("media_id")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(9 + doc_id % 8 AS INT) AS w,
+                                CAST(5 + doc_id % 6 AS INT) AS h
+                         FROM documents),
+            px AS (SELECT media_id, w, h,
+                          [CAST((media_id * 7919 + k * 104729) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS r,
+                          [CAST((media_id * 7919 + k * 104729 + 131) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS g,
+                          [CAST((media_id * 7919 + k * 104729 + 262) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS b,
+                          [CAST(((media_id * 7919 + k * 104729) % 256) * k
+                                AS BIGINT) FOR k IN range(0, w * h)] AS wr
+                   FROM par)
+            SELECT media_id, w AS width, h AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(r) AS BIGINT) AS sum_r,
+                   CAST(list_sum(g) AS BIGINT) AS sum_g,
+                   CAST(list_sum(b) AS BIGINT) AS sum_b,
+                   CAST(list_sum(wr) AS BIGINT) AS wsum_r,
+                   round((list_sum(r) + list_sum(g) + list_sum(b)) * 1.0
+                         / (3.0 * w * h), 4) AS mean_lum
+            FROM px ORDER BY media_id"""))
+
+  /** REAL Common-Crawl-shaped ingestion through the driver gate (round
+    * 12): one genuine multi-member `.warc.gz` is synthesized per
+    * document id — one gzip member per WARC record, rotated header
+    * order, an unknown extension header in every block, and every third
+    * body STARTING with a literal `WARC/1.0` record marker — then
+    * inflated and Content-Length-frame-parsed for real
+    * (`sources/Warc.scala`). Every output column comes from the parser.
+    * The closed form (records n = 2 + id mod 4; body char
+    * 'a' + (id + 3i) mod 26; filler length 10 + (3·id + 17·i) mod 91;
+    * trap iff (id + i) mod 3 = 0, adding the 29-byte marker prefix)
+    * lets DuckDB re-derive everything byte-free: a parser that scanned
+    * for record magics instead of honoring Content-Length would split
+    * the trap bodies and break the row count, lengths, and first_char
+    * ('W' on trap records) all at once.
+    */
+  private val warcExtract = NamedQuery(
+    "warc_extract",
+    (s, d) =>
+      Warc.warcRecords(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("first_char"),
+          col("last_char"))
+        .orderBy(col("media_id"), col("rec_idx")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(2 + doc_id % 4 AS INT) AS n
+                         FROM documents),
+            rec AS (SELECT media_id,
+                           unnest([k FOR k IN range(0, n)]) AS i
+                    FROM par)
+            SELECT media_id,
+                   CAST(i AS INT) AS rec_idx,
+                   'response' AS warc_type,
+                   'https://example.org/' || CAST(media_id AS VARCHAR)
+                     || '/' || CAST(i AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN (media_id + i) % 3 = 0 THEN 29 ELSE 0 END
+                        + 10 + (media_id * 3 + i * 17) % 91
+                        AS INT) AS content_length,
+                   CASE WHEN (media_id + i) % 3 = 0 THEN 'W'
+                        ELSE chr(97 + CAST((media_id + 3 * i) % 26 AS INT))
+                   END AS first_char,
+                   chr(97 + CAST((media_id + 3 * i) % 26 AS INT))
+                     AS last_char
+            FROM rec ORDER BY media_id, rec_idx"""))
+
   val all: Seq[NamedQuery] = Seq(
+    warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
@@ -1374,5 +1468,6 @@ object ExtQueries {
     simIndexIncremental, simLshExhaustive, simIvfExhaustive,
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
-    mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode)
+    mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode,
+    mmPngDecode)
 }

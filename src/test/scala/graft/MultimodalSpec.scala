@@ -180,4 +180,61 @@ class MultimodalSpec extends SparkSpec {
         (8 + id % 9) * (6 + id % 7))
     }
   }
+
+  test("PNG codec: ImageIO inflates and de-filters the synthesized " +
+      "container back to the closed-form pixels — all five filter types") {
+    val (seed, w, h) = (11L, 7, 10) // h = 10 => every filter type twice
+    val payload = Multimodal.synthPng(seed, w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "JDK ImageIO must read the synthesized PNG")
+    assert(img.getWidth === w && img.getHeight === h)
+    def f(k: Long, c: Int) = ((seed * 7919 + k * 104729 + c * 131) % 256).toInt
+    // per-pixel check: scanline y was STORED under filter y mod 5, so a
+    // broken Sub/Up/Average/Paeth predictor fails on its own rows
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = y.toLong * w + x // PNG scanlines are top-down: no flip
+      val rgb = img.getRGB(x, y)
+      val ft = y % 5
+      assert(((rgb >> 16) & 0xff) === f(k, 0), s"R at ($x,$y) filter $ft")
+      assert(((rgb >> 8) & 0xff) === f(k, 1), s"G at ($x,$y) filter $ft")
+      assert((rgb & 0xff) === f(k, 2), s"B at ($x,$y) filter $ft")
+    }
+    // decoder features agree with direct pixel math; wsum weight is k
+    val Some((dw, dh, sr, sg, sb, wr)) = Multimodal.decodePng(payload)
+    assert((dw, dh) === (w, h))
+    val ks = (0L until w.toLong * h).toSeq
+    assert(sr === ks.map(f(_, 0).toLong).sum)
+    assert(sg === ks.map(f(_, 1).toLong).sum)
+    assert(sb === ks.map(f(_, 2).toLong).sum)
+    assert(wr === ks.map(k => k * f(k, 0)).sum)
+  }
+
+  test("PNG codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodePng(null).isEmpty)
+    assert(Multimodal.decodePng(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodePng("not a portable network graphic, just text"
+      .getBytes("US-ASCII")).isEmpty)
+    // truncating INSIDE the deflate data leaves a valid signature + IHDR
+    // but missing pixel bytes — must surface as None, not a throw or a
+    // partial raster. (Cutting only the last ~20 bytes is NOT malformed
+    // by this contract: that removes just IEND + the zlib adler trailer,
+    // every pixel still decodes — probed empirically on the JDK reader.)
+    val whole = Multimodal.synthPng(3L, 9, 8)
+    assert(Multimodal.decodePng(whole.take(whole.length - 30)).isEmpty)
+    assert(Multimodal.decodePng(whole.take(whole.length / 2)).isEmpty)
+  }
+
+  test("PNG synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 40L).toDF("doc_id")
+    val out = Multimodal.pngFeatures(df, "doc_id").collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === (9 + id % 8).toInt)
+      assert(r.getAs[Int]("height") === (5 + id % 6).toInt)
+      assert(r.getAs[Long]("n_pixels") ===
+        (9 + id % 8) * (5 + id % 6))
+    }
+  }
 }
