@@ -414,7 +414,9 @@ object Multimodal {
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
+    // BEST_SPEED: compression level changes only the fixture-build cost,
+    // never the decoded pixels the gate oracles
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     defl.setInput(filtered.toByteArray); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
     val zbuf = new Array[Byte](8192)

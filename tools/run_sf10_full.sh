@@ -23,8 +23,9 @@ BATCHES=(
   "sim_topk_bruteforce,sim_matryoshka_topk,text_vocab_topk,text_length_percentiles"
   "export_shards,export_training_order,mix_token_budget"
   "multimodal_meta,multimodal_framesample,multimodal_wav_decode"
-  # new this round: the PNG gate joins the inventory — record it at sf10
-  "multimodal_png_decode,multimodal_bmp_decode"
+  # new this round: the PNG + WARC gates join the inventory — record them
+  # at sf10 beside a BMP re-record from the same window
+  "multimodal_png_decode,multimodal_bmp_decode,warc_extract"
 )
 for b in "${BATCHES[@]}"; do
   echo "== batch: $b" >> "$OUT"
