@@ -221,15 +221,33 @@ object CoreQueries {
             ORDER BY o_custkey, o_orderkey"""))
 
   // ---------------------------------------------------------------- q9
-  // Theta band join (SURVEY J2) done scalably: equi key (nationkey) carries
-  // the shuffle, the band predicate is a join residual — NOT a cross join.
+  // Theta band join (SURVEY J2) done scalably: the equi key carries the
+  // shuffle, the band predicate is a join residual — NOT a cross join.
+  // r12: the equi key is (nationkey, balance CELL), not nationkey alone.
+  // With 25 fixed nations, nationkey-only hashing makes every customer
+  // probe ALL suppliers of its nation — Σ cust_n·sup_n band evaluations,
+  // 100×/decade under linear growth of both sides (measured 34×/decade
+  // at the sf10 sweep, ~6·10⁹ evaluations). Bucketing balances into
+  // width-100 cells (= the band width) and exploding the BROADCAST side
+  // to its cell±1 neighborhood is lossless — |c−s| < 100 forces
+  // floor(c/100) ∈ {floor(s/100)−1, …+1}, and the three probe cells are
+  // distinct so no pair can match twice — while candidates shrink to the
+  // cell neighborhood (~3 cells of ~110). Same trick as the geo grid
+  // join and IntervalJoin: fixed-key theta → (key, cell) equi + residual.
   private val q9 = NamedQuery(
     "q9_theta_band_join",
     (s, d) => {
-      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
-      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          floor(col("s_acctbal") / 100.0).cast("long").as("s_cell"))
+        .withColumn("probe_cell", explode(array(
+          col("s_cell") - 1, col("s_cell"), col("s_cell") + 1)))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          floor(col("c_acctbal") / 100.0).cast("long").as("c_cell"))
       cust.join(broadcast(sup),
           col("c_nationkey") === col("s_nationkey") &&
+          col("c_cell") === col("probe_cell") &&
           abs(col("c_acctbal") - col("s_acctbal")) < 100.0)
         .groupBy(col("s_suppkey"))
         // ORDER- and ENGINE-STABLE mean (r7 sweep residual, closed):
