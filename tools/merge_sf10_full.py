@@ -39,10 +39,16 @@ SF10_OVERRIDES = {
     "multimodal_png_decode": 6.076,
     "warc_extract": 7.304,
     "multimodal_bmp_decode": 2.788,
+    # (nationkey, balance-cell) equi-key rewrite, isolated min-of-3
+    "q9_theta_band_join": 3.315,
 }
 SF1_ADDITIONS = {
     "multimodal_png_decode": 1.045,
     "warc_extract": 1.190,
+    # new q9 plan at sf1 (isolated min-of-4; pays explode overhead vs
+    # the old nationkey-only plan's 0.489 quiet-window record - the
+    # trade that buys 16.8 -> 3.3s at sf10)
+    "q9_theta_band_join": 0.864,
 }
 
 sf1 = json.load(open("BENCH_SF1.json"))
