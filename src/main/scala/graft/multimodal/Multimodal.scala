@@ -479,6 +479,113 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // REAL codec #4: GIF via javax.imageio (round 12). A third
+  // compression family beside PNG's deflate and WAV/BMP's raw streams:
+  // GIF's image data is an LZW code stream, and the JDK's GIF plugin
+  // decodes it pure-JVM. The synthesis hand-builds the container —
+  // GIF87a header, logical screen descriptor, 256-entry global color
+  // table, image descriptor, and an LZW code stream in the classic
+  // UNCOMPRESSED-GIF encoding (every pixel as a literal code at 9-bit
+  // width, a CLEAR code every 250 literals so the code width never
+  // grows) — which makes the decoder exercise mid-image dictionary
+  // resets, variable-width code unpacking, sub-block reassembly, AND
+  // palette indirection. Pixel indices and the palette are both
+  // closed-form, so the oracle re-derives the decoded RGB byte-free.
+
+  /** Synthesize a genuine GIF87a, 256-color indexed. The pixel INDEX at
+    * raster position k = y·w + x follows
+    *   idx(k) = (seed·7919 + k·104729) mod 256
+    * and the global color table maps index j to
+    *   (R, G, B) = (j, (j·131 + 7) mod 256, (j·197 + 11) mod 256)
+    * so the decoded red channel IS the index stream and green/blue pin
+    * the palette lookup. The LZW stream is literal-coded: CLEAR, then
+    * ≤250 pixel codes, repeating, then END — 9-bit codes throughout,
+    * LSB-first bit packing, ≤255-byte sub-blocks per the spec.
+    */
+  def synthGif(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(768 + w * h * 2)
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var j = 0
+    while (j < 256) { // global color table: closed-form palette
+      out.write(j)
+      out.write((j * 131 + 7) % 256)
+      out.write((j * 197 + 11) % 256)
+      j += 1
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    // literal-coded LZW stream: 9-bit codes, CLEAR(256)/END(257)
+    val codes = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var bitCnt = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= c << bitCnt; bitCnt += 9
+      while (bitCnt >= 8) { codes.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    putCode(256)
+    var k = 0L
+    var sinceClear = 0
+    val n = w.toLong * h
+    while (k < n) {
+      if (sinceClear == 250) { putCode(256); sinceClear = 0 } // reset the
+      // decoder's dictionary BEFORE its table growth would force the
+      // code width past 9 bits (258 + 253 emitted entries < 512)
+      putCode(((seed * 7919 + k * 104729) % 256).toInt)
+      sinceClear += 1
+      k += 1
+    }
+    putCode(257)
+    if (bitCnt > 0) codes.write(bitBuf & 0xff)
+    val cs = codes.toByteArray
+    var off = 0
+    while (off < cs.length) { // ≤255-byte data sub-blocks
+      val len = math.min(255, cs.length - off)
+      out.write(len); out.write(cs, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decode: the same format-sniffing ImageIO path (the JDK
+    * GIF plugin — pure-JVM LZW + palette), same feature tuple and
+    * None-for-unreadable contract. The raster index i = y·w + x equals
+    * the synthesis k directly, so the position-weighted red sum pins
+    * LZW code order across dictionary resets and sub-block boundaries.
+    */
+  def decodeGif(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    decodeBmp(payload)
+
+  /** Synthesize-and-REALLY-decode GIF features for each id of `df` —
+    * same one-pass mapPartitions discipline. Dimensions vary per id
+    * (w = 10 + id mod 7, h = 16 + id mod 9 ⇒ w·h ∈ [160, 384]): every
+    * image is multi-sub-block-sized, and the many ids with w·h > 250
+    * cross at least one mid-image dictionary reset.
+    */
+  def gifFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (10 + id % 7).toInt
+          val h = (16 + id % 9).toInt
+          decodeGif(synthGif(id, w, h)).map { case (dw, dh, sr, sg, sb, wr) =>
+            BmpFeatures(id, dw, dh, dw.toLong * dh, sr, sg, sb, wr,
+              (sr + sg + sb).toDouble / (3.0 * dw * dh))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th 64-byte "frame" of
     * the payload — the partition/batch shape of real frame sampling.
     */

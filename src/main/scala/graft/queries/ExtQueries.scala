@@ -1457,6 +1457,56 @@ object ExtQueries {
                      AS last_char
             FROM rec ORDER BY media_id, rec_idx"""))
 
+  /** REAL GIF decode through the driver gate (round 12 — the third
+    * compression family: LZW, beside PNG's deflate and BMP's raw
+    * raster): one genuine GIF87a per document id, hand-built — 256-entry
+    * closed-form global color table, literal-coded 9-bit LZW stream
+    * with a CLEAR every 250 pixels (mid-image dictionary resets),
+    * ≤255-byte sub-blocks — and decoded through the JDK's pure-JVM
+    * ImageIO GIF reader. The pixel index stream idx(k) =
+    * (id·7919 + k·104729) mod 256 and palette (j, (131j+7) mod 256,
+    * (197j+11) mod 256) are both closed-form: decoded red IS the index
+    * (pinning LZW code order across resets and sub-block boundaries via
+    * the position-weighted sum), green/blue pin the palette lookup.
+    */
+  private val mmGifDecode = NamedQuery(
+    "multimodal_gif_decode",
+    (s, d) =>
+      Multimodal.gifFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), round(col("mean_lum"), 4).as("mean_lum"))
+        .orderBy(col("media_id")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(10 + doc_id % 7 AS INT) AS w,
+                                CAST(16 + doc_id % 9 AS INT) AS h
+                         FROM documents),
+            px AS (SELECT media_id, w, h,
+                          [CAST((media_id * 7919 + k * 104729) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS r,
+                          [CAST(((media_id * 7919 + k * 104729) % 256)
+                                  * 131 % 256 + 7
+                                AS BIGINT) FOR k IN range(0, w * h)] AS g0,
+                          [CAST(((media_id * 7919 + k * 104729) % 256)
+                                  * 197 % 256 + 11
+                                AS BIGINT) FOR k IN range(0, w * h)] AS b0,
+                          [CAST(((media_id * 7919 + k * 104729) % 256) * k
+                                AS BIGINT) FOR k IN range(0, w * h)] AS wr
+                   FROM par),
+            nx AS (SELECT media_id, w, h, r, wr,
+                          list_transform(g0, x -> x % 256) AS g,
+                          list_transform(b0, x -> x % 256) AS b
+                   FROM px)
+            SELECT media_id, w AS width, h AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(list_sum(r) AS BIGINT) AS sum_r,
+                   CAST(list_sum(g) AS BIGINT) AS sum_g,
+                   CAST(list_sum(b) AS BIGINT) AS sum_b,
+                   CAST(list_sum(wr) AS BIGINT) AS wsum_r,
+                   round((list_sum(r) + list_sum(g) + list_sum(b)) * 1.0
+                         / (3.0 * w * h), 4) AS mean_lum
+            FROM nx ORDER BY media_id"""))
+
   val all: Seq[NamedQuery] = Seq(
     warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
@@ -1469,5 +1519,5 @@ object ExtQueries {
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode,
-    mmPngDecode)
+    mmPngDecode, mmGifDecode)
 }

@@ -225,6 +225,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(whole.take(whole.length / 2)).isEmpty)
   }
 
+  test("GIF codec: ImageIO unpacks the literal LZW stream across a " +
+      "mid-image dictionary reset back to the closed-form palette pixels") {
+    val (seed, w, h) = (7L, 13, 21) // 273 px > 250 => crosses a CLEAR
+    val payload = Multimodal.synthGif(seed, w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "JDK ImageIO must read the synthesized GIF")
+    assert(img.getWidth === w && img.getHeight === h)
+    def idx(k: Long) = ((seed * 7919 + k * 104729) % 256).toInt
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = y.toLong * w + x
+      val j = idx(k)
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === j, s"R=index at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) === (j * 131 + 7) % 256, s"G at ($x,$y)")
+      assert((rgb & 0xff) === (j * 197 + 11) % 256, s"B at ($x,$y)")
+    }
+    val Some((dw, dh, sr, sg, sb, wr)) = Multimodal.decodeGif(payload)
+    assert((dw, dh) === (w, h))
+    val ks = (0L until w.toLong * h).toSeq
+    assert(sr === ks.map(idx(_).toLong).sum)
+    assert(sg === ks.map(k => ((idx(k) * 131 + 7) % 256).toLong).sum)
+    assert(sb === ks.map(k => ((idx(k) * 197 + 11) % 256).toLong).sum)
+    assert(wr === ks.map(k => k * idx(k)).sum,
+      "weighted sum pins LZW code order across the reset")
+  }
+
+  test("GIF codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeGif(null).isEmpty)
+    assert(Multimodal.decodeGif(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeGif("graphics interchange this is not, chum"
+      .getBytes("US-ASCII")).isEmpty)
+    val whole = Multimodal.synthGif(3L, 12, 20)
+    assert(Multimodal.decodeGif(whole.take(100)).isEmpty) // inside the GCT
+  }
+
+  test("GIF synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 40L).toDF("doc_id")
+    val out = Multimodal.gifFeatures(df, "doc_id").collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === (10 + id % 7).toInt)
+      assert(r.getAs[Int]("height") === (16 + id % 9).toInt)
+    }
+  }
+
   test("PNG synth→decode roundtrip through the Spark plumbing") {
     val df = spark.range(0L, 40L).toDF("doc_id")
     val out = Multimodal.pngFeatures(df, "doc_id").collect()
