@@ -1507,6 +1507,33 @@ object ExtQueries {
                          / (3.0 * w * h), 4) AS mean_lum
             FROM nx ORDER BY media_id"""))
 
+  /** REAL JPEG decode through the driver gate (round 12, closing the
+    * last "environment-blocked" image residual — the JDK bundles its
+    * own JPEG codec): one genuine JPEG per document id, encoded by the
+    * JDK writer from closed-form pixels and decoded through the full
+    * entropy-decode + IDCT + chroma-upsampling path. JPEG is lossy, so
+    * the gate splits the contract: width/height/n_pixels (the SOF
+    * marker walk) are oracle-exact; content correctness is the REAL
+    * decoded-vs-synthesis mean-luma proximity check `lum_close`
+    * (|Δ| < 3.0; measured ~0.1), which the oracle pins TRUE — a broken
+    * IDCT, component order, or upsampler flips it. Dims avoid 8/16
+    * multiples so edge MCUs are exercised.
+    */
+  private val mmJpegDecode = NamedQuery(
+    "multimodal_jpeg_decode",
+    (s, d) =>
+      Multimodal.jpegFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("lum_close"))
+        .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id,
+                   CAST(9 + doc_id % 8 AS INT) AS width,
+                   CAST(7 + doc_id % 6 AS INT) AS height,
+                   CAST((9 + doc_id % 8) * (7 + doc_id % 6) AS BIGINT)
+                     AS n_pixels,
+                   TRUE AS lum_close
+            FROM documents ORDER BY media_id"""))
+
   val all: Seq[NamedQuery] = Seq(
     warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
@@ -1519,5 +1546,5 @@ object ExtQueries {
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode,
-    mmPngDecode, mmGifDecode)
+    mmPngDecode, mmGifDecode, mmJpegDecode)
 }

@@ -272,6 +272,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: the JDK's bundled codec encodes deterministically " +
+      "and decodes within the lossy-proximity bound") {
+    val (seed, w, h) = (11L, 13, 9) // neither dim 8/16-aligned: edge MCUs
+    val p1 = Multimodal.synthJpeg(seed, w, h)
+    val p2 = Multimodal.synthJpeg(seed, w, h)
+    assert(p1.sameElements(p2), "JPEG encode must be deterministic in-JVM")
+    assert((p1(0) & 0xff) === 0xff && (p1(1) & 0xff) === 0xd8, "SOI marker")
+    val Some((dw, dh, sr, sg, sb, _)) = Multimodal.decodeJpeg(p1)
+    assert((dw, dh) === (w, h), "SOF dims are exact despite lossiness")
+    def f(k: Long, c: Int) = ((seed * 7919 + k * 104729 + c * 131) % 256).toInt
+    val n = w.toLong * h
+    val trueLum = (0L until n).map(k => f(k, 0) + f(k, 1) + f(k, 2)).sum
+      .toDouble / (3.0 * n)
+    val decLum = (sr + sg + sb).toDouble / (3.0 * n)
+    assert(math.abs(decLum - trueLum) < 3.0,
+      s"decoded mean luma $decLum vs synthesis $trueLum: a working " +
+        "IDCT/upsampler keeps the mean within the quantization budget")
+  }
+
+  test("JPEG codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeJpeg(null).isEmpty)
+    assert(Multimodal.decodeJpeg(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeJpeg("design by committee, deflate by hand"
+      .getBytes("US-ASCII")).isEmpty)
+    val whole = Multimodal.synthJpeg(5L, 12, 10)
+    assert(Multimodal.decodeJpeg(whole.take(20)).isEmpty) // inside DQT
+  }
+
+  test("JPEG synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 40L).toDF("doc_id")
+    val out = Multimodal.jpegFeatures(df, "doc_id").collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === (9 + id % 8).toInt)
+      assert(r.getAs[Int]("height") === (7 + id % 6).toInt)
+      assert(r.getAs[Boolean]("lum_close"),
+        s"decoded mean luma out of bound for id $id")
+    }
+  }
+
   test("PNG synth→decode roundtrip through the Spark plumbing") {
     val df = spark.range(0L, 40L).toDF("doc_id")
     val out = Multimodal.pngFeatures(df, "doc_id").collect()
