@@ -672,6 +672,84 @@ object CoreQueries {
             FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
             ORDER BY 1, 2"""))
 
+  // --------------------------------------------------------- q28_capped
+  // The bounded PRODUCTION serve of the interval-overlap join — the same
+  // relationship gold_alerts_capped has to gold_alerts. q28's raw pair
+  // output is density-quadratic under fixed value range (measured 83.7k
+  // → 8.37M → 837M pairs across sf0.1→sf10, exactly 100×/decade), so
+  // the serve a pipeline would actually run applies IntervalJoin's
+  // maxPairsPerBucket guard (dense buckets culled BEFORE the join from
+  // two narrow per-bucket counts — the quadratic work is never
+  // performed) and emits a per-bucket CERTIFICATE instead of raw pairs:
+  // (bucket, side counts, culled?, surviving-pair count), bounded by
+  // the bucket count (grows with the value RANGE, not the row count).
+  // Cull attribution is exact: a pair survives iff its overlap-START
+  // bucket is sparse — both its exploded copies necessarily live there,
+  // and the oracle mirrors that rule verbatim.
+  private val q28capped = NamedQuery(
+    "q28_interval_overlap_capped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def side(m: Int, mod: Int, p: String) = ev
+        .filter(col("event_id") % 100 === m)
+        .select(col("event_id").as(s"${p}_id"),
+          col("value").as(s"${p}_start"),
+          (col("value") + lit(1) +
+            expr(s"CAST((event_id DIV 100) % $mod AS DOUBLE)"))
+            .as(s"${p}_end"))
+      val a = side(0, 9, "a")
+      val b = side(1, 7, "b")
+      val bw = 8.0
+      val cap = 64L
+      def counts(df: org.apache.spark.sql.DataFrame, st: String,
+          en: String, out: String) = df
+        .withColumn("bucket", explode(sequence(
+          floor(col(st) / bw).cast("long"),
+          floor(col(en) / bw).cast("long"))))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+      val pairs = graft.operators.IntervalJoin.overlapJoin(
+          a, "a_start", "a_end", b, "b_start", "b_end",
+          bucketWidth = bw, maxPairsPerBucket = Some(cap))
+        .select(floor(greatest(col("a_start"), col("b_start")) / bw)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      counts(a, "a_start", "a_end", "n_left")
+        .join(counts(b, "b_start", "b_end", "n_right"), "bucket")
+        .withColumn("culled", col("n_left") * col("n_right") > cap)
+        .join(pairs, Seq("bucket"), "left_outer")
+        .select(col("bucket"), col("n_left"), col("n_right"),
+          col("culled"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH a AS (SELECT event_id AS a_id, value AS a_start,
+                              value + 1 + (event_id // 100) % 9 AS a_end
+                       FROM events WHERE event_id % 100 = 0),
+                 b AS (SELECT event_id AS b_id, value AS b_start,
+                              value + 1 + (event_id // 100) % 7 AS b_end
+                       FROM events WHERE event_id % 100 = 1),
+                 la AS (SELECT unnest(range(CAST(floor(a_start/8) AS BIGINT),
+                                            CAST(floor(a_end/8) AS BIGINT) + 1))
+                          AS bucket FROM a),
+                 lb AS (SELECT unnest(range(CAST(floor(b_start/8) AS BIGINT),
+                                            CAST(floor(b_end/8) AS BIGINT) + 1))
+                          AS bucket FROM b),
+                 ca AS (SELECT bucket, count(*) AS n_left FROM la GROUP BY 1),
+                 cb AS (SELECT bucket, count(*) AS n_right FROM lb GROUP BY 1),
+                 cert AS (SELECT bucket, n_left, n_right,
+                                 n_left * n_right > 64 AS culled
+                          FROM ca JOIN cb USING (bucket)),
+                 p AS (SELECT CAST(floor(greatest(a_start, b_start)/8)
+                                   AS BIGINT) AS bucket
+                       FROM a JOIN b
+                         ON a_start <= b_end AND b_start <= a_end),
+                 pk AS (SELECT bucket, count(*) AS n_pairs FROM p
+                        WHERE bucket NOT IN
+                          (SELECT bucket FROM cert WHERE culled)
+                        GROUP BY 1)
+            SELECT c.bucket, n_left, n_right, culled,
+                   coalesce(n_pairs, 0) AS n_pairs
+            FROM cert c LEFT JOIN pk USING (bucket) ORDER BY bucket"""))
+
   // ---------------------------------------------------------------- q29
   // RANGE-frame window (time-based moving aggregate): trailing-1-hour
   // count + sum per user. Both engines order by INTEGER microseconds
@@ -1344,7 +1422,8 @@ object CoreQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q28capped,
+    q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     joinRuntimeFilter, gold)
 }
