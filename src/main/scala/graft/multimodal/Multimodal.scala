@@ -677,6 +677,238 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // REAL codec #6: uncompressed-DIB AVI (round 12) — the VIDEO modality
+  // joins WAV (audio) and BMP/PNG/GIF/JPEG (image) with a genuinely
+  // decoded format. An AVI file is a RIFF container (the same chunk
+  // grammar decodeWav walks): LIST hdrl{avih, LIST strl{strh,strf}}
+  // declaring the stream, then LIST movi holding '00db' frames — and
+  // with the historic 'DIB ' handler each frame is a RAW bottom-up BGR
+  // raster, decodable pure-JVM with exactly BMP's pixel arithmetic.
+  // H.264/H.265 entropy decode stays environment-blocked (the honest
+  // stub remains for those), but container walk, stream-header
+  // validation, frame demux, row padding, and per-frame raster decode
+  // are all REAL here, closed-form oracled per frame.
+
+  /** Per-frame facts from a decoded AVI: identity, container dims, and
+    * channel sums over the DECODED frame raster (weights in top-down
+    * image coordinates — storage is bottom-up, so a parser that missed
+    * the DIB row flip breaks `wsum_r` while keeping the plain sums).
+    */
+  case class AviFrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      wsum_r: Long)
+
+  private def aviChannel(seed: Long, frame: Int, k: Long, c: Int): Int =
+    ((seed * 7919 + frame * 31L + k * 104729 + c * 131) % 256).toInt
+
+  /** Synthesize a genuine uncompressed AVI: RIFF('AVI ') with a full
+    * hdrl (avih main header + one 'vids'/'DIB ' strl), a movi LIST of
+    * `nFrames` '00db' raw-DIB frames (bottom-up BGR rows padded to
+    * 4 bytes, BMP rules), and an idx1 index. Stored frame bytes follow
+    *   f(k, c, frame) = (seed·7919 + 31·frame + k·104729 + c·131) mod 256
+    * with k = storedRow·w + x and c ∈ {0=B, 1=G, 2=R} on disk.
+    */
+  def synthAvi(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameLen = rowSize * h
+    def le(buf: java.nio.ByteBuffer): java.nio.ByteBuffer = buf
+    val strf = le(java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      .putInt(40).putInt(w).putInt(h) // bottom-up when height positive
+      .putShort(1).putShort(24).putInt(0) // planes, 24bpp, BI_RGB
+      .putInt(frameLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .array()
+    val strh = le(java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25) // scale/rate: 25 fps
+      .putInt(0).putInt(nFrames).putInt(frameLen).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val avih = le(java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      .putInt(40000).putInt(frameLen * 25).putInt(0).putInt(0x10) // HASINDEX
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array() // RIFF chunks are word-aligned; pad byte already zeroed
+    }
+    def list(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(kind.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def frame(fi: Int): Array[Byte] = {
+      val d = new Array[Byte](frameLen)
+      var row = 0
+      while (row < h) {
+        var x = 0
+        while (x < w) {
+          val k = row.toLong * w + x
+          var c = 0
+          while (c < 3) {
+            d(row * rowSize + x * 3 + c) =
+              aviChannel(seed, fi, k, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        row += 1 // pad bytes stay zero
+      }
+      chunk("00db", d)
+    }
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val frames = (0 until nFrames).map(frame)
+    val movi = list("movi", frames.reduce(_ ++ _))
+    val idx1 = chunk("idx1", {
+      val b = java.nio.ByteBuffer.allocate(16 * nFrames)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4
+      (0 until nFrames).foreach { _ =>
+        b.put("00db".getBytes("US-ASCII")).putInt(0x10).putInt(off)
+          .putInt(frameLen)
+        off += 8 + frameLen + (frameLen & 1)
+      }
+      b.array()
+    })
+    val payload = hdrl ++ movi ++ idx1
+    val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+      .put("AVI ".getBytes("US-ASCII")).put(payload)
+    out.array()
+  }
+
+  /** REAL AVI demux + frame decode: validate the RIFF/'AVI ' magic, walk
+    * the top-level chunk list (same word-aligned discipline as
+    * decodeWav), read avih for declared dims/frame count, require a
+    * 24bpp BI_RGB 'vids' stream in strf, then walk LIST movi demuxing
+    * every '00db'/'00dc' frame and computing per-frame channel sums from
+    * the raw bottom-up rasters (BMP pixel rules, including row padding).
+    * None for anything malformed — bad magic, missing headers, non-DIB
+    * compression, frame/declared-size mismatch — never an exception.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[Seq[(Int, Int, Int, Long, Long, Long, Long)]] = {
+    if (payload == null || payload.length < 12) return None
+    def ascii4(off: Int): String =
+      if (off + 4 > payload.length) "" else new String(payload, off, 4, "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (ascii4(0) != "RIFF" || ascii4(8) != "AVI ") return None
+    var off = 12
+    var dims: Option[(Int, Int, Int)] = None // (w, h, totalFrames)
+    var bpp = -1; var compression = -1
+    var moviOff = -1; var moviEnd = -1
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var o = start
+      while (o.toLong + 8 <= end) {
+        val id = ascii4(o)
+        val len = buf.getInt(o + 4)
+        if (len < 0 || o.toLong + 8 + len > end) return
+        id match {
+          case "avih" if len >= 40 =>
+            dims = Some((buf.getInt(o + 8 + 32), buf.getInt(o + 8 + 36),
+              buf.getInt(o + 8 + 16)))
+          case "strf" if len >= 40 =>
+            bpp = buf.getShort(o + 8 + 14) & 0xffff
+            compression = buf.getInt(o + 8 + 16)
+          case "LIST" => walkHdrl(o + 12, o + 8 + len)
+          case _ => ()
+        }
+        o += 8 + len + (len & 1)
+      }
+    }
+    while (off.toLong + 8 <= payload.length) {
+      val id = ascii4(off)
+      val len = buf.getInt(off + 4)
+      if (len < 0 || off.toLong + 8 + len > payload.length) return None
+      if (id == "LIST") {
+        ascii4(off + 8) match {
+          case "hdrl" => walkHdrl(off + 12, off + 8 + len)
+          case "movi" => moviOff = off + 12; moviEnd = off + 8 + len
+          case _ => ()
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    (dims, bpp, compression, moviOff) match {
+      case (Some((w, h, total)), 24, 0, mo) if mo > 0 && w > 0 && h > 0 =>
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val frameLen = rowSize * h
+        val frames = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Long, Long, Long, Long)]
+        var o = mo
+        var fi = 0
+        while (o.toLong + 8 <= moviEnd) {
+          val id = ascii4(o)
+          val len = buf.getInt(o + 4)
+          if (len < 0 || o.toLong + 8 + len > moviEnd) return None
+          if (id == "00db" || id == "00dc") {
+            if (len != frameLen) return None // declared-size mismatch
+            var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+            var row = 0
+            while (row < h) {
+              val yImg = h - 1 - row // DIB rows are stored bottom-up
+              var x = 0
+              while (x < w) {
+                val p = o + 8 + row * rowSize + x * 3
+                val bch = payload(p) & 0xff
+                val g = payload(p + 1) & 0xff
+                val r = payload(p + 2) & 0xff
+                sumB += bch; sumG += g; sumR += r
+                wsumR += (yImg.toLong * w + x) * r
+                x += 1
+              }
+              row += 1
+            }
+            frames += ((fi, w, h, sumR, sumG, sumB, wsumR))
+            fi += 1
+          }
+          o += 8 + len + (len & 1)
+        }
+        if (fi == total) Some(frames.toSeq) else None
+      case _ => None
+    }
+  }
+
+  /** Synthesize-and-REALLY-decode per-frame AVI features for each id of
+    * `df` — the video twin of `wavFeatures`/`bmpFeatures`, one
+    * mapPartitions pass, bytes never shuffle. Dims w = 8 + id mod 5,
+    * h = 6 + id mod 4; frames n = 3 + id mod 4.
+    */
+  def aviFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 4).toInt
+          val n = (3 + id % 4).toInt
+          decodeAvi(synthAvi(id, w, h, n)).toSeq.flatten.map {
+            case (fi, dw, dh, sr, sg, sb, wr) =>
+              AviFrameFeatures(id, fi, dw, dh, sr, sg, sb, wr)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th 64-byte "frame" of
     * the payload — the partition/batch shape of real frame sampling.
     */

@@ -1534,6 +1534,58 @@ object ExtQueries {
                    TRUE AS lum_close
             FROM documents ORDER BY media_id"""))
 
+  /** REAL VIDEO decode through the driver gate (round 12 — the last
+    * stubbed modality gets a genuinely decoded format): one genuine
+    * uncompressed-DIB AVI per document id — full RIFF container with
+    * avih/strh/strf headers, a movi LIST of '00db' raw bottom-up BGR
+    * frames, and an idx1 index — demuxed and frame-decoded by a real
+    * chunk walk (`Multimodal.decodeAvi`): header validation, 24bpp
+    * BI_RGB check, per-frame declared-size check, DIB row flip and
+    * 4-byte row padding. One output row per decoded FRAME; the stored
+    * byte closed form f(k,c,frame) = (id·7919 + 31·frame + k·104729 +
+    * c·131) mod 256 (c = B/G/R on disk) lets DuckDB re-derive every
+    * channel sum byte-free, and the position-weighted red sum is over
+    * DECODED top-down coordinates so a missed row flip breaks the hash.
+    * H.264 entropy decode stays environment-blocked (stub retained).
+    */
+  private val mmAviDecode = NamedQuery(
+    "multimodal_avi_decode",
+    (s, d) =>
+      Multimodal.aviFrameFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"))
+        .orderBy(col("media_id"), col("frame_idx")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(8 + doc_id % 5 AS INT) AS w,
+                                CAST(6 + doc_id % 4 AS INT) AS h,
+                                CAST(3 + doc_id % 4 AS INT) AS n
+                         FROM documents),
+            fr AS (SELECT media_id, w, h,
+                          unnest([f FOR f IN range(0, n)]) AS fi
+                   FROM par),
+            px AS (SELECT media_id, CAST(fi AS INT) AS frame_idx, w, h,
+                          [CAST((media_id * 7919 + 31 * fi
+                                 + k * 104729 + 262) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS r,
+                          [CAST((media_id * 7919 + 31 * fi
+                                 + k * 104729 + 131) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS b2,
+                          [CAST((media_id * 7919 + 31 * fi
+                                 + k * 104729) % 256
+                                AS BIGINT) FOR k IN range(0, w * h)] AS b0,
+                          [CAST(((media_id * 7919 + 31 * fi
+                                  + k * 104729 + 262) % 256)
+                                * ((h - 1 - k // w) * w + k % w)
+                                AS BIGINT) FOR k IN range(0, w * h)] AS wr
+                   FROM fr)
+            SELECT media_id, frame_idx, w AS width, h AS height,
+                   CAST(list_sum(r) AS BIGINT) AS sum_r,
+                   CAST(list_sum(b2) AS BIGINT) AS sum_g,
+                   CAST(list_sum(b0) AS BIGINT) AS sum_b,
+                   CAST(list_sum(wr) AS BIGINT) AS wsum_r
+            FROM px ORDER BY media_id, frame_idx"""))
+
   val all: Seq[NamedQuery] = Seq(
     warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
@@ -1546,5 +1598,5 @@ object ExtQueries {
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode,
-    mmPngDecode, mmGifDecode, mmJpegDecode)
+    mmPngDecode, mmGifDecode, mmJpegDecode, mmAviDecode)
 }

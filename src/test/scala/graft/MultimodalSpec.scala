@@ -313,6 +313,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI codec: the RIFF demux decodes every raw-DIB frame to the " +
+      "closed-form pixels, bottom-up order verified per frame") {
+    val (seed, w, h, n) = (9L, 5, 4, 3) // odd width => padded rows
+    val payload = Multimodal.synthAvi(seed, w, h, n)
+    val Some(frames) = Multimodal.decodeAvi(payload)
+    assert(frames.length === n)
+    def f(fi: Int, k: Long, c: Int) =
+      ((seed * 7919 + fi * 31L + k * 104729 + c * 131) % 256).toInt
+    frames.zipWithIndex.foreach { case ((fi, dw, dh, sr, sg, sb, wr), i) =>
+      assert(fi === i && dw === w && dh === h)
+      val ks = for (yImg <- 0 until h; x <- 0 until w)
+        yield (yImg.toLong * w + x, (h - 1 - yImg).toLong * w + x)
+      assert(sr === ks.map { case (_, k) => f(fi, k, 2).toLong }.sum)
+      assert(sg === ks.map { case (_, k) => f(fi, k, 1).toLong }.sum)
+      assert(sb === ks.map { case (_, k) => f(fi, k, 0).toLong }.sum)
+      assert(wr === ks.map { case (pos, k) => pos * f(fi, k, 2) }.sum,
+        s"frame $fi weighted sum must see decoded (top-down) coords")
+    }
+  }
+
+  test("AVI codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeAvi(null).isEmpty)
+    assert(Multimodal.decodeAvi(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAvi("audio video interleave, allegedly so"
+      .getBytes("US-ASCII")).isEmpty)
+    val whole = Multimodal.synthAvi(4L, 8, 6, 3)
+    // truncating mid-movi loses a declared frame: the walk must refuse
+    assert(Multimodal.decodeAvi(whole.take(whole.length - 40)).isEmpty)
+    // corrupting strf's biCompression to non-BI_RGB must refuse (the
+    // decoder only owns raw DIB; compressed streams are out of contract)
+    val hacked = whole.clone()
+    val strfAt = {
+      var i = 0
+      while (!(hacked(i) == 's' && hacked(i + 1) == 't' &&
+        hacked(i + 2) == 'r' && hacked(i + 3) == 'f')) i += 1
+      i
+    }
+    hacked(strfAt + 8 + 16) = 1 // BI_RLE8
+    assert(Multimodal.decodeAvi(hacked).isEmpty)
+  }
+
+  test("AVI synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 30L).toDF("doc_id")
+    val out = Multimodal.aviFrameFeatures(df, "doc_id").collect()
+    val byId = out.groupBy(_.getAs[Long]("media_id"))
+    (0L until 30L).foreach { id =>
+      assert(byId(id).length === (3 + id % 4).toInt, s"frame count $id")
+      byId(id).foreach { r =>
+        assert(r.getAs[Int]("width") === (8 + id % 5).toInt)
+        assert(r.getAs[Int]("height") === (6 + id % 4).toInt)
+      }
+    }
+  }
+
   test("PNG synth→decode roundtrip through the Spark plumbing") {
     val df = spark.range(0L, 40L).toDF("doc_id")
     val out = Multimodal.pngFeatures(df, "doc_id").collect()
