@@ -108,6 +108,39 @@ object Bench {
     // off its committed quiet-box record means the whole record sits in a
     // bad window. Both land in the JSON so a reviewer never has to infer.
     val canaryNames = Seq("events_window_stream", "heavy_hitters_cms")
+    // I/O-AXIS canary (r13): the two probes above are compute/trigger
+    // bound and proved BLIND to filesystem-layer degradation — the r12
+    // driver record stamped segment 0 "quiet" (0.909) while the catalog
+    // family inside it ran 1.6-3.2× its quiet values, and q13 later hit
+    // 21× against a 2.46-3.02 stamp. This probe exercises the OTHER axis:
+    // a fixed tiny catalog write→read→vacuum cycle on the same medium the
+    // catalog family uses (a per-PID root under java.io.tmpdir — tmpfs
+    // after Scratch.install()), so its cost is many-small-files VFS work
+    // plus one tiny Spark write job, not compute. Records now
+    // self-classify BOTH axes: each segment stamp is a (cpu, io) ratio
+    // pair, and per-family inflation is attributable to a flagged axis.
+    val ioRoot = s"${System.getProperty("java.io.tmpdir")}/graft_ioprobe_" +
+      s"${ProcessHandle.current().pid()}"
+    def ioProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val cat = new graft.catalog.TableCatalog(spark, ioRoot)
+        val df = spark.range(0L, 5000L)
+          .selectExpr("id", "id * 2654435761 % 997 AS v")
+        cat.overwrite(df, "probe", "io_canary")
+        BenchAction.consume(cat.read("probe", "io_canary"))
+        // vacuum keeps the probe root bounded across ~20 segment probes
+        // (each cycle adds one version; keepLast=1 reclaims the rest)
+        cat.vacuum("probe", "io_canary", keepLast = 1)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] io probe FAILED: $e"); -1.0
+      }
+    }
+    def ioProbePass(): Double = {
+      val ts = (1 to 2).map(_ => ioProbeOnce()).filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
     // a canary run that THROWS must not masquerade as a timing (the same
     // hazard the main timed loop guards): record -1, the self-identifying
     // sentinel, and let the ratio math propagate it
@@ -127,6 +160,7 @@ object Bench {
       nm -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val canaryPre = canaryPass()
+    val ioPre = ioProbePass()
     // MID-SWEEP canary segments: the r11 driver record proved the pre/post
     // endpoint pair cannot LOCALIZE a degradation spike — its two graph
     // queries read 2.1-2.2× quiet while the endpoint smear said 1.23×. One
@@ -138,7 +172,10 @@ object Bench {
     // a degraded segment.
     val segStride = 25
     val segProbeName = "heavy_hitters_cms"
-    val segRatios = scala.collection.mutable.ListBuffer.empty[Double]
+    // each segment stamp is now a (cpu, io) ratio PAIR — single-shot probe
+    // time over the min-of-2 pre baseline, one per axis
+    val segRatios =
+      scala.collection.mutable.ListBuffer.empty[(Double, Double)]
     def segProbeRun(): Unit = {
       val fn = SparkEntry.queries(segProbeName)
       val t0 = System.nanoTime()
@@ -147,7 +184,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       dropStaleCaches()
       val base = canaryPre.getOrElse(segProbeName, -1.0)
-      segRatios += (if (ok && base > 0) sec / base else -1.0)
+      val cpu = if (ok && base > 0) sec / base else -1.0
+      val ioSec = ioProbeOnce()
+      val io = if (ioSec >= 0 && ioPre > 0) ioSec / ioPre else -1.0
+      segRatios += ((cpu, io))
     }
     // min of two fully-warm timed runs: single-shot numbers on a shared box
     // swing 2-3× from GC/scheduler noise; the min is the reproducible
@@ -169,6 +209,7 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val canaryPost = canaryPass()
+    val ioPost = ioProbePass()
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // post/pre per canary: ~1.0 = stable window; >>1 = degraded mid-sweep
@@ -177,17 +218,23 @@ object Bench {
         val pre = canaryPre(nm); val post = canaryPost(nm)
         val ratio = if (pre > 0 && post > 0) post / pre else -1.0
         s""""$nm":{"pre":${r3(pre)},"post":${r3(post)},"ratio":${r3(ratio)}}"""
+      } :+ {
+        val ratio = if (ioPre > 0 && ioPost > 0) ioPost / ioPre else -1.0
+        s""""io_probe":{"pre":${r3(ioPre)},"post":${r3(ioPost)},"ratio":${r3(ratio)}}"""
       }
       ents.mkString("{", ",", "}")
     }
-    val canaryRatios = canaryNames.map { nm =>
+    val canaryRatios = (canaryNames.map { nm =>
       if (canaryPre(nm) > 0 && canaryPost(nm) > 0) canaryPost(nm) / canaryPre(nm)
       else -1.0
-    }
-    // per-segment window ratios (stride × position recovers which queries
-    // each probe brackets; inventory is sorted, so position is stable)
+    }) :+ (if (ioPre > 0 && ioPost > 0) ioPost / ioPre else -1.0)
+    // per-segment window ratio PAIRS [cpu, io] (stride × position recovers
+    // which queries each probe brackets; inventory is sorted, so position
+    // is stable)
+    def segPair(p: (Double, Double)): String = s"[${r3(p._1)},${r3(p._2)}]"
     val segJson = s""""seg_stride":$segStride,"seg_probe":"$segProbeName",""" +
-      s""""segments":[${segRatios.map(r3).mkString(",")}]"""
+      s""""seg_axes":["cpu","io"],""" +
+      s""""segments":[${segRatios.map(segPair).mkString(",")}]"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
@@ -224,8 +271,9 @@ object Bench {
           false
       }
     val compactJson = {
-      val budget = 1400 // bytes for the queries map; window is ~2000 total
-      // (trimmed 100 bytes for the "segments" array, ~8 ratios at sf0.1)
+      val budget = 1250 // bytes for the queries map; window is ~2000 total
+      // (trimmed 250 bytes for the "segments" array — now ~8 [cpu,io]
+      // ratio PAIRS at sf0.1 — plus the third canary ratio)
       // FAILED queries (-1.0) pin to the FRONT of the fill: a failure is
       // the first thing a reviewer of a truncated log must see, and under
       // plain slowest-first ordering its -1 sorted LAST and was elided
@@ -245,7 +293,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
         s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
         s""""canary":[${canaryRatios.map(r3).mkString(",")}],""" +
-        s""""segments":[${segRatios.map(r3).mkString(",")}],""" +
+        s""""segments":[${segRatios.map(segPair).mkString(",")}],""" +
         s""""full":${if (wroteFull) "\"" + outName + "\"" else "null"},"sf":"$sfDir"}"""
     }
     // the compact line is the FINAL print; logs are silenced first so no

@@ -62,7 +62,8 @@ object Clusters {
     // fallback gate (both are about small graphs).
     if (edgeCountHint.exists(_ >= bucketedAtEdges))
       return propagateLoop(
-        graft.plans.PlanBarriers.pinBucketed(derived, "dst"), maxIter)
+        graft.plans.PlanBarriers.pinBucketed(derived, "dst",
+          name = "cc_edges"), maxIter)
     // symmetrize once, then pin the STATIC edge set hash(dst) — the
     // per-round join's key — through the partitioning-preserving barrier
     // (PlanBarriers scaladoc: an AQE-built checkpoint forgets its
@@ -87,7 +88,8 @@ object Clusters {
     // Every round's join stays exchange-free on the edge side under
     // both currencies (plan-pinned).
     if (probeCount >= bucketedAtEdges)
-      edges = graft.plans.PlanBarriers.pinBucketed(edges, "dst")
+      edges = graft.plans.PlanBarriers.pinBucketed(edges, "dst",
+        name = "cc_edges")
     propagateLoop(edges, maxIter)
   }
 

@@ -473,6 +473,62 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Bounded PRODUCTION serve of `embeddingCosinePairs` — the same
+    * relationship q28_interval_overlap_capped has to q28 and
+    * gold_alerts_capped to gold_alerts. The exact blocked pair join is
+    * output-quadratic in the hottest block (a block of n rows costs
+    * n·(n−1)/2 comparisons; with a fixed label alphabet n grows linearly
+    * with the corpus, so the join is quadratic in sf). The serve a
+    * pipeline would actually run decides a per-block pair BUDGET from ONE
+    * narrow per-block count BEFORE the pair join: blocks whose pair count
+    * n·(n−1)/2 exceeds `maxPairsPerBlock` are CULLED — their quadratic
+    * work is never performed — and every surviving block is joined
+    * exactly. Output is one CERTIFICATE row per block
+    * (block, n_rows, culled, n_pairs): bounded by the number of distinct
+    * blocks, never by the pair space, and `n_pairs` (near-dup pairs at
+    * `threshold`) is exact on every surviving block and 0 on culled ones.
+    * At 100 TB the certificate is the triage table: culled blocks are
+    * precisely the hot template/boilerplate labels a curation pipeline
+    * routes to the sub-quadratic LSH path (`Similarity.lshBuckets`)
+    * instead of the exact join.
+    *
+    * Overflow note: the budget comparison multiplies on decimal(38,0), so
+    * a block of several billion rows (n² > Long.MaxValue) still culls
+    * correctly instead of wrapping negative and reading as sparse.
+    */
+  def embeddingCosineCertificates(emb: DataFrame, threshold: Double,
+      maxPairsPerBlock: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    require(maxPairsPerBlock > 0, "maxPairsPerBlock must be positive")
+    graft.plans.GraftFunctions.ensure(emb.sparkSession)
+    val counts = emb.groupBy(col(blockCol).as("block"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("culled",
+        col("n_rows").cast("decimal(38,0)") * (col("n_rows") - lit(1L)) >
+          lit(2L) * lit(maxPairsPerBlock))
+    // the sparse-block list is bounded by the block count (one row per
+    // block, two narrow columns) — broadcast it, so the corpus never
+    // shuffles to learn which blocks survived
+    val sparse = counts.filter(!col("culled")).select(col("block"))
+    val kept = emb.join(broadcast(sparse),
+      col(blockCol) === col("block"), "left_semi")
+    val a = kept.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm2Fast(col(vecCol)).as("nrm1"), col(blockCol).as("blk1"))
+    val b = kept.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm2Fast(col(vecCol)).as("nrm2"), col(blockCol).as("blk2"))
+    // same pair arithmetic as embeddingCosinePairs (norms once per vector,
+    // codegen'd vec_dot per pair, null-safe zero-norm drop)
+    val pairs = a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
+      .withColumn("cos", when(col("nrm1") * col("nrm2") =!= 0.0,
+        dotFast(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("blk1").as("block")).agg(count(lit(1)).as("n_pairs"))
+    counts.join(pairs, Seq("block"), "left_outer")
+      .select(col("block"), col("n_rows"), col("culled"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** Exact-substring duplication stats, the span-level complement of the
     * document-level near-dup family (the "dedupe any n-token window that
     * appears elsewhere in the corpus" signal of LLM data curation):

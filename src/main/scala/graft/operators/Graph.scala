@@ -127,7 +127,7 @@ object Graph {
     // under BOTH, plan-pinned)
     def pin(adj: DataFrame): DataFrame =
       if (nEdges >= bucketedAtEdges)
-        graft.plans.PlanBarriers.pinBucketed(adj, "src")
+        graft.plans.PlanBarriers.pinBucketed(adj, "src", name = "pagerank_adj")
       else ckptKeepPartitioning(adj)
     if (maxOut <= maxNbrs)
       pin(

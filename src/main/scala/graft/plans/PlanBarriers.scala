@@ -23,20 +23,31 @@ object PlanBarriers {
     * select by size threshold (PageRank probes |E| for free in its
     * outdeg probe; connectedComponents reuses its fallback-gate count).
     *
-    * The table registers under a unique generated name in the session
-    * catalog (in-memory, session-scoped) with data under java.io.tmpdir;
-    * a production deployment would point both at durable storage — the
-    * partitioning contract is identical.
+    * The pin lives in the ACID store (r13, VERDICT r12 task 6): each call
+    * commits one bucketed VERSION of a `_pin`-layer catalog table through
+    * `TableCatalog.overwriteBucketed` — pointer-swap commit, retention
+    * vacuum of superseded pins, rename-aside reclamation — so the
+    * survivability currency has the same durability and lifecycle story
+    * as every other table the engine owns. The catalog root defaults to a
+    * per-process dir under java.io.tmpdir and is overridable via
+    * `spark.graft.pin.root` (a production deployment points it at durable
+    * storage; the partitioning contract is identical). `name` keys the
+    * logical pin: callers that re-pin the same static side across runs
+    * (PageRank adjacency, CC edges) pass a stable name so the retention
+    * vacuum reclaims superseded versions — keepVersions=2, so the
+    * previous pin always outlives its in-flight readers; anonymous
+    * callers get a UUID table (write-once, nothing to vacuum).
     */
-  def pinBucketed(df: DataFrame, key: String): DataFrame = {
+  def pinBucketed(df: DataFrame, key: String, name: String = ""): DataFrame = {
     val s = df.sparkSession
     val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val tag = "graft_pin_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val path = s"${System.getProperty("java.io.tmpdir")}/$tag"
-    df.write.mode("overwrite").bucketBy(buckets, key)
-      .option("path", path).saveAsTable(tag)
-    s.table(tag)
+    val root = s.conf.getOption("spark.graft.pin.root").getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_pin_" +
+        s"${ProcessHandle.current().pid()}")
+    val cat = new graft.catalog.TableCatalog(s, root)
+    val table = if (name.nonEmpty) name
+      else "anon_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    cat.overwriteBucketed(df, "_pin", table, key, buckets)
   }
 
   /** Eager localCheckpoint that preserves the plan's hash partitioning.

@@ -327,7 +327,44 @@ object CurationQueries {
              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
              ORDER BY 1, 2"""))
 
+  /** Bounded production serve of dedup_semantic — same certificate
+    * contract as dedup_embedding_cosine_capped but blocked on the LEARNED
+    * cluster from the one-step Lloyd assignment instead of the metadata
+    * label, so the per-block budget guards the hazard k-means blocking
+    * actually has at corpus scale: Lloyd concentrates near-duplicate mass
+    * into few clusters, and the hottest cluster's exact pair join is the
+    * quadratic term. Cap 1200 sits inside the sf0.01 cluster-size spread
+    * (41–63 rows), so both branches are oracle-exercised: clusters of
+    * ≤49 rows join exactly, denser ones cull before any pair work.
+    */
+  private val semanticDedupCapped = NamedQuery(
+    "dedup_semantic_capped",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingCosineCertificates(
+          KMeans.assignStep(emb, KMeans.labelCentroids(emb, "label")),
+          threshold = 0.4, maxPairsPerBlock = 1200L, blockCol = "cluster")
+        .orderBy(col("block"))
+    },
+    Some(s"""WITH $assignOracleFrag,
+             asg AS (SELECT e.vec_id, e.embedding, b.cl
+                     FROM embeddings e JOIN best b
+                       ON e.vec_id = b.vec_id AND b.rn = 1),
+             c AS (SELECT cl AS block, count(*) AS n_rows FROM asg GROUP BY 1),
+             cert AS (SELECT block, n_rows,
+                             n_rows * (n_rows - 1) > 2 * 1200 AS culled
+                      FROM c),
+             p AS (SELECT x.cl AS block, count(*) AS n_pairs
+                   FROM asg x JOIN asg y
+                     ON x.cl = y.cl AND x.vec_id < y.vec_id
+                   WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+                     AND x.cl NOT IN (SELECT block FROM cert WHERE culled)
+                   GROUP BY 1)
+             SELECT c2.block, c2.n_rows, c2.culled,
+                    coalesce(p.n_pairs, 0) AS n_pairs
+             FROM cert c2 LEFT JOIN p USING (block) ORDER BY block"""))
+
   val all: Seq[NamedQuery] = Seq(lmScore, dupSpans, dupSpanMerge,
     dupSpanExcise, exportShards, exportOrder, oovRatio, kmeansAssign,
-    semanticDedup)
+    semanticDedup, semanticDedupCapped)
 }

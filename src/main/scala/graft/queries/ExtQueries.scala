@@ -299,6 +299,40 @@ object ExtQueries {
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
             ORDER BY 1, 2"""))
 
+  /** Bounded production serve of dedup_embedding_cosine (the pattern
+    * q28_interval_overlap_capped set): the exact label-blocked pair join
+    * is quadratic in the hottest label (fixed alphabet ⇒ block size grows
+    * linearly with the corpus), so the serve decides a per-block pair
+    * budget from a NARROW per-label count BEFORE the join, culls dense
+    * labels without ever performing their quadratic work, and emits one
+    * certificate row per label — (block, n_rows, culled, n_pairs) with
+    * n_pairs exact on every surviving label. Cap 1200 sits inside the
+    * sf0.01 label-size spread (44–59 rows ⇒ 946–1711 pairs), so the
+    * oracle exercises BOTH branches: labels of ≤49 rows survive with
+    * exact counts, larger ones cull. Output is bounded by the label
+    * alphabet — flat at any sf.
+    */
+  private val dedupEmbeddingCapped = NamedQuery(
+    "dedup_embedding_cosine_capped",
+    (s, d) =>
+      Dedup.embeddingCosineCertificates(Tables.embeddings(s, d),
+          threshold = 0.4, maxPairsPerBlock = 1200L)
+        .orderBy(col("block")),
+    Some("""WITH c AS (SELECT label AS block, count(*) AS n_rows
+                       FROM embeddings GROUP BY 1),
+                 cert AS (SELECT block, n_rows,
+                                 n_rows * (n_rows - 1) > 2 * 1200 AS culled
+                          FROM c),
+                 p AS (SELECT a.label AS block, count(*) AS n_pairs
+                       FROM embeddings a JOIN embeddings b
+                         ON a.label = b.label AND a.vec_id < b.vec_id
+                       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+                         AND a.label NOT IN (SELECT block FROM cert WHERE culled)
+                       GROUP BY 1)
+            SELECT c2.block, c2.n_rows, c2.culled,
+                   coalesce(p.n_pairs, 0) AS n_pairs
+            FROM cert c2 LEFT JOIN p USING (block) ORDER BY block"""))
+
   // ------------------------------------------------------- similarity
   /** Exact cosine top-10 for queries 0/1/2 in DuckDB — ground truth for
     * brute force AND for the two exhaustive-probe ANN recall gates, which
@@ -1518,6 +1552,17 @@ object ExtQueries {
     * (|Δ| < 3.0; measured ~0.1), which the oracle pins TRUE — a broken
     * IDCT, component order, or upsampler flips it. Dims avoid 8/16
     * multiples so edge MCUs are exercised.
+    *
+    * ENVIRONMENT DEPENDENCY (r13 note): the oracle hard-pins
+    * `lum_close = TRUE`, so gate greenness rides on the JDK's bundled
+    * JPEG ENCODER defaults staying inside the |Δ mean luma| < 3.0 bound.
+    * Measured margin is ~30× (Δ ≈ 0.1) on the pinned toolchain —
+    * Debian OpenJDK 17.0.20 (+8-1-deb12u1), `com.sun.imageio` JPEG
+    * plugin, default quality ≈ 0.75 quantization tables. If this gate ever goes
+    * red with NO repo change, diagnose as environmental first: a JDK
+    * upgrade that reworked default quantization/subsampling would shift
+    * decoded luma uniformly; re-measure Δ (MultimodalSpec prints it) and
+    * re-pin before suspecting the decoder.
     */
   private val mmJpegDecode = NamedQuery(
     "multimodal_jpeg_decode",
@@ -1586,11 +1631,47 @@ object ExtQueries {
                    CAST(list_sum(wr) AS BIGINT) AS wsum_r
             FROM px ORDER BY media_id, frame_idx"""))
 
+  /** REAL COMPRESSED VIDEO through the driver gate (r13, VERDICT r12
+    * task 3): one genuine MJPEG AVI per document id — the same RIFF
+    * container walk as multimodal_avi_decode but the stream declares
+    * 'MJPG' and every movi frame is a complete baseline JPEG, demuxed
+    * and run through the JDK's bundled JPEG codec (entropy decode +
+    * IDCT + chroma upsampling) per frame. JPEG is lossy, so the gate
+    * carries the split contract multimodal_jpeg_decode established:
+    * container facts (dims, per-frame rows, pixel counts) are
+    * oracle-exact, content correctness is the per-frame decoded-vs-
+    * synthesis mean-luma proximity check (|Δ| < 3.0, measured ~0.1)
+    * pinned TRUE — and inherits the same JDK-encoder-defaults
+    * environment dependency recorded on the JPEG gate. Frame chunk
+    * sizes VARY per frame (entropy-coded), exercising the demux case
+    * the fixed-size DIB walk never hits. H.264/H.265 remains the only
+    * stub, genuinely environment-blocked.
+    */
+  private val mmMjpegDecode = NamedQuery(
+    "multimodal_mjpeg_decode",
+    (s, d) =>
+      Multimodal.mjpegFrameFeatures(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("n_pixels"), col("lum_close"))
+        .orderBy(col("media_id"), col("frame_idx")),
+    Some("""WITH par AS (SELECT doc_id AS media_id,
+                                CAST(9 + doc_id % 8 AS INT) AS w,
+                                CAST(7 + doc_id % 6 AS INT) AS h,
+                                CAST(2 + doc_id % 3 AS INT) AS n
+                         FROM documents)
+            SELECT media_id, CAST(fi AS INT) AS frame_idx,
+                   w AS width, h AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   TRUE AS lum_close
+            FROM par, unnest([f FOR f IN range(0, n)]) t(fi)
+            ORDER BY media_id, frame_idx"""))
+
   val all: Seq[NamedQuery] = Seq(
     warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupMinhash, dedupSimhash,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
+    dedupEmbeddingCapped,
     simTopK, simMmr, simMatryoshka, simAnn, simIvf, simPq, simIvfPq,
     simIvfPqFiltered,
     simIvfPqResidual,
@@ -1598,5 +1679,5 @@ object ExtQueries {
     simPqExhaustive,
     centroid, textStats, textQuality, textLang,
     mmMeta, mmFrames, mmFrameStats, mmWavDecode, mmBmpDecode,
-    mmPngDecode, mmGifDecode, mmJpegDecode, mmAviDecode)
+    mmPngDecode, mmGifDecode, mmJpegDecode, mmAviDecode, mmMjpegDecode)
 }

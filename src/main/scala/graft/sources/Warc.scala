@@ -198,9 +198,16 @@ object Warc {
           ok = bytes(off) == '\r' && bytes(off + 1) == '\n' &&
             bytes(off + 2) == '\r' && bytes(off + 3) == '\n'
           off += 4
-          if (ok && clen > 0) {
-            recs += ParsedRecord(mediaId, idx, wtype, uri, clen,
-              body.head.toString, body.last.toString)
+          if (ok) {
+            // zero-length bodies are VALID WARC records (e.g. an empty
+            // response) — emit them with null first/last char so rec_idx
+            // stays dense and in sync with any oracle that enumerates
+            // every record, instead of silently desyncing the index
+            if (clen > 0)
+              recs += ParsedRecord(mediaId, idx, wtype, uri, clen,
+                body.head.toString, body.last.toString)
+            else
+              recs += ParsedRecord(mediaId, idx, wtype, uri, 0, null, null)
             idx += 1
           }
         }

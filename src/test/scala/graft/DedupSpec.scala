@@ -209,6 +209,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("embedding cosine certificates: dense blocks cull pre-join, sparse blocks exact") {
+    // block 0: 3 rows = 3 pairs > cap 2 → culled (no pair work, n_pairs 0);
+    // block 1: 2 rows = 1 pair ≤ cap → exact near-dup count;
+    // block 2: 2 rows, 1 candidate pair but below threshold → survives with 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(1.0f, 0.01f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.01f, 1.0f), 1),
+      (6L, Array(1.0f, 0.0f), 2), (7L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cert = Dedup.embeddingCosineCertificates(emb, threshold = 0.9,
+        maxPairsPerBlock = 2L)
+      .select($"block", $"n_rows", $"culled", $"n_pairs")
+      .as[(Int, Long, Boolean, Long)].collect().toSet
+    assert(cert === Set((0, 3L, true, 0L), (1, 2L, false, 1L),
+      (2, 2L, false, 0L)))
+  }
+
+  test("embedding cosine certificates: boundary block exactly at the budget survives") {
+    // 2 rows = 1 pair, cap 1: n·(n−1) = 2 ≤ 2·cap → NOT culled (strict >)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cert = Dedup.embeddingCosineCertificates(emb, threshold = 0.9,
+        maxPairsPerBlock = 1L)
+      .select($"block", $"culled", $"n_pairs")
+      .as[(Int, Boolean, Long)].collect().toSet
+    assert(cert === Set((0, false, 1L)))
+  }
+
   test("embedding cosine: zero-norm vectors drop instead of DIVIDE_BY_ZERO") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),

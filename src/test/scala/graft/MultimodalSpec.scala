@@ -352,6 +352,70 @@ class MultimodalSpec extends SparkSpec {
     }
     hacked(strfAt + 8 + 16) = 1 // BI_RLE8
     assert(Multimodal.decodeAvi(hacked).isEmpty)
+    // strf raster dims disagreeing with avih must refuse even when the
+    // frame chunks still match the avih-derived length — decoding with
+    // avih geometry would use the wrong row stride silently
+    val dimHack = whole.clone()
+    dimHack(strfAt + 8 + 4) = 12 // biWidth 8 → 12, avih still says 8
+    assert(Multimodal.decodeAvi(dimHack).isEmpty)
+    val hHack = whole.clone()
+    hHack(strfAt + 8 + 8) = 4 // biHeight 6 → 4, avih still says 6
+    assert(Multimodal.decodeAvi(hHack).isEmpty)
+  }
+
+  test("MJPEG codec: demux + real JPEG decode per frame, luma within bound") {
+    val seed = 11L; val w = 13; val h = 9; val n = 3
+    val payload = Multimodal.synthMjpegAvi(seed, w, h, n)
+    val Some(frames) = Multimodal.decodeMjpegAvi(payload)
+    assert(frames.length === n)
+    frames.foreach { case (fi, dw, dh, sr, sg, sb) =>
+      assert(dw === w && dh === h)
+      val decLum = (sr + sg + sb).toDouble / (3.0 * w * h)
+      val trueLum = (0L until w.toLong * h).map { k =>
+        (0 to 2).map(c =>
+          ((seed * 7919 + fi * 31L + k * 104729 + c * 131) % 256).toInt).sum
+      }.sum.toDouble / (3.0 * w * h)
+      assert(math.abs(decLum - trueLum) < 3.0,
+        s"frame $fi decoded mean luma $decLum vs synthesis $trueLum")
+    }
+  }
+
+  test("MJPEG codec: malformed payloads are rejected, never thrown") {
+    assert(Multimodal.decodeMjpegAvi(null).isEmpty)
+    assert(Multimodal.decodeMjpegAvi(Array.emptyByteArray).isEmpty)
+    val whole = Multimodal.synthMjpegAvi(5L, 12, 8, 2)
+    // a raw-DIB container must refuse through the MJPEG entry (wrong
+    // biCompression), and an MJPEG one through the DIB entry
+    assert(Multimodal.decodeMjpegAvi(Multimodal.synthAvi(5L, 8, 6, 2)).isEmpty)
+    assert(Multimodal.decodeAvi(whole).isEmpty)
+    // truncating mid-movi loses a declared frame: the walk must refuse
+    assert(Multimodal.decodeMjpegAvi(whole.take(whole.length - 60)).isEmpty)
+    // corrupting a frame's JPEG magic makes ImageIO fail on it: the whole
+    // payload must refuse, not silently skip the frame
+    val jfifAt = {
+      var i = 0
+      while (!((whole(i) & 0xff) == 0xff && (whole(i + 1) & 0xff) == 0xd8 &&
+        (whole(i + 2) & 0xff) == 0xff)) i += 1
+      i
+    }
+    val hacked = whole.clone()
+    hacked(jfifAt + 1) = 0x00
+    assert(Multimodal.decodeMjpegAvi(hacked).isEmpty)
+  }
+
+  test("MJPEG synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 24L).toDF("doc_id")
+    val out = Multimodal.mjpegFrameFeatures(df, "doc_id").collect()
+    val byId = out.groupBy(_.getAs[Long]("media_id"))
+    (0L until 24L).foreach { id =>
+      val rows = byId(id)
+      assert(rows.length === (2 + id % 3).toInt, s"frame count for id $id")
+      rows.foreach { r =>
+        assert(r.getAs[Int]("width") === (9 + id % 8).toInt)
+        assert(r.getAs[Int]("height") === (7 + id % 6).toInt)
+        assert(r.getAs[Boolean]("lum_close"), s"id $id frame luma drifted")
+      }
+    }
   }
 
   test("AVI synth→decode roundtrip through the Spark plumbing") {

@@ -82,6 +82,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semantic" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "same 1-row centroid-array attach as cluster_kmeans_assign feeding the " +
         "blocked pair join (hash equi on the learned cluster)"),
+    "dedup_semantic_capped" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
+      "same 1-row centroid-array attach as dedup_semantic; the capped serve " +
+        "adds only narrow per-cluster counts and a broadcast sparse-block " +
+        "semi join before the (hash equi) pair join"),
     "stats_histogram" -> (Set("SinglePartitionExchange", "BroadcastNestedLoopJoin"),
       "1-row grand-total broadcast attach onto the ≤10-row bucket table + its " +
         "global count combine (text_tfidf_topk's accepted shape)"),

@@ -29,6 +29,47 @@ class TableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucketed snapshots: versioned commit, bucketed scan, vacuum drops " +
+      "stale session entries, cross-session re-register reads the pointer") {
+    val root = tmpDir("cat-bkt")
+    val cat = new TableCatalog(spark, root)
+    def snap(mult: Int) =
+      spark.range(0L, 64L).selectExpr("id AS k", s"id * $mult AS v")
+    // three commits: keepVersions=2 must vacuum v1's dir AND its session
+    // entry after the third lands
+    val r1 = cat.overwriteBucketed(snap(1), "_pin", "edges", "k", 4)
+    assert(r1.count() === 64)
+    cat.overwriteBucketed(snap(2), "_pin", "edges", "k", 4)
+    cat.overwriteBucketed(snap(3), "_pin", "edges", "k", 4)
+    assert(cat.versions("_pin", "edges") === Seq(2, 3))
+    assert(cat.currentVersion("_pin", "edges") === Some(3))
+    // live read resolves v3's data with the bucket spec intact: joining
+    // two reads on the bucket key must plan ZERO exchanges
+    val live = cat.readBucketed("_pin", "edges", "k", 4)
+    assert(live.selectExpr("sum(v)").head().getLong(0) === 3L * 64 * 63 / 2)
+    val joined = live.hint("merge")
+      .join(cat.readBucketed("_pin", "edges", "k", 4).hint("merge")
+        .withColumnRenamed("v", "v2"), "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the vacuumed v1's session entry is gone; v2 (retained) remains
+    val names = spark.catalog.listTables()
+      .filter(col("name").contains("_pin_edges")).collect().map(_.name)
+    assert(!names.exists(_.endsWith("_v00001")), names.mkString(","))
+    // cross-session path: drop the live entry and read again — the DDL
+    // fallback must re-register from the committed files and still plan
+    // a bucketed scan
+    names.filter(_.endsWith("_v00003"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    val reread = cat.readBucketed("_pin", "edges", "k", 4)
+    assert(reread.selectExpr("sum(v)").head().getLong(0) === 3L * 64 * 63 / 2)
+    val plan2 = reread.hint("merge")
+      .join(reread.hint("merge").withColumnRenamed("v", "v2"), "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), plan2)
+  }
+
   test("optimistic commit: two interleaved writers, appends commute via retry") {
     val cat = new TableCatalog(spark, tmpDir("cat-occ2"), keepVersions = 16)
     // two threads, three commutative append-commits each, racing on one

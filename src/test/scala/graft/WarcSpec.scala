@@ -57,6 +57,35 @@ class WarcSpec extends SparkSpec {
     assert(cut.length < 4)
   }
 
+  test("zero-length records are emitted with null chars, rec_idx stays dense") {
+    // hand-built single gzip member: record 0 has Content-Length 0 (a
+    // valid empty body), record 1 is ordinary — the empty record must
+    // occupy rec_idx 0 rather than silently vanishing and desyncing any
+    // oracle that enumerates every record
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.org/empty\r\n" +
+      "Content-Length: 0\r\n" +
+      "\r\n" +
+      "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.org/full\r\n" +
+      "Content-Length: 4\r\n" +
+      "\r\n" +
+      "body" +
+      "\r\n\r\n").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    val recs = Warc.parseWarcGz(9L, bos.toByteArray)
+    assert(recs.length === 2)
+    assert(recs(0).rec_idx === 0 && recs(0).content_length === 0)
+    assert(recs(0).first_char == null && recs(0).last_char == null)
+    assert(recs(1).rec_idx === 1 && recs(1).first_char === "b" &&
+      recs(1).last_char === "y")
+  }
+
   test("Spark plumbing roundtrip: per-id record counts and schema") {
     val df = spark.range(0L, 30L).toDF("doc_id")
     val out = Warc.warcRecords(df, "doc_id")

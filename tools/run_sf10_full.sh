@@ -15,7 +15,10 @@ BATCHES=(
   "q10_cross_join_small,q11_semi_join,q12_anti_join,q13_outer_join_count,q14_distinct"
   "q15_union,q16_intersect,q19_cube,q20_case_classify,q22_time_bucket"
   "q23_isin_filter,q24_concat_key,q25_conditional_kpi,q26_asof_join,q27_pivot"
-  "q28_interval_overlap,q31_unpivot_melt,q32_grouping_sets,q33_scalar_subquery,q35_gapfill"
+  # q28_interval_overlap is EXCLUDED from sf10 sweeps by contract (the
+  # record documents its one-off 86-CPU-minute 837M-pair materialization);
+  # only its capped serve q28_interval_overlap_capped is swept.
+  "q31_unpivot_melt,q32_grouping_sets,q33_scalar_subquery,q35_gapfill"
   "q39_regex_extract,q40_datetime_family,q41_null_semantics,geo_haversine,stats_entropy"
   "stats_ab_ttest,stats_histogram,ts_ewma,ts_rolling_zscore,skew_salted_agg,skew_salted_join"
   "sample_bernoulli_hash,sample_stratified,sample_weighted,privacy_k_anonymous"
