@@ -932,7 +932,11 @@ object ExtQueries {
         q.awaitTermination()
       }
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // corpus-scaled replay partitions (StreamScale): cap 8 is the prior
+      // fixed basis; the embeddings corpus is tiny below sf10
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.StreamScale.parts(
+          Tables.rowCount(s, d, "embeddings"), 250000L, cap = 8).toString)
       try {
         // vec_id parity split — a deterministic executor-side predicate;
         // encode is a pure per-row function, so ANY split is byte-identical

@@ -19,6 +19,22 @@ class StreamingSpec extends SparkSpec {
     s"""{"source":"NASA_VIIRS","region":"canarias","lat":$lat,"lon":-16.5,""" +
       s""""temp_k":350.0,"confidence":"$conf","timestamp":$ts}"""
 
+  test("StreamScale.parts: ceil growth, floor and cap clamps, sf10 basis preserved") {
+    import graft.streaming.StreamScale.parts
+    assert(parts(0L, 250000L, cap = 8) === 1)
+    assert(parts(100000L, 250000L, cap = 8) === 1) // sf0.1 events
+    assert(parts(250000L, 250000L, cap = 8) === 1) // exact boundary
+    assert(parts(250001L, 250000L, cap = 8) === 2) // ceil, not floor
+    assert(parts(1000000L, 250000L, cap = 8) === 4) // sf1 events
+    // sf10 must land ON the cap — the partition count every sf10 record
+    // was measured at, so the recorded slope basis is preserved exactly
+    assert(parts(10000000L, 250000L, cap = 8) === 8)
+    assert(parts(10000000L, 250000L, cap = 4) === 4)
+    assert(parts(5L, 250000L, cap = 8, floor = 2) === 2)
+    intercept[IllegalArgumentException](parts(1L, 0L, cap = 8))
+    intercept[IllegalArgumentException](parts(1L, 10L, cap = 1, floor = 2))
+  }
+
   test("ST1/ST2: silver append with checkpoint; restart does not duplicate") {
     implicit val sq = spark.sqlContext
     val out = tmpDir("silver-out")
