@@ -35,8 +35,35 @@ def cells_equal(a, b):
             return False
     return str(a) == str(b)
 
+def run_with_timeout(con, sql, seconds):
+    """Run `sql`, interrupting the connection if it exceeds `seconds`.
+
+    DuckDB has no statement timeout; a watchdog thread calls interrupt().
+    Needed for scale-corpus sweeps (/tmp/sf1): a few ORACLES are
+    super-linear in DuckDB (recursive label-propagation CTEs) even though
+    the engine side is fine — without a bound one oracle stalls the gate.
+    0 = no timeout (the driver's sf0.01 behavior, unchanged).
+    """
+    if not seconds:
+        return con.execute(sql).fetch_arrow_table()
+    import threading
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(seconds):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).fetch_arrow_table()
+    finally:
+        done.set()
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: 3rd arg = comma-separated query names to SKIP (reported as
+    # SKIP, not FAIL); env ORACLE_TIMEOUT_S = per-oracle DuckDB budget
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -47,8 +74,12 @@ def main():
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP {name} (caller exclusion)")
+            n_skip += 1
+            continue
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             print(f"FAIL {name}: no spark output at {path}")
@@ -56,7 +87,7 @@ def main():
             continue
         try:
             got = canon(pd.read_parquet(path))
-            want_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            want_tbl = run_with_timeout(con, oracles[name], timeout_s)
             want = canon(want_tbl.to_pandas())
             dd_types = {f.name: str(f.type) for f in want_tbl.schema}
         except Exception as e:
@@ -98,7 +129,8 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    tail = f" / {n_skip} skip" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{tail} ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
