@@ -321,10 +321,11 @@ object CurationQueries {
                    FROM embeddings e JOIN best b
                      ON e.vec_id = b.vec_id AND b.rn = 1)
              SELECT x.vec_id AS id1, y.vec_id AS id2,
-                    round(CAST(list_cosine_similarity(x.embedding, y.embedding)
-                               AS DOUBLE), 4) AS cos
+                    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                 CAST(y.embedding AS DOUBLE[])), 4) AS cos
              FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
-             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+             WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])) >= 0.4
              ORDER BY 1, 2"""))
 
   /** Bounded production serve of dedup_semantic — same certificate
@@ -357,7 +358,8 @@ object CurationQueries {
              p AS (SELECT x.cl AS block, count(*) AS n_pairs
                    FROM asg x JOIN asg y
                      ON x.cl = y.cl AND x.vec_id < y.vec_id
-                   WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+                   WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])) >= 0.4
                      AND x.cl NOT IN (SELECT block FROM cert WHERE culled)
                    GROUP BY 1)
              SELECT c2.block, c2.n_rows, c2.culled,

@@ -292,11 +292,20 @@ object ExtQueries {
     (s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), threshold = 0.4)
         .orderBy(col("id1"), col("id2")),
+    // DOUBLE[]-cast cosine (r13): DuckDB's FLOAT[] list_cosine_similarity
+    // accumulates in float, landing within ~1e-7 of the engine's
+    // float->double sequential kernel — close enough that at sf1 five of
+    // 9,583 rows sat within 5.2e-8 of the .00005 rounding boundary and
+    // flipped round(cos, 4). Casting the lists to DOUBLE[] makes DuckDB's
+    // accumulation bit-identical to vec_dot (same element order, same
+    // widened operands): verified 0 diff cells at sf1.
     Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
-                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY 1, 2"""))
 
   /** Bounded production serve of dedup_embedding_cosine (the pattern
@@ -326,7 +335,8 @@ object ExtQueries {
                  p AS (SELECT a.label AS block, count(*) AS n_pairs
                        FROM embeddings a JOIN embeddings b
                          ON a.label = b.label AND a.vec_id < b.vec_id
-                       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+                       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) >= 0.4
                          AND a.label NOT IN (SELECT block FROM cert WHERE culled)
                        GROUP BY 1)
             SELECT c2.block, c2.n_rows, c2.culled,
