@@ -65,6 +65,11 @@ def main():
     skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
     con = duckdb.connect()
+    # an in-memory DuckDB connection has NO temp directory, so blocking
+    # operators cannot spill and a big intermediate (the sf1 triangle
+    # oracle's wedge table) dies on OOM instead of going out-of-core;
+    # pointing temp_directory at disk restores the spill path
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         # shipped testdata is one file per table; MakeSfN-synthesized scale
