@@ -187,7 +187,8 @@ object Bench {
     // time over the min-of-2 pre baseline, one per axis
     val segRatios =
       scala.collection.mutable.ListBuffer.empty[(Double, Double)]
-    def segProbeRun(): Unit = {
+    def segProbeInto(
+        buf: scala.collection.mutable.ListBuffer[(Double, Double)]): Unit = {
       val fn = SparkEntry.queries(segProbeName)
       val t0 = System.nanoTime()
       val ok = try { BenchAction.consume(fn(spark, sfDir)); true }
@@ -198,16 +199,17 @@ object Bench {
       val cpu = if (ok && base > 0) sec / base else -1.0
       val ioSec = ioProbeOnce()
       val io = if (ioSec >= 0 && ioPre > 0) ioSec / ioPre else -1.0
-      segRatios += ((cpu, io))
+      buf += ((cpu, io))
     }
+    def segProbeRun(): Unit = segProbeInto(segRatios)
     // min of two fully-warm timed runs: single-shot numbers on a shared box
     // swing 2-3× from GC/scheduler noise; the min is the reproducible
     // throughput figure. A failing query must NOT masquerade as a fast
     // success: it reports -1 and the error goes to stderr. The cache drop
     // runs AFTER the timer stops: it is bookkeeping between measurements,
     // not part of any query's cost.
-    val results = inventory.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx % segStride == 0) segProbeRun()
+    def timeQuery(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         val t = try { BenchAction.consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -217,7 +219,61 @@ object Bench {
         dropStaleCaches()
         t
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      if (times.isEmpty) -1.0 else times.min
+    }
+    val firstPass = inventory.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % segStride == 0) segProbeRun()
+      name -> timeQuery(name, fn)
+    }
+    // close the FINAL segment: with this probe every query is bracketed by
+    // a (cpu, io) stamp pair on both sides, so the retry pass below can
+    // judge each query's window from its brackets instead of inferring the
+    // tail from the endpoint canaries
+    segProbeRun()
+    // DEGRADED-WINDOW RETRY PASS (VERDICT r13 task 1): the canaries made
+    // degraded records self-identifying, but the record still PUBLISHED
+    // the smear — five catalog queries carried 107.9s of pure io-window
+    // inflation in the r13 driver file and the 2× gate margin thinned to
+    // 1.93× on environment alone. Any query whose bracketing segment
+    // stamps exceed the threshold on EITHER axis is re-run (min-of-2)
+    // after the sweep — a degradation window that has since passed then
+    // yields the quiet number, and one that persists yields a second
+    // smeared sample the min keeps honest. Both samples and the retry
+    // pass's own probe stamps land in the JSON, so a reviewer sees
+    // exactly what was re-measured and under what window.
+    //
+    // Per-AXIS thresholds, calibrated from the committed records: the io
+    // probe discriminates cleanly (quiet r13 BENCH_LOCAL io stamps max
+    // 1.262; the degraded r13 driver window read 1.36-1.94), so io
+    // triggers at 1.35 — it brackets all five smeared catalog queries of
+    // the r13 driver file. The cpu probe is a single shot of a ~0.7s
+    // kernel and its quiet-window jitter reaches 1.59 (committed
+    // BENCH_LOCAL segments), overlapping the degraded window's 1.39-1.85
+    // — so cpu triggers at 1.7, above quiet jitter, still catching the
+    // sustained-degradation stamps (r11 graph spike read 2.1-2.2×).
+    val cpuThreshold = 1.7
+    val ioThreshold = 1.35
+    def pairDegraded(p: (Double, Double)): Boolean =
+      p._1 > cpuThreshold || p._2 > ioThreshold
+    val flagged = firstPass.zipWithIndex.filter { case ((_, t), idx) =>
+      t >= 0 && {
+        val seg = idx / segStride
+        pairDegraded(segRatios(seg)) ||
+          (segRatios.size > seg + 1 && pairDegraded(segRatios(seg + 1)))
+      }
+    }.map(_._1)
+    val retrySegRatios =
+      scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+    val retried: Map[String, Double] = flagged.zipWithIndex.map {
+      case ((name, _), ridx) =>
+        if (ridx % segStride == 0) segProbeInto(retrySegRatios)
+        name -> timeQuery(name, SparkEntry.queries(name))
+    }.toMap
+    val results = firstPass.map { case (name, first) =>
+      name -> (retried.get(name) match {
+        case Some(r) if r >= 0 => math.min(first, r)
+        case _ => first
+      })
     }
     val canaryPost = canaryPass()
     val ioPost = ioProbePass()
@@ -249,7 +305,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,$segJson,"sf":"$sfDir"}"""
+    // retry-pass audit trail: per retried query BOTH samples (first-pass
+    // and retry), plus the retry pass's own window stamps
+    val retryJson = {
+      val ents = flagged.map { case (name, first) =>
+        s""""$name":{"first":${r3(first)},"retry":${r3(retried(name))}}"""
+      }.mkString(",")
+      s""""retry":{"cpu_threshold":$cpuThreshold,"io_threshold":$ioThreshold,"n":${flagged.size},""" +
+        s""""segments":[${retrySegRatios.map(segPair).mkString(",")}],""" +
+        s""""queries":{$ents}}"""
+    }
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,$segJson,$retryJson,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of the run's output and
     // parses a JSON line out of them; the full per-query line is now ~3 KB,
     // so ANY placement of it gets its head cut (BENCH_r02..r04 all have
@@ -302,7 +368,7 @@ object Bench {
         else elided += 1
       }
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${picked.mkString(",")}},""" +
-        s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,""" +
+        s""""n_queries":${results.size},"failed":$nFailed,"elided":$elided,"retried":${flagged.size},""" +
         s""""canary":[${canaryRatios.map(r3).mkString(",")}],""" +
         s""""segments":[${segRatios.map(segPair).mkString(",")}],""" +
         s""""full":${if (wroteFull) "\"" + outName + "\"" else "null"},"sf":"$sfDir"}"""

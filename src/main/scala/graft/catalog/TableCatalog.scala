@@ -520,24 +520,33 @@ final class TableCatalog(spark: SparkSession, root: String,
       key: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val prevCommitted = currentVersion(layer, table)
-    val next = prevCommitted.getOrElse(
-      versions(layer, table).lastOption.getOrElse(0)) + 1
+    val preVersions = versions(layer, table)
+    val next = prevCommitted.getOrElse(preVersions.lastOption.getOrElse(0)) + 1
     val target = versionDir(layer, table, next)
     val name = bucketedName(layer, table, next)
     df.write.mode(SaveMode.Overwrite).format(format)
       .bucketBy(buckets, key)
       .option("path", target.toString)
       .saveAsTable(name)
+    // persist the bucket spec WITH the version: a parquet dir carries no
+    // bucket metadata, so a cross-session reader re-registering this
+    // version must learn (key, buckets) from the commit itself — not from
+    // its caller's arguments, which, if wrong, would plan a
+    // HashPartitioning the files don't have and silently corrupt
+    // exchange-free joins. Underscore-prefixed → invisible to Spark scans.
+    writeSwapFile(new Path(target, "_BUCKETSPEC"), s"$key\n$buckets")
     publishVersion(layer, table, next, prevCommitted)
     // drop session entries whose version dirs the retention vacuum just
-    // reclaimed — metadata-only cleanup, data lifecycle belongs to vacuum
+    // reclaimed — metadata-only cleanup, data lifecycle belongs to vacuum.
+    // Probe only the versions that were live before this commit and are
+    // gone now: scanning every historical version issues one catalog
+    // tableExists per commit-ever-made — O(n²) over a long-lived JVM
+    // whose named pins recommit each query invocation.
     val live = versions(layer, table).toSet
-    (1 until next).foreach { v =>
-      if (!live.contains(v)) {
-        val stale = bucketedName(layer, table, v)
-        if (spark.catalog.tableExists(stale))
-          spark.sql(s"DROP TABLE IF EXISTS `$stale`")
-      }
+    preVersions.filterNot(live.contains).foreach { v =>
+      val stale = bucketedName(layer, table, v)
+      if (spark.catalog.tableExists(stale))
+        spark.sql(s"DROP TABLE IF EXISTS `$stale`")
     }
     spark.table(name)
   }
@@ -547,6 +556,14 @@ final class TableCatalog(spark: SparkSession, root: String,
     * (re-registering it from the committed files when this session did
     * not write the version — DDL only, no data movement), so the scan
     * always reports the write-time HashPartitioning.
+    *
+    * The re-registration DDL takes its (key, buckets) from the version's
+    * committed `_BUCKETSPEC` sidecar, never from the caller: bucket
+    * membership is a property of the FILES, and a registration that
+    * disagrees with the write-time spec makes Spark plan a
+    * HashPartitioning the files don't actually have — exchange-free
+    * joins then return silently wrong results. Caller-supplied arguments
+    * are validated against the sidecar and a mismatch fails loudly.
     */
   def readBucketed(layer: String, table: String, key: String,
       buckets: Int): DataFrame = {
@@ -555,12 +572,24 @@ final class TableCatalog(spark: SparkSession, root: String,
     val name = bucketedName(layer, table, v)
     if (!spark.catalog.tableExists(name)) {
       val dir = versionDir(layer, table, v)
+      val (specKey, specBuckets) =
+        readSwapFile(new Path(dir, "_BUCKETSPEC")) match {
+          case Some(s) =>
+            val lines = s.split("\n", 2)
+            (lines(0).trim, lines(1).trim.toInt)
+          case None => (key, buckets) // pre-sidecar version (r13-)
+        }
+      require(specKey == key && specBuckets == buckets,
+        s"bucket spec mismatch for $layer/$table v$v: committed " +
+          s"($specKey, $specBuckets) vs requested ($key, $buckets) — " +
+          "registering the caller's spec would plan a HashPartitioning " +
+          "the files don't have")
       val schema = spark.read.format(format).load(dir.toString).schema
       val cols = schema.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(
         s"""CREATE TABLE `$name` ($cols) USING $format
-           |CLUSTERED BY (`$key`) INTO $buckets BUCKETS
+           |CLUSTERED BY (`$specKey`) INTO $specBuckets BUCKETS
            |LOCATION '${dir.toString}'""".stripMargin)
     }
     spark.table(name)

@@ -223,6 +223,235 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // REAL COMPRESSED AUDIO: IMA-ADPCM inside the RIFF walk (r14, VERDICT
+  // r13 task 3). WAV gave audio a genuinely decoded RAW format; every
+  // other modality has a compressed codec (deflate, LZW, DCT) — ADPCM is
+  // audio's: 4 bits per sample, a step-table predictor, hand-buildable
+  // offline exactly the way the GIF LZW literal stream was. The synthesis
+  // crafts the nibble stream so the DECODED output is closed-form (see
+  // `synthAdpcmWav`), which is what lets the DuckDB oracle gate a real
+  // general decoder end-to-end; the decoder itself implements the full
+  // IMA algorithm (89-entry step table, index walk with clamps, sign
+  // nibbles, predictor saturation), and its adaptation paths are pinned
+  // by MultimodalSpec's independent in-test ENCODER duality (encoder
+  // reconstruction == decoder output, exact, over white-noise content
+  // that sweeps the whole table).
+
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-advance table —
+    * the published IMA algorithm constants (IMA Digital Audio Focus and
+    * Technical Working Groups, 1992; same tables as every public
+    * implementation, e.g. ffmpeg's adpcm.c / libsndfile's ima_adpcm.c).
+    */
+  private[graft] val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA dequant+update step, shared verbatim by the gate decoder and
+    * the spec's in-test encoder (whose reconstruction must track the
+    * decoder EXACTLY — that shared-state property is what makes ADPCM
+    * work at all). Returns (newPred, newIndex).
+    */
+  private[graft] def imaStep(pred: Int, index: Int, nib: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p =
+      if ((nib & 8) != 0) math.max(pred - diff, -32768)
+      else math.min(pred + diff, 32767)
+    val i = math.min(math.max(index + imaIndexTable(nib), 0), 88)
+    (p, i)
+  }
+
+  /** Synthesize a genuine RIFF/WAVE IMA-ADPCM (fmt tag 0x11) mono file:
+    * full extended fmt (cbSize=2, samplesPerBlock), a fact chunk with the
+    * exact frame count, and nBlocks = 2 + id mod 4 data blocks of
+    * blockAlign = 36 bytes (4-byte header + 32 nibble-pair bytes → 65
+    * samples/block). The stream is crafted so the DECODED samples are
+    * closed-form: every block header stores index 0, and every data byte
+    * packs the pair (m, m|8) with m ∈ {1,2,3} — the sign twin exactly
+    * cancels the magnitude twin's delta at the pinned index (indexTable
+    * is −1 for m<4, clamped at 0, so step stays stepTable(0)=7 and the
+    * deltas are d(m) ∈ {1,3,4}). Decoded block b is therefore
+    *   s₀ = P_b,  s_{1+2j} = P_b + d_{b,j},  s_{2+2j} = P_b
+    * with P_b = (id·7919 + b·257) mod 1024 − 512 and
+    * d_{b,j} = [1,3,4][(id + b·131 + j·17) mod 3] — re-derivable by a
+    * second engine from the id alone, no byte parsing. The DECODER is the
+    * general algorithm; only this gate's content is special-cased, the
+    * same way synthWav's white noise is.
+    */
+  def synthAdpcmWav(seed: Long): Array[Byte] = {
+    val blockAlign = 36
+    val spb = (blockAlign - 4) * 2 + 1 // 65 samples per mono block
+    val nBlocks = (2 + Math.floorMod(seed, 4)).toInt
+    val nSamples = nBlocks * spb
+    val rate = 22050
+    val dataLen = nBlocks * blockAlign
+    val total = 12 + 28 + 12 + 8 + dataLen
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1) // IMA ADPCM, mono
+      .putInt(rate).putInt(rate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4) // blockAlign, 4 bits
+      .putShort(2).putShort(spb.toShort) // cbSize, samplesPerBlock
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nSamples)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var b = 0
+    while (b < nBlocks) {
+      val p = (Math.floorMod(seed * 7919 + b * 257, 1024) - 512).toInt
+      buf.putShort(p.toShort).put(0.toByte).put(0.toByte) // pred, idx, rsvd
+      var j = 0
+      while (j < 32) {
+        val m = 1 + Math.floorMod(seed + b * 131 + j * 17, 3).toInt
+        buf.put((m | ((m | 8) << 4)).toByte) // low nibble decodes FIRST
+        j += 1
+      }
+      b += 1
+    }
+    buf.array()
+  }
+
+  /** REAL IMA-ADPCM decoder: RIFF/WAVE chunk walk (same grammar as
+    * `decodeWav` — any chunk order, word alignment, long-arithmetic
+    * bounds), requires fmt tag 0x11 / 4-bit / mono with the extended
+    * header's samplesPerBlock consistent with blockAlign, cross-checks
+    * the fact chunk's frame count when present, then decodes every data
+    * block: header predictor emitted as sample 0, index validated ≤ 88,
+    * then the full IMA recurrence per nibble (low nibble of each byte
+    * first). None for anything malformed — never an exception, the
+    * drop-bad-media contract of the whole family. Returns
+    * (rate, channels, blockAlign, decoded samples).
+    */
+  def decodeAdpcmWav(payload: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (payload == null || payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii4(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    if (ascii4(0) != "RIFF" || ascii4(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
+    var fact: Option[Int] = None
+    var data: Option[(Int, Int)] = None
+    while (off.toLong + 8 <= payload.length) {
+      val id = ascii4(off)
+      val len = buf.getInt(off + 4)
+      if (len < 0 || off.toLong + 8L + len > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 20) return None // IMA ADPCM needs the extended header
+          fmt = Some((buf.getShort(off + 8) & 0xffff, // audioFormat
+            buf.getShort(off + 10) & 0xffff, // channels
+            buf.getInt(off + 12), // rate
+            buf.getShort(off + 20) & 0xffff, // blockAlign
+            buf.getShort(off + 22) & 0xffff, // bits
+            buf.getShort(off + 26) & 0xffff)) // samplesPerBlock
+        case "fact" =>
+          if (len < 4) return None
+          fact = Some(buf.getInt(off + 8))
+        case "data" => data = Some((off + 8, len))
+        case _ => () // LIST/INFO/junk: skipped by the walk
+      }
+      off += 8 + len + (len & 1)
+    }
+    (fmt, data) match {
+      case (Some((0x11, ch, rate, blockAlign, 4, spb)), Some((dOff, dLen)))
+          if ch == 1 && rate > 0 && blockAlign >= 5 &&
+            spb == (blockAlign - 4) * 2 + 1 && dLen % blockAlign == 0 =>
+        val nBlocks = dLen / blockAlign
+        if (fact.exists(_ != nBlocks * spb)) return None
+        val out = new Array[Int](nBlocks * spb)
+        var n = 0
+        var b = 0
+        while (b < nBlocks) {
+          val base = dOff + b * blockAlign
+          var pred = buf.getShort(base).toInt
+          var index = payload(base + 2) & 0xff
+          if (index > 88) return None
+          out(n) = pred; n += 1
+          var i = 4
+          while (i < blockAlign) {
+            val byte = payload(base + i) & 0xff
+            val (p1, i1) = imaStep(pred, index, byte & 0xf)
+            out(n) = p1; n += 1
+            val (p2, i2) = imaStep(p1, i1, byte >>> 4)
+            out(n) = p2; n += 1
+            pred = p2; index = i2
+            i += 1
+          }
+          b += 1
+        }
+        Some((rate, ch, blockAlign, out))
+      case _ => None
+    }
+  }
+
+  /** Decoded ADPCM facts: container metadata plus content features over
+    * the decoded samples. `wsum_samples` = Σ k·s_k pins the exact sample
+    * ORDER (a decoder that swapped nibble halves or dropped the header
+    * sample passes order-invariant sums but breaks this); all integer
+    * features are exact BIGINTs, so rms is the only float surface and it
+    * survives the double round-trip bit-for-bit (Σs² exact on both
+    * sides).
+    */
+  case class AdpcmFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      block_align: Int,
+      n_blocks: Int,
+      n_samples: Int,
+      peak: Int,
+      sum_samples: Long,
+      wsum_samples: Long,
+      rms: Double)
+
+  /** Synthesize-and-REALLY-decode IMA-ADPCM features per id: same
+    * one-pass mapPartitions plumbing as `wavFeatures` (bytes never cross
+    * a shuffle — decode early, keep features, drop payload).
+    */
+  def adpcmFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          decodeAdpcmWav(synthAdpcmWav(id)).map {
+            case (rate, _, blockAlign, samples) =>
+              val n = samples.length
+              var i = 0
+              var sum = 0L
+              var wsum = 0L
+              var sumSq = 0L
+              var peak = 0
+              while (i < n) {
+                val s = samples(i)
+                sum += s
+                wsum += i.toLong * s
+                sumSq += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val spb = (blockAlign - 4) * 2 + 1
+              AdpcmFeatures(id, rate, blockAlign, n / spb, n, peak, sum,
+                wsum, if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
   // REAL codec #2: BMP via javax.imageio (r11 VERDICT task 9). JPEG and
   // H.264 stay environment-blocked (no native media libs), but the JDK's
   // own ImageIO ships a pure-JVM BMP reader — so the IMAGE modality gets

@@ -506,7 +506,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("culled",
         col("n_rows").cast("decimal(38,0)") * (col("n_rows") - lit(1L)) >
-          lit(2L) * lit(maxPairsPerBlock))
+          lit(2L).cast("decimal(38,0)") * lit(maxPairsPerBlock))
     // the sparse-block list is bounded by the block count (one row per
     // block, two narrow columns) — broadcast it, so the corpus never
     // shuffles to learn which blocks survived

@@ -71,7 +71,10 @@ object IntervalJoin {
         val dense = l0.groupBy("__bucket").agg(count(lit(1)).as("__nl"))
           .join(r0.groupBy("__bucket").agg(count(lit(1)).as("__nr")),
             "__bucket")
-          .filter(col("__nl") * col("__nr") > cap)
+          // decimal product: two multi-billion-row sides would wrap a
+          // Long product negative and read as sparse (same overflow
+          // contract as Dedup.embeddingCosineCertificates)
+          .filter(col("__nl").cast("decimal(38,0)") * col("__nr") > cap)
           .select("__bucket")
         (l0.join(broadcast(dense), Seq("__bucket"), "left_anti"),
          r0.join(broadcast(dense), Seq("__bucket"), "left_anti"))

@@ -5,6 +5,18 @@ import org.apache.spark.sql.DataFrame
 /** Lineage barriers that KEEP physical properties. */
 object PlanBarriers {
 
+  /** One lock object per (pin root, pin name): `overwriteBucketed` is a
+    * documented single-writer commit (next-version compute + overwrite +
+    * pointer swap), so two concurrent same-name pins in this JVM would
+    * compute the same next version, overwrite the same version dir, and
+    * race the pointer swap. Named pins are a shared table by DESIGN
+    * (that's what lets the retention vacuum reclaim superseded versions);
+    * the serialization belongs at the shared-name boundary. Anonymous
+    * (UUID) pins never contend and skip the lock map.
+    */
+  private val pinLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Cluster-survivable pin for a STATIC iteration side (r12, VERDICT r11
     * task 3): write `df` ONCE as a bucketed persisted table on `key` with
     * numBuckets = shuffle.partitions, and read it back — the scan reports
@@ -45,9 +57,16 @@ object PlanBarriers {
       s"${System.getProperty("java.io.tmpdir")}/graft_pin_" +
         s"${ProcessHandle.current().pid()}")
     val cat = new graft.catalog.TableCatalog(s, root)
-    val table = if (name.nonEmpty) name
-      else "anon_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    cat.overwriteBucketed(df, "_pin", table, key, buckets)
+    if (name.nonEmpty) {
+      val lock = pinLocks.computeIfAbsent(s"$root $name",
+        (k: String) => new Object)
+      lock.synchronized {
+        cat.overwriteBucketed(df, "_pin", name, key, buckets)
+      }
+    } else {
+      val table = "anon_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      cat.overwriteBucketed(df, "_pin", table, key, buckets)
+    }
   }
 
   /** Eager localCheckpoint that preserves the plan's hash partitioning.

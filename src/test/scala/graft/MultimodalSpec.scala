@@ -443,4 +443,154 @@ class MultimodalSpec extends SparkSpec {
         (9 + id % 8) * (5 + id % 6))
     }
   }
+
+  // ---------------------------------------------------------------
+  // IMA-ADPCM (r14): the compressed-audio codec. The gate stream pins
+  // the step index at 0 so its decoded output is closed-form (that is
+  // the oracle's exactness lever); THESE tests pin the decoder's
+  // general adaptation paths via encoder duality — a standard greedy
+  // IMA encoder built HERE, sharing only the one-step dequant kernel,
+  // whose running reconstruction must equal the decoder's output
+  // exactly (the shared-state property ADPCM is built on).
+
+  /** Independent RIFF wrapper (duplicated from synthAdpcmWav on purpose:
+    * a second container construction cross-checks the decoder's walk)
+    * around caller-supplied data blocks.
+    */
+  private def wrapAdpcm(blocks: Array[Array[Byte]], blockAlign: Int,
+      rate: Int = 22050): Array[Byte] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val dataLen = blocks.map(_.length).sum
+    val total = 12 + 28 + 12 + 8 + dataLen
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(rate)
+      .putInt(rate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+    b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(blocks.length * spb)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    blocks.foreach(b.put)
+    b.array()
+  }
+
+  /** Standard greedy IMA encoder: per block, store (firstSample, index),
+    * then quantize each successor against the RUNNING RECONSTRUCTION
+    * (not the source) — returns the blocks plus that reconstruction and
+    * the index trace. Uses Multimodal.imaStep for dequant so encoder and
+    * decoder share exactly the state recurrence the format specifies.
+    */
+  private def imaEncode(src: Array[Int], blockAlign: Int)
+      : (Array[Array[Byte]], Array[Int], Array[Int]) = {
+    val spb = (blockAlign - 4) * 2 + 1
+    require(src.length % spb == 0, "test signal must fill whole blocks")
+    val recon = new Array[Int](src.length)
+    val idxTrace = new Array[Int](src.length)
+    var index = 0
+    var k = 0
+    val blocks = src.grouped(spb).map { blockSrc =>
+      val bb = java.nio.ByteBuffer.allocate(blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pred = blockSrc(0)
+      bb.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+      recon(k) = pred; idxTrace(k) = index; k += 1
+      var nibLow = -1
+      blockSrc.drop(1).foreach { s =>
+        val step = Multimodal.imaStepTable(index)
+        var diff = s - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        if (diff >= step) { nib |= 4; diff -= step }
+        if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { nib |= 1 }
+        val (p, i) = Multimodal.imaStep(pred, index, nib)
+        pred = p; index = i
+        recon(k) = p; idxTrace(k) = i; k += 1
+        if (nibLow < 0) nibLow = nib
+        else { bb.put((nibLow | (nib << 4)).toByte); nibLow = -1 }
+      }
+      bb.array()
+    }.toArray
+    (blocks, recon, idxTrace)
+  }
+
+  test("ADPCM codec: decoder tracks an independent encoder's " +
+      "reconstruction exactly over white noise (full table adaptation)") {
+    val blockAlign = 36
+    val spb = (blockAlign - 4) * 2 + 1
+    // white noise over the full int16 range: the encoder's index shoots
+    // up the step table, exercising adaptation the gate stream never does
+    val src = Array.tabulate(4 * spb) { k =>
+      (((42L * 7919 + k.toLong * 104729) % 65536) - 32768).toInt
+    }
+    val (blocks, recon, idxTrace) = imaEncode(src, blockAlign)
+    assert(idxTrace.max >= 60, "white noise must drive the index high")
+    assert(idxTrace.min === 0)
+    val payload = wrapAdpcm(blocks, blockAlign)
+    val Some((rate, ch, ba, samples)) = Multimodal.decodeAdpcmWav(payload)
+    assert((rate, ch, ba) === (22050, 1, blockAlign))
+    assert(samples.toSeq === recon.toSeq)
+  }
+
+  test("ADPCM codec: the gate stream decodes to its documented closed form") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val Some((rate, ch, ba, samples)) =
+        Multimodal.decodeAdpcmWav(Multimodal.synthAdpcmWav(id))
+      assert((rate, ch, ba) === (22050, 1, 36))
+      val nb = (2 + id % 4).toInt
+      assert(samples.length === nb * 65)
+      val expected = (0 until nb).flatMap { b =>
+        val p = (Math.floorMod(id * 7919 + b * 257, 1024) - 512).toInt
+        p +: (0 until 32).flatMap { j =>
+          val d = Array(1, 3, 4)(Math.floorMod(id + b * 131 + j * 17, 3).toInt)
+          Seq(p + d, p)
+        }
+      }
+      assert(samples.toSeq === expected)
+    }
+  }
+
+  test("ADPCM codec: malformed payloads are rejected, never thrown") {
+    val good = Multimodal.synthAdpcmWav(5L)
+    assert(Multimodal.decodeAdpcmWav(null).isEmpty)
+    assert(Multimodal.decodeAdpcmWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAdpcmWav(good.take(30)).isEmpty) // truncated
+    val badMagic = good.clone; badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeAdpcmWav(badMagic).isEmpty)
+    val pcmTag = good.clone; pcmTag(20) = 1 // audioFormat 0x11 → 1 (PCM)
+    assert(Multimodal.decodeAdpcmWav(pcmTag).isEmpty)
+    val badSpb = good.clone; badSpb(38) = 9 // samplesPerBlock 65 → 9
+    assert(Multimodal.decodeAdpcmWav(badSpb).isEmpty)
+    val badIdx = good.clone; badIdx(62) = 100 // first block header index > 88
+    assert(Multimodal.decodeAdpcmWav(badIdx).isEmpty)
+    val badFact = good.clone; badFact(48) = 7 // fact count != blocks * spb
+    assert(Multimodal.decodeAdpcmWav(badFact).isEmpty)
+    // data length not a multiple of blockAlign
+    val ragged = wrapAdpcm(Array(Array.fill[Byte](36)(0),
+      Array.fill[Byte](20)(0)), 36)
+    assert(Multimodal.decodeAdpcmWav(ragged).isEmpty)
+  }
+
+  test("ADPCM synth→decode roundtrip through the Spark plumbing") {
+    val df = spark.range(0L, 40L).toDF("doc_id")
+    val out = Multimodal.adpcmFeatures(df, "doc_id").collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val nb = (2 + id % 4).toInt
+      assert(r.getAs[Int]("n_blocks") === nb)
+      assert(r.getAs[Int]("n_samples") === nb * 65)
+      assert(r.getAs[Int]("sample_rate") === 22050)
+      // features re-aggregated from a direct decode must agree
+      val Some((_, _, _, samples)) =
+        Multimodal.decodeAdpcmWav(Multimodal.synthAdpcmWav(id))
+      assert(r.getAs[Long]("sum_samples") === samples.map(_.toLong).sum)
+      assert(r.getAs[Int]("peak") === samples.map(math.abs).max)
+      assert(r.getAs[Long]("wsum_samples") ===
+        samples.zipWithIndex.map { case (s, k) => k.toLong * s }.sum)
+    }
+  }
 }
