@@ -113,6 +113,14 @@ def run_with_timeout(con, sql, seconds):
 # oracles at the driver's sf0.01 gate, which this mode never touches.
 # Each SQL returns ONE row of violation counters; PASS iff all zero.
 
+# MATERIALIZED on pairs/pnodes ONLY: DuckDB inlines plain CTEs, so each
+# scalar-subquery reference to `pairs` would recompute the whole shingle
+# cascade (first run blew the 600s sf1 budget exactly that way), and
+# pairs/pnodes are narrow two-column tables that materialize for free.
+# `sh` stays PLAIN on purpose: materializing 500k wide shingle-list rows
+# regressed the cascade itself past the budget (second sf1 run), while
+# the inlined pipelined form is the shape every r13-green pair oracle
+# already runs at sf1.
 _PAIRS_CTE = r"""
 tok AS (SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
@@ -134,9 +142,9 @@ v AS (SELECT doc1, doc2,
       FROM cand
       JOIN sh s1 ON cand.doc1 = s1.doc_id
       JOIN sh s2 ON cand.doc2 = s2.doc_id),
-pairs AS (SELECT doc1, doc2 FROM v
+pairs AS MATERIALIZED (SELECT doc1, doc2 FROM v
           WHERE common * 1.0 / (n1 + n2 - common) >= 0.8),
-pnodes AS (SELECT DISTINCT doc1 AS n FROM pairs
+pnodes AS MATERIALIZED (SELECT DISTINCT doc1 AS n FROM pairs
            UNION SELECT DISTINCT doc2 FROM pairs)
 """
 
