@@ -446,6 +446,65 @@ object Dedup {
       .dropDuplicates("doc1", "doc2")
   }
 
+  /** Bounded PRODUCTION serve of the SimHash pair stage (r14 — the
+    * capped twin the sf100 probe demanded): the block trick's bucket
+    * alphabet is FIXED at blocks·2^(64/blocks) values (2,048 for the
+    * 8×8-bit default), so bucket occupancy grows linearly with the
+    * corpus and the per-bucket candidate join goes quadratic once
+    * n ≫ alphabet — measured 76.5×/decade at sf100 (354 s) after two
+    * decades of hiding inside the linear band (3.0× sf1→sf10). Same
+    * budget discipline as `embeddingCosineCertificates` /
+    * `IntervalJoin.maxPairsPerBucket`: decide a per-bucket pair budget
+    * from ONE narrow per-(blk, chunk) count BEFORE the join, cull
+    * over-budget buckets without ever performing their quadratic work,
+    * and emit one CERTIFICATE row per occupied bucket
+    * (blk, chunk, n_rows, culled, n_pairs) — output bounded by the
+    * bucket alphabet, never the corpus or pair space. `n_pairs` counts
+    * hamming ≤ maxHamming collisions found via THAT bucket (exact on
+    * every surviving bucket, 0 on culled ones); a pair colliding in
+    * several buckets is counted in each, which is the triage view a
+    * pipeline wants — culled buckets are precisely the saturated chunk
+    * values to route to a wider-chunk pass or the MinHash-LSH path.
+    * The sparse-bucket list broadcasts (≤ alphabet rows, two narrow
+    * columns), so the signature table never shuffles to learn which
+    * buckets survived. Budget arithmetic is decimal(38,0) end to end —
+    * a multi-billion-row bucket culls correctly instead of wrapping.
+    */
+  def simhashCertificates(sigs: DataFrame, maxHamming: Int = 6,
+      blocks: Int = 8, maxPairsPerBucket: Long = 1000L): DataFrame = {
+    require(blocks > maxHamming,
+      "need blocks > maxHamming for exact block-trick recall")
+    require(maxPairsPerBucket > 0, "maxPairsPerBucket must be positive")
+    val bitsPerBlock = 64 / blocks
+    val blocked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until blocks).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("sig"), blk * bitsPerBlock)
+            .bitwiseAND(lit((1L << bitsPerBlock) - 1)).as("chunk"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.blk"), col("b.chunk"))
+    val counts = blocked.groupBy(col("blk"), col("chunk"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("culled",
+        col("n_rows").cast("decimal(38,0)") * (col("n_rows") - lit(1L)) >
+          lit(2L).cast("decimal(38,0)") * lit(maxPairsPerBucket))
+    val sparse = counts.filter(!col("culled"))
+      .select(col("blk"), col("chunk"))
+    val kept = blocked.join(broadcast(sparse), Seq("blk", "chunk"),
+      "left_semi")
+    val a = kept.select(col("blk"), col("chunk"), col("doc_id").as("doc1"),
+      col("sig").as("sig1"))
+    val b = kept.select(col("blk"), col("chunk"), col("doc_id").as("doc2"),
+      col("sig").as("sig2"))
+    val pairs = a.join(b, Seq("blk", "chunk"))
+      .filter(col("doc1") < col("doc2"))
+      .filter(hammingDistance(col("sig1"), col("sig2")) <= maxHamming)
+      .groupBy(col("blk"), col("chunk")).agg(count(lit(1)).as("n_pairs"))
+    counts.join(pairs, Seq("blk", "chunk"), "left_outer")
+      .select(col("blk"), col("chunk"), col("n_rows"), col("culled"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** Embedding-cosine near-dup pairs. Exact all-pairs within label blocks
     * (block on a cheap equi key to avoid the full cross product); the
     * unblocked scale path is `Similarity.lshBuckets`.

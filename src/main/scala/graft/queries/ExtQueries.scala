@@ -213,6 +213,55 @@ object ExtQueries {
              WHERE bit_count(xor(a.sig, b.sig)) <= 6
              ORDER BY doc1, doc2"""))
 
+  /** Bounded PRODUCTION serve of the simhash pair stage (r14 — the capped
+    * twin the sf100 probe demanded; gate 201): the block trick's bucket
+    * alphabet is fixed at 2,048 (blk, chunk) values, so bucket joins go
+    * quadratic once the corpus dwarfs it — measured 76.5×/decade at
+    * sf100 after two decades inside the linear band. The serve decides a
+    * per-bucket pair budget (cap 10 — inside the sf0.01 bucket-size
+    * spread of 1..9 rows via n·(n−1)/2 > cap, so the oracle exercises
+    * cull AND exact-join branches together: 39 buckets culled, 1,690
+    * served at sf0.01) from ONE narrow count BEFORE the join and emits a
+    * certificate per occupied bucket, output bounded by the alphabet.
+    * The oracle recomputes buckets, budgets, and capped hamming joins
+    * brute-force in SQL from the materialized signature sidecar — the
+    * same contract as dedup_simhash, extended to the cull decision.
+    */
+  private val dedupSimhashCapped = NamedQuery(
+    "dedup_simhash_capped",
+    (s, d) => {
+      val sigs = Dedup.simhashSignatures(Tables.documents(s, d))
+        .localCheckpoint(eager = false)
+      materializeForOracle(sigs, d, "simhash_capped_sigs")
+      Dedup.simhashCertificates(sigs, maxHamming = 6, blocks = 8,
+        maxPairsPerBucket = 10L)
+        .orderBy(col("blk"), col("chunk"))
+    },
+    Some(s"""WITH sg AS (SELECT doc_id, sig
+                         FROM read_parquet('${oraclePath("simhash_capped_sigs")}')),
+             blocked AS (SELECT doc_id, sig, b.blk,
+                                (sig >> (b.blk * 8)) & 255 AS chunk
+                         FROM sg, (SELECT unnest(range(8)) AS blk) b),
+             c AS (SELECT blk, chunk, count(*) AS n_rows
+                   FROM blocked GROUP BY 1, 2),
+             cc AS (SELECT blk, chunk, n_rows,
+                           n_rows * (n_rows - 1) > 20 AS culled
+                    FROM c),
+             kept AS (SELECT bl.doc_id, bl.sig, bl.blk, bl.chunk
+                      FROM blocked bl JOIN cc USING (blk, chunk)
+                      WHERE NOT cc.culled),
+             p AS (SELECT a.blk, a.chunk, count(*) AS n_pairs
+                   FROM kept a JOIN kept b
+                     ON a.blk = b.blk AND a.chunk = b.chunk
+                        AND a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.sig, b.sig)) <= 6
+                   GROUP BY 1, 2)
+             SELECT CAST(cc.blk AS INT) AS blk, cc.chunk,
+                    CAST(cc.n_rows AS BIGINT) AS n_rows, cc.culled,
+                    CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs
+             FROM cc LEFT JOIN p USING (blk, chunk)
+             ORDER BY blk, chunk"""))
+
   /** Containment gate for SimHash (the VERDICT's driver-verifiable
     * companion): every hamming ≤ 6 pair must be a GENUINE near-dup — exact
     * shingle Jaccard ≥ 0.3 (the observed minimum on the corpus family is
@@ -1745,7 +1794,7 @@ object ExtQueries {
   val all: Seq[NamedQuery] = Seq(
     warcExtract,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
-    dedupMinhash, dedupSimhash,
+    dedupMinhash, dedupSimhash, dedupSimhashCapped,
     dedupSimhashContained, dedupIncrementalProbe, dedupEmbedding,
     dedupEmbeddingCapped,
     simTopK, simMmr, simMatryoshka, simAnn, simIvf, simPq, simIvfPq,

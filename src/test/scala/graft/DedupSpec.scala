@@ -249,4 +249,52 @@ class DedupSpec extends SparkSpec {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L))) // ANSI mode: would throw before the guard
   }
+
+  test("simhashCertificates: budget culls dense buckets BEFORE the join, " +
+      "exact hamming pairs on survivors, output bounded by the alphabet") {
+    // planted signature table: ids 1-3 share sig 0 (every block lands in
+    // bucket (blk, 0)); ids 10-15 share sig -1 (bucket (blk, 255) — six
+    // rows, 15 candidate pairs, OVER the cap of 10); id 20 has bits only
+    // in blocks 5-6 (0x00FFFF0000000000): it joins bucket (blk, 0) for
+    // the other six blocks but its hamming to sig-0 is 16 > 6, so it adds
+    // a row without adding a pair — pinning that the budget counts ROWS
+    // and n_pairs counts the hamming-filtered join, not the candidates.
+    val sigs = Seq(
+      1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> -1L, 11L -> -1L, 12L -> -1L, 13L -> -1L, 14L -> -1L, 15L -> -1L,
+      20L -> 0x00FFFF0000000000L
+    ).toDF("doc_id", "sig")
+    val cert = Dedup.simhashCertificates(sigs, maxHamming = 6, blocks = 8,
+        maxPairsPerBucket = 10L)
+      .select($"blk", $"chunk", $"n_rows", $"culled", $"n_pairs")
+      .as[(Int, Long, Long, Boolean, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(cert.size === 16) // 8 blocks x 2 occupied chunk values
+    for (blk <- 0 until 8) {
+      if (blk == 5 || blk == 6) {
+        // id 20's set bits live here: it joins (blk, 255) instead of (blk, 0)
+        assert(cert((blk, 0L)) === ((3L, false, 3L)))
+        assert(cert((blk, 255L)) === ((7L, true, 0L))) // 21 pairs > cap
+      } else {
+        assert(cert((blk, 0L)) === ((4L, false, 3L))) // 6 cands, 3 pass hamming
+        assert(cert((blk, 255L)) === ((6L, true, 0L))) // 15 pairs > cap
+      }
+    }
+  }
+
+  test("simhashCertificates: cap wide enough serves every bucket exactly") {
+    val sigs = Seq(1L -> 0L, 2L -> 0L, 3L -> 1L).toDF("doc_id", "sig")
+    // sig 1 differs from sig 0 only in bit 0: hamming 1, same chunk in
+    // blocks 1-7, different chunk (1 vs 0) in block 0
+    val cert = Dedup.simhashCertificates(sigs, maxHamming = 6, blocks = 8,
+        maxPairsPerBucket = 1000L)
+      .select($"blk", $"chunk", $"n_rows", $"culled", $"n_pairs")
+      .as[(Int, Long, Long, Boolean, Long)].collect()
+    assert(cert.forall(!_._4)) // nothing culled
+    // block 0 splits into chunks 0 (ids 1,2 -> 1 pair) and 1 (id 3 alone);
+    // blocks 1-7 hold all three ids in chunk 0 -> 3 pairs each
+    val m = cert.map(r => (r._1, r._2) -> (r._3, r._5)).toMap
+    assert(m((0, 0L)) === ((2L, 1L)) && m((0, 1L)) === ((1L, 0L)))
+    for (blk <- 1 until 8) assert(m((blk, 0L)) === ((3L, 3L)))
+  }
 }
