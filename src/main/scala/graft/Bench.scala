@@ -253,8 +253,12 @@ object Bench {
     // sustained-degradation stamps (r11 graph spike read 2.1-2.2×).
     val cpuThreshold = 1.7
     val ioThreshold = 1.35
+    // a failed probe stamps (-1,-1): the window is UNKNOWN, which must
+    // count as degraded (retry conservatively), not as quiet — otherwise
+    // queries bracketed by a failed probe are silently exempt from the
+    // retry pass
     def pairDegraded(p: (Double, Double)): Boolean =
-      p._1 > cpuThreshold || p._2 > ioThreshold
+      p._1 < 0 || p._2 < 0 || p._1 > cpuThreshold || p._2 > ioThreshold
     val flagged = firstPass.zipWithIndex.filter { case ((_, t), idx) =>
       t >= 0 && {
         val seg = idx / segStride

@@ -519,6 +519,15 @@ final class TableCatalog(spark: SparkSession, root: String,
   def overwriteBucketed(df: DataFrame, layer: String, table: String,
       key: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // single-writer commit (next-version compute + overwrite + pointer
+    // swap), serialized per (root, layer, table) HERE so EVERY caller is
+    // covered — not just pins routed through PlanBarriers (which used to
+    // hold its own lock, leaving direct callers racy). In-JVM only: a
+    // writer in ANOTHER process sharing this root can still race the
+    // version compute; cross-process safety rests on the no-overwrite
+    // rename being atomic on the store (true on HDFS/S3-conditional-put,
+    // check-then-act on local fs — the commitLocks companion note).
+    TableCatalog.commitLockFor(path(layer, table)).synchronized {
     val prevCommitted = currentVersion(layer, table)
     val preVersions = versions(layer, table)
     val next = prevCommitted.getOrElse(preVersions.lastOption.getOrElse(0)) + 1
@@ -549,6 +558,7 @@ final class TableCatalog(spark: SparkSession, root: String,
         spark.sql(s"DROP TABLE IF EXISTS `$stale`")
     }
     spark.table(name)
+    }
   }
 
   /** Read back the live bucketed snapshot with its bucket spec intact.
@@ -575,8 +585,21 @@ final class TableCatalog(spark: SparkSession, root: String,
       val (specKey, specBuckets) =
         readSwapFile(new Path(dir, "_BUCKETSPEC")) match {
           case Some(s) =>
+            // a corrupt sidecar must fail DIAGNOSABLY, naming the file —
+            // not as a raw ArrayIndexOutOfBounds/NumberFormatException
+            val sidecar = new Path(dir, "_BUCKETSPEC")
             val lines = s.split("\n", 2)
-            (lines(0).trim, lines(1).trim.toInt)
+            if (lines.length != 2 || lines(0).trim.isEmpty)
+              sys.error(s"corrupt bucket-spec sidecar $sidecar: expected " +
+                s"'<key>\\n<buckets>', got ${s.replace("\n", "\\n")}")
+            val specB =
+              try lines(1).trim.toInt
+              catch {
+                case _: NumberFormatException =>
+                  sys.error(s"corrupt bucket-spec sidecar $sidecar: " +
+                    s"non-numeric bucket count '${lines(1).trim}'")
+              }
+            (lines(0).trim, specB)
           case None => (key, buckets) // pre-sidecar version (r13-)
         }
       require(specKey == key && specBuckets == buckets,

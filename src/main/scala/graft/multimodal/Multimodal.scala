@@ -350,6 +350,10 @@ object Multimodal {
       id match {
         case "fmt " =>
           if (len < 20) return None // IMA ADPCM needs the extended header
+          // duplicate chunks are malformed, not a later-wins update: a
+          // file with two data chunks must be REJECTED, not decoded from
+          // whichever the walk saw last (drop-bad-media contract)
+          if (fmt.isDefined) return None
           fmt = Some((buf.getShort(off + 8) & 0xffff, // audioFormat
             buf.getShort(off + 10) & 0xffff, // channels
             buf.getInt(off + 12), // rate
@@ -357,9 +361,11 @@ object Multimodal {
             buf.getShort(off + 22) & 0xffff, // bits
             buf.getShort(off + 26) & 0xffff)) // samplesPerBlock
         case "fact" =>
-          if (len < 4) return None
+          if (len < 4 || fact.isDefined) return None
           fact = Some(buf.getInt(off + 8))
-        case "data" => data = Some((off + 8, len))
+        case "data" =>
+          if (data.isDefined) return None
+          data = Some((off + 8, len))
         case _ => () // LIST/INFO/junk: skipped by the walk
       }
       off += 8 + len + (len & 1)

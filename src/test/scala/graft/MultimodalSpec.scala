@@ -572,6 +572,27 @@ class MultimodalSpec extends SparkSpec {
     val ragged = wrapAdpcm(Array(Array.fill[Byte](36)(0),
       Array.fill[Byte](20)(0)), 36)
     assert(Multimodal.decodeAdpcmWav(ragged).isEmpty)
+    // duplicate fmt/data/fact chunks are malformed — REJECTED, not
+    // decoded from whichever chunk the walk saw last; a junk chunk of
+    // any other id appended the same way must still decode (the
+    // rejection is about duplication, not trailing chunks)
+    def appendChunk(base: Array[Byte], id: String,
+        body: Array[Byte]): Array[Byte] = {
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put(id.getBytes("US-ASCII")); hdr.putInt(body.length)
+      base ++ hdr.array() ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte)
+         else Array.empty[Byte])
+    }
+    assert(Multimodal.decodeAdpcmWav(
+      appendChunk(good, "data", Array.fill[Byte](36)(0))).isEmpty)
+    assert(Multimodal.decodeAdpcmWav(
+      appendChunk(good, "fmt ", Array.fill[Byte](20)(0))).isEmpty)
+    assert(Multimodal.decodeAdpcmWav(
+      appendChunk(good, "fact", Array.fill[Byte](4)(0))).isEmpty)
+    assert(Multimodal.decodeAdpcmWav(
+      appendChunk(good, "LIST", Array.fill[Byte](10)(0))).isDefined)
   }
 
   test("ADPCM synth→decode roundtrip through the Spark plumbing") {

@@ -68,6 +68,27 @@ class TableCatalogSpec extends SparkSpec {
       .join(reread.hint("merge").withColumnRenamed("v", "v2"), "k")
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("Exchange"), plan2)
+    // a corrupted sidecar must fail the cross-session fallback with a
+    // message NAMING the sidecar path — not a raw index/number exception
+    spark.catalog.listTables()
+      .filter(col("name").contains("_pin_edges")).collect().map(_.name)
+      .filter(_.endsWith("_v00003"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    val sidecar = java.nio.file.Paths.get(
+      root, "_pin", "edges", "_v", "00003", "_BUCKETSPEC")
+    val origSpec = java.nio.file.Files.readAllBytes(sidecar)
+    try {
+      java.nio.file.Files.write(sidecar, "k-only-one-line".getBytes)
+      val e1 = intercept[RuntimeException] {
+        cat.readBucketed("_pin", "edges", "k", 4)
+      }
+      assert(e1.getMessage.contains("_BUCKETSPEC"), e1.getMessage)
+      java.nio.file.Files.write(sidecar, "k\nnot-a-number".getBytes)
+      val e2 = intercept[RuntimeException] {
+        cat.readBucketed("_pin", "edges", "k", 4)
+      }
+      assert(e2.getMessage.contains("non-numeric"), e2.getMessage)
+    } finally java.nio.file.Files.write(sidecar, origSpec)
   }
 
   test("optimistic commit: two interleaved writers, appends commute via retry") {

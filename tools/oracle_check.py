@@ -149,7 +149,37 @@ pnodes AS MATERIALIZED (SELECT DISTINCT doc1 AS n FROM pairs
 """
 
 def _cluster_invariant(eng):
-    return f"""WITH {_PAIRS_CTE}
+    # The first five counters are one-sided: they refute UNDER-merge and
+    # node-set errors, but an over-merged labeling (two components sharing
+    # one label, or every node stamped with the global min) passes all
+    # five. `sampled_group_disconnected` closes that side: BFS (recursive
+    # CTE over the DuckDB-recomputed pair table, restricted to same-label
+    # edges) from each sampled group's label node must reach every node of
+    # the group — an over-merged group leaves its second component
+    # unreached. 64 groups sampled deterministically by md5(label); full
+    # separation for EVERY group stays the sf0.01 exact oracle's job.
+    return f"""WITH RECURSIVE {_PAIRS_CTE},
+samp AS MATERIALIZED (
+  SELECT cluster_id FROM {eng} GROUP BY 1 HAVING count(*) >= 2
+  ORDER BY md5(CAST(cluster_id AS VARCHAR)) LIMIT 64),
+gnodes AS MATERIALIZED (
+  SELECT e.cluster_id, e.node FROM {eng} e JOIN samp USING (cluster_id)),
+gedges AS MATERIALIZED (
+  SELECT g1.cluster_id, p.doc1 AS a, p.doc2 AS b
+  FROM pairs p
+  JOIN gnodes g1 ON p.doc1 = g1.node
+  JOIN gnodes g2 ON p.doc2 = g2.node AND g2.cluster_id = g1.cluster_id
+  UNION ALL
+  SELECT g1.cluster_id, p.doc2, p.doc1
+  FROM pairs p
+  JOIN gnodes g1 ON p.doc2 = g1.node
+  JOIN gnodes g2 ON p.doc1 = g2.node AND g2.cluster_id = g1.cluster_id),
+reach AS (
+  SELECT cluster_id, cluster_id AS node FROM samp
+  UNION
+  SELECT r.cluster_id, e.b
+  FROM reach r JOIN gedges e
+    ON e.cluster_id = r.cluster_id AND e.a = r.node)
 SELECT
   (SELECT count(*) FROM pairs p
      JOIN {eng} e1 ON p.doc1 = e1.node
@@ -162,7 +192,11 @@ SELECT
   (SELECT count(*) FROM {eng} WHERE cluster_id > node) AS label_above_node,
   (SELECT count(*) FROM (SELECT cluster_id, min(node) AS mn
                          FROM {eng} GROUP BY 1)
-    WHERE mn != cluster_id) AS label_not_group_min"""
+    WHERE mn != cluster_id) AS label_not_group_min,
+  (SELECT count(*) FROM gnodes g
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.cluster_id = g.cluster_id
+                        AND r.node = g.node)) AS sampled_group_disconnected"""
 
 def _diff_counts(a_sql, b_sql):
     return (f"(SELECT count(*) FROM ({a_sql} EXCEPT {b_sql})) AS extra_row,"
