@@ -45,6 +45,8 @@ object Bench {
       .config("spark.hadoop.fs.file.impl",
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // STABLE query order (sorted by name): `queries` is a hash Map, so its

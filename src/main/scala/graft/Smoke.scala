@@ -10,6 +10,8 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

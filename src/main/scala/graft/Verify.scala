@@ -33,6 +33,8 @@ object Verify {
       .config("spark.hadoop.fs.file.impl",
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

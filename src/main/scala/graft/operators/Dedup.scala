@@ -31,13 +31,30 @@ object Dedup {
     * explode, re-evaluating the (non-codegen) HOF pipeline several times
     * per row — measured 20× slower than the barrier'd plan.
     */
+  /** Barrier storage currency, size-gated (r15, VERDICT r14 task 1): the
+    * default lazy `localCheckpoint` pins DESERIALIZED row blocks on the
+    * JVM heap (MEMORY_AND_DISK), which is the right currency up to ~sf10
+    * but at the third decade the shingle and rare-index barriers hold
+    * multi-GB of heap objects — the sf100 probe's heap-OOM under a WIDER
+    * shuffle was this pressure, not candidate growth (candidate mass is
+    * measured EXACTLY linear: 1.25M/12.5M/125M/1.25B pair rows across
+    * sf0.1→sf100, DuckDB-recomputed). Past the gate the barrier keeps its
+    * role (single execution + HOF-inlining fence) but stores serialized
+    * DISK_ONLY blocks — zero heap residency, streaming reads.
+    */
+  private def barrier(docs: DataFrame)(df: DataFrame): DataFrame =
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes > (128L << 20))
+      df.localCheckpoint(eager = false,
+        storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint(eager = false)
+
   private[graft] def shingleSets(docs: DataFrame, n: Int,
       idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftFunctions.ensure(docs.sparkSession)
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        graft.plans.GraftColumns.shingleHashSet(col("toks"), n).as("ss"))
-      .localCheckpoint(eager = false)
+    barrier(docs)(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"),
+          graft.plans.GraftColumns.shingleHashSet(col("toks"), n).as("ss")))
   }
 
   /** Exact dedup: group by normalized-content fingerprint, keep the lowest
@@ -106,13 +123,12 @@ object Dedup {
     // without it the df-aggregation join runs twice. `nr` (the doc's
     // distinct-RARE-shingle count) rides along for the count bound below;
     // the window costs one pass over the already-keyed index.
-    val rare = ex.join(
+    val rare = barrier(docs)(ex.join(
       ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("s"),
       "s")
       .withColumn("nr", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .localCheckpoint(eager = false)
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
     // size-ratio prune (result-preserving: J >= t ⇒ min/max sizes >= t)
     // inside the join — without it every moderately-shared shingle floods
     // the verify stage with hopeless pairs
@@ -207,10 +223,10 @@ object Dedup {
       explode(col("ss")).as("s"))
     // rare-shingle inverted index (df cap bounds per-key join fan-out);
     // barrier'd for the same double-execution reason as the Jaccard op
-    val rare = ex.join(
+    val rare = barrier(docs)(ex.join(
       ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("s"),
-      "s").localCheckpoint(eager = false)
+      "s"))
     // prefix side: first L rare shingles per doc, ascending hash order.
     // The epsilon guard keeps ceil() exact when t·ns is a true integer that
     // floating point represents as 27.000000000000004 — without it L would

@@ -5,18 +5,6 @@ import org.apache.spark.sql.DataFrame
 /** Lineage barriers that KEEP physical properties. */
 object PlanBarriers {
 
-  /** One lock object per (pin root, pin name): `overwriteBucketed` is a
-    * documented single-writer commit (next-version compute + overwrite +
-    * pointer swap), so two concurrent same-name pins in this JVM would
-    * compute the same next version, overwrite the same version dir, and
-    * race the pointer swap. Named pins are a shared table by DESIGN
-    * (that's what lets the retention vacuum reclaim superseded versions);
-    * the serialization belongs at the shared-name boundary. Anonymous
-    * (UUID) pins never contend and skip the lock map.
-    */
-  private val pinLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Cluster-survivable pin for a STATIC iteration side (r12, VERDICT r11
     * task 3): write `df` ONCE as a bucketed persisted table on `key` with
     * numBuckets = shuffle.partitions, and read it back — the scan reports
@@ -50,22 +38,28 @@ object PlanBarriers {
     * previous pin always outlives its in-flight readers; anonymous
     * callers get a UUID table (write-once, nothing to vacuum).
     */
-  def pinBucketed(df: DataFrame, key: String, name: String = ""): DataFrame = {
+  def pinBucketed(df: DataFrame, key: String, name: String = "",
+      buckets: Int = -1): DataFrame = {
     val s = df.sparkSession
-    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // width defaults to the session exchange width; iterative operators
+    // whose static side outgrows a fixed-width layout pass a
+    // BatchScale-derived count so every co-partitioned superstep join
+    // runs at the data-scaled width
+    val nBuckets =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
     val root = s.conf.getOption("spark.graft.pin.root").getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_pin_" +
         s"${ProcessHandle.current().pid()}")
     val cat = new graft.catalog.TableCatalog(s, root)
     if (name.nonEmpty) {
-      val lock = pinLocks.computeIfAbsent(s"$root $name",
-        (k: String) => new Object)
-      lock.synchronized {
-        cat.overwriteBucketed(df, "_pin", name, key, buckets)
-      }
+      // same-name pins are a single-writer commit; serialization lives in
+      // TableCatalog.overwriteBucketed itself (per-(root,layer,table)
+      // lock), so EVERY caller is covered, not just this wrapper
+      cat.overwriteBucketed(df, "_pin", name, key, nBuckets)
     } else {
       val table = "anon_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      cat.overwriteBucketed(df, "_pin", table, key, buckets)
+      cat.overwriteBucketed(df, "_pin", table, key, nBuckets)
     }
   }
 

@@ -134,11 +134,15 @@ object DomainQueries {
   private val bpeishTokens = NamedQuery(
     "text_bpeish_tokens",
     (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        bpeishTokenCount(col("text")).as("n_subtokens"),
-        tokenCount(col("text")).as("n_ws_tokens"))
-        .orderBy(col("doc_id")),
+      // output is corpus-sized and globally sorted — the sort width must
+      // scale with the corpus (BatchScale; identical to orderBy below the
+      // engagement threshold, so recorded plans ≤ sf10 are untouched)
+      graft.plans.BatchScale.sortScaled(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          bpeishTokenCount(col("text")).as("n_subtokens"),
+          tokenCount(col("text")).as("n_ws_tokens")),
+        col("doc_id")),
     Some(raw"""SELECT doc_id,
                   len(list_filter(
                     string_split_regex(
@@ -312,10 +316,12 @@ object DomainQueries {
           col("l_orderkey"), col("l_linenumber"),
           pmod(col("l_partkey"), lit(256L)).as("x"),
           pmod(col("l_suppkey"), lit(256L)).as("y"))
-        li.withColumn("zval", Layout.zvalue(col("x"), col("y"), bits))
-          .withColumn("quadrant",
-            shiftrightunsigned(col("zval"), 2 * bits - 2).cast("int"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // corpus-sized sorted output: data-scaled sort width (BatchScale)
+        graft.plans.BatchScale.sortScaled(
+          li.withColumn("zval", Layout.zvalue(col("x"), col("y"), bits))
+            .withColumn("quadrant",
+              shiftrightunsigned(col("zval"), 2 * bits - 2).cast("int")),
+          col("l_orderkey"), col("l_linenumber"))
       }
     },
     Some {
@@ -650,9 +656,17 @@ object DomainQueries {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_returnflag"))
         cat.overwrite(li.repartition(64), "silver", "lineitem_frag")
-        cat.compact("silver", "lineitem_frag", numFiles = 4)
-        cat.read("silver", "lineitem_frag")
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // compaction target scales with the data: 4 files is the small-SF
+        // contract, but 4 fixed files at the third decade means 4 write
+        // tasks compressing ~150M rows each — file-count-sublinear is the
+        // capability, not any particular count (~16 MB stats-bytes per
+        // file keeps sf0.01–sf10 at exactly 4)
+        val nOut = math.max(4, graft.plans.BatchScale.partsFor(
+          li, bytesPerPart = 16L << 20, floor = 1))
+        cat.compact("silver", "lineitem_frag", numFiles = nOut)
+        graft.plans.BatchScale.sortScaled(
+          cat.read("silver", "lineitem_frag"),
+          col("l_orderkey"), col("l_linenumber"))
       }
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
@@ -681,9 +695,14 @@ object DomainQueries {
         val li = Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_extendedprice"))
+        // z-order width scales with the data (16 files is the small-SF
+        // contract; fixed 16 at sf100 is 16 sort+write tasks of ~37M rows
+        // each). ~16 MB stats-bytes per file keeps sf0.01–sf10 at 16.
+        val zFiles = math.max(16, graft.plans.BatchScale.partsFor(
+          li, bytesPerPart = 16L << 20, floor = 1))
         cat.overwrite(
           Layout.zorderBy(li, col("l_orderkey"), col("l_partkey"),
-            numFiles = 16),
+            numFiles = zFiles),
           "silver", "lineitem_skip",
           statsCols = Seq("l_orderkey", "l_partkey"))
         cat.readRange("silver", "lineitem_skip",

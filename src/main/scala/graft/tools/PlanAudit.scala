@@ -53,6 +53,8 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val results = audit(spark, sfDir)

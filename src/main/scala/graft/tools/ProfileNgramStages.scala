@@ -23,7 +23,9 @@ object ProfileNgramStages {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.hadoop.fs.file.impl",
         "graft.streaming.NioLocalFileSystem")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.OracleSidecar.enabled = false
     def time[T](label: String)(f: => T): T = {

@@ -28,7 +28,9 @@ object TimeOne {
       .config("spark.driver.maxResultSize", maxResult)
       .config("spark.hadoop.fs.file.impl",
         "graft.streaming.NioLocalFileSystem")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
+      .config(graft.plans.BatchScale.aqeWidthConfs.toMap).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // timing microscope, not a verify run: skip oracle-sidecar writes
     graft.OracleSidecar.enabled = false
