@@ -1666,10 +1666,19 @@ final class TableCatalog(spark: SparkSession, root: String,
         org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false, conf)
       }
       if (statsCols.nonEmpty) {
-        // sidecar for the new version: kept files carry their old stats
-        // rows verbatim; only the rewritten files are re-scanned
-        val keptStats = stats.filter(
-          !col(statsFileCol).isin(touchedNames.toSeq: _*))
+        // sidecar for the new version: kept files carry their old min/max
+        // rows verbatim (relative path re-derived from the copy map, so
+        // pre-r15 sidecars upgrade to the two-level format on their first
+        // DML commit); only the rewritten files are re-scanned. Group ids
+        // are recomputed over the merged set — grouping is contiguous by
+        // min, so it must reflect the NEW file population.
+        import spark.implicits._
+        val keptRel = keepFiles.map(f => (f.getName, relOf(f)))
+          .toDF(statsFileCol, statsRelCol)
+        val keptStats = stats
+          .drop(statsRelCol, statsGrpCol)
+          .filter(!col(statsFileCol).isin(touchedNames.toSeq: _*))
+          .join(keptRel, Seq(statsFileCol))
         val newFilePaths = {
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
           val it = fs.listFiles(target, true)
@@ -1682,24 +1691,13 @@ final class TableCatalog(spark: SparkSession, root: String,
         }
         val newStats =
           if (newFilePaths.isEmpty) None
-          else {
-            val written = spark.read.format(format)
+          else Some(perFileStats(
+            spark.read.format(format)
               .option("basePath", target.toString)
-              .load(newFilePaths: _*)
-            val aggs = statsCols.flatMap(c =>
-              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-            Some(written
-              .select(input_file_name().as(statsFileCol) +:
-                statsCols.map(col): _*)
-              .withColumn(statsFileCol,
-                element_at(split(col(statsFileCol), "/"), -1))
-              .groupBy(col(statsFileCol))
-              .agg(aggs.head, aggs.tail: _*))
-          }
-        newStats.map(keptStats.unionByName(_)).getOrElse(keptStats)
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).format(format)
-          .save(new Path(target, "_stats").toString)
+              .load(newFilePaths: _*),
+            target, statsCols))
+        writeStatsSidecars(target, statsCols,
+          newStats.map(keptStats.unionByName(_)).getOrElse(keptStats))
       }
       publishVersion(layer, table, next, prevCommitted)
       Some(next)
@@ -1768,6 +1766,15 @@ final class TableCatalog(spark: SparkSession, root: String,
   // ---------------------------------------------------------------- stats
 
   private val statsFileCol = "__file"
+  // snapshot-relative path (partition subdirs included): lets `readRange`
+  // SCHEDULE surviving files directly instead of recursively listing every
+  // data file — planning cost proportional to survivors, not table size.
+  // Absent in pre-r15 sidecars (readers fall back to the listing).
+  private val statsRelCol = "__rel"
+  // rollup group id: files grouped CONTIGUOUSLY in min-order of the first
+  // stats column, `statsGroupFiles` per group
+  private val statsGrpCol = "__grp"
+  private val statsGroupFiles = 64
 
   /** Per-data-file min/max sidecar (`<version>/_stats/`, parquet): one row
     * per file, columns `min_<c>`/`max_<c>` in the column's own type. This
@@ -1780,22 +1787,73 @@ final class TableCatalog(spark: SparkSession, root: String,
     * ranges are actually narrow per file.
     */
   private def writeFileStats(target: Path, statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions._
     val written = spark.read.format(format).load(target.toString)
+    writeStatsSidecars(target, statsCols,
+      perFileStats(written, target, statsCols))
+  }
+
+  /** One stats row per data file of `written` (which must be rooted at the
+    * version dir `target`): basename, snapshot-relative path, and min/max
+    * per stats column.
+    */
+  private def perFileStats(written: DataFrame, target: Path,
+      statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // snapshot-relative path: everything after the version-dir segment.
+    // Hive partition dirs are `col=value`, so the bare numeric version
+    // name cannot recur as a later path SEGMENT. Basename stays the join
+    // key (catalog roots move; file:/ vs file:/// spellings differ by
+    // entry point; task-UUID part names are unique across subdirs).
+    val splitTok = java.util.regex.Pattern.quote(s"/${target.getName}/")
     written
-      .select(input_file_name().as(statsFileCol) +: statsCols.map(col): _*)
-      // basename only: the sidecar must not pin an absolute URI (catalog
-      // roots move; file:/ vs file:/// spellings differ by entry point).
-      // Task-UUID part names are unique across partition subdirs.
+      .select(input_file_name().as(statsRelCol) +: statsCols.map(col): _*)
+      .withColumn(statsRelCol,
+        element_at(split(col(statsRelCol), splitTok), -1))
       .withColumn(statsFileCol,
-        element_at(split(col(statsFileCol), "/"), -1))
-      .groupBy(col(statsFileCol))
+        element_at(split(col(statsRelCol), "/"), -1))
+      .groupBy(col(statsFileCol), col(statsRelCol))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
+  }
+
+  /** Write the TWO-LEVEL skipping sidecar for one snapshot: `_stats` (one
+    * row per data file) and `_stats_rollup` (one row per group of
+    * `statsGroupFiles` files, grouped contiguously by `min_<first col>`).
+    * The rollup is what keeps range-read planning FILE-COUNT-SUBLINEAR at
+    * 100 TB (the r14 sf100 probe measured the per-file-only design at
+    * 21×/decade): a range read prunes GROUPS from the fileCount/64-row
+    * rollup first, then reads per-file rows only for surviving groups —
+    * `_stats` is written sorted by group id, so parquet row-group stats
+    * skip the non-surviving spans — and schedules survivors by their
+    * recorded relative path, never listing the snapshot. `null_<c>` marks
+    * groups containing a file with all-null stats in `c`; those groups
+    * survive pruning conservatively, exactly like the per-file contract.
+    */
+  private def writeStatsSidecars(target: Path, statsCols: Seq[String],
+      perFile: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // manifest-scale single-partition window: one row per FILE (the same
+    // currency every commit already materializes); min-ordering makes
+    // groups contiguous, so range/z-order layouts roll up to narrow group
+    // envelopes and group pruning has the same power as file pruning
+    val grouped = perFile.withColumn(statsGrpCol,
+      ((row_number().over(Window.orderBy(
+        col(s"min_${statsCols.head}").asc_nulls_last,
+        col(statsFileCol))) - 1) / statsGroupFiles).cast("int"))
+    grouped.coalesce(1).sortWithinPartitions(col(statsGrpCol))
       .write.mode(SaveMode.Overwrite).format(format)
       .save(new Path(target, "_stats").toString)
+    val rollAggs = statsCols.flatMap(c => Seq(
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"),
+      max(col(s"min_$c").isNull).as(s"null_$c")))
+    grouped.groupBy(col(statsGrpCol))
+      .agg(rollAggs.head, rollAggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).format(format)
+      .save(new Path(target, "_stats_rollup").toString)
   }
 
   /** The live snapshot's file-stats sidecar, if the committing overwrite
@@ -1807,6 +1865,16 @@ final class TableCatalog(spark: SparkSession, root: String,
     else Some(spark.read.format(format).load(statsPath.toString))
   }
 
+  /** The live snapshot's group-rollup sidecar, if the committing write
+    * recorded one (r15+ two-level format): one row per `statsGroupFiles`
+    * files with the group's min/max envelope and all-null flags.
+    */
+  def statsRollup(layer: String, table: String): Option[DataFrame] = {
+    val p = new Path(livePath(layer, table), "_stats_rollup")
+    if (!hadoopFs(p).exists(p)) None
+    else Some(spark.read.format(format).load(p.toString))
+  }
+
   /** Data-skipping range read: prune the live snapshot's files against the
     * stats sidecar (keep a file iff every requested `[lo, hi]` interval
     * intersects its `[min, max]` — all-null stats keep the file,
@@ -1816,6 +1884,15 @@ final class TableCatalog(spark: SparkSession, root: String,
     * the scan never plans the pruned files at all. Falls back to the plain
     * filtered read when the snapshot has no sidecar. Bounds are inclusive;
     * rows with NULL in a ranged column never qualify (SQL BETWEEN).
+    *
+    * Planning is FILE-COUNT-SUBLINEAR for snapshots with the r15 two-level
+    * sidecar (`writeStatsSidecars`): the rollup prunes file GROUPS first
+    * (fileCount/64 rows touched), the group-sorted `_stats` parquet serves
+    * the surviving groups' per-file rows via row-group skipping, and
+    * survivors are scheduled by their recorded snapshot-relative path with
+    * NO recursive listing — at a selective range over 10⁶ files the driver
+    * touches thousands of manifest rows, not millions. Pre-r15 sidecars
+    * (restored/time-traveled old versions) keep the listing fallback.
     */
   def readRange(layer: String, table: String,
       ranges: Seq[(String, Any, Any)]): DataFrame = {
@@ -1825,36 +1902,65 @@ final class TableCatalog(spark: SparkSession, root: String,
       ranges.foldLeft(df) { case (d, (c, lo, hi)) =>
         d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
       }
+    def emptyResult(live: Path): DataFrame = {
+      val schema = spark.read.format(format).load(live.toString).schema
+      residual(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
     fileStats(layer, table) match {
       case None => residual(read(layer, table))
       case Some(stats) =>
         val live = new Path(livePath(layer, table))
-        val keep = ranges.foldLeft(stats) { case (sdf, (c, lo, hi)) =>
+        // group-level pruning first, when the snapshot carries the rollup
+        val rollPath = new Path(live, "_stats_rollup")
+        val fileLevel =
+          if (!hadoopFs(rollPath).exists(rollPath)) stats
+          else {
+            val roll = spark.read.format(format).load(rollPath.toString)
+            val keepG = ranges.foldLeft(roll) { case (sdf, (c, lo, hi)) =>
+              sdf.filter(col(s"null_$c") ||
+                (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
+            }
+            val grps = keepG.select(col(statsGrpCol)).collect()
+              .map(_.getInt(0)).toSeq
+            if (grps.isEmpty) return emptyResult(live)
+            // `_stats` is sorted by group id: this pushed filter skips the
+            // non-surviving row-group spans instead of decoding them
+            stats.filter(col(statsGrpCol).isin(grps: _*))
+          }
+        val keep = ranges.foldLeft(fileLevel) { case (sdf, (c, lo, hi)) =>
           sdf.filter(col(s"min_$c").isNull ||
             (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
         }
-        // the sidecar is one row per file — this collect is the same
-        // driver-side file-list pruning a Delta log replay does
-        val names = keep.select(col(statsFileCol)).collect()
-          .map(_.getString(0)).toSet
-        if (names.isEmpty) {
-          val schema = spark.read.format(format).load(live.toString).schema
-          residual(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-        } else {
-          val fs = hadoopFs(live)
-          val files = scala.collection.mutable.ArrayBuffer.empty[String]
-          val it = fs.listFiles(live, true)
-          while (it.hasNext) {
-            val f = it.next()
-            if (names.contains(f.getPath.getName) &&
-                !f.getPath.toString.contains("/_stats/"))
-              files += f.getPath.toString
-          }
-          // basePath keeps hive partition columns of a partitioned layout
-          residual(spark.read.format(format)
+        if (stats.schema.fieldNames.contains(statsRelCol)) {
+          // survivors carry their snapshot-relative path: schedule them
+          // directly, never listing the snapshot
+          val rels = keep.select(col(statsRelCol)).collect()
+            .map(_.getString(0))
+          if (rels.isEmpty) emptyResult(live)
+          else residual(spark.read.format(format)
             .option("basePath", live.toString)
-            .load(files.toSeq: _*))
+            .load(rels.map(r => new Path(live, r).toString).toIndexedSeq: _*))
+        } else {
+          // pre-r15 sidecar: name-set prune over a recursive listing
+          val names = keep.select(col(statsFileCol)).collect()
+            .map(_.getString(0)).toSet
+          if (names.isEmpty) emptyResult(live)
+          else {
+            val fs = hadoopFs(live)
+            val files = scala.collection.mutable.ArrayBuffer.empty[String]
+            val it = fs.listFiles(live, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (names.contains(f.getPath.getName) &&
+                  !f.getPath.toString.contains("/_stats/"))
+                files += f.getPath.toString
+            }
+            // basePath keeps hive partition columns of partitioned layouts
+            residual(spark.read.format(format)
+              .option("basePath", live.toString)
+              .load(files.toSeq: _*))
+          }
         }
     }
   }

@@ -79,4 +79,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(got.select("v").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L))
     assert(got.select("p").distinct().as[String].collect().toSeq == Seq("a"))
   }
+
+  test("rollup: >64 files plan file-count-sublinearly; null group conservative") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, tmpDir("skipcat"))
+    // ~130 range-disjoint data files + one all-null-stats file (isolated
+    // deterministically in its own hive partition): three rollup groups
+    // (64/64/rest), the null file sorted into the LAST group
+    val df = ((1 to 130).map(i => (Option(i.toLong), i, "d")) :+
+      ((None: Option[Long]), 999, "n"))
+      .toDF("k", "payload", "side")
+    cat.overwrite(df.repartitionByRange(130, col("k")), "silver", "wide",
+      partitionBy = Seq("side"), statsCols = Seq("k"))
+    val nFiles = cat.fileStats("silver", "wide").get.count()
+    val roll = cat.statsRollup("silver", "wide").get.collect()
+    assert(roll.length == ((nFiles + 63) / 64).toInt,
+      s"one rollup row per 64 files, got ${roll.length} for $nFiles")
+    assert(roll.count(_.getBoolean(roll.head.fieldIndex("null_k"))) == 1,
+      "exactly one group carries the all-null-stats file")
+    // [100,110] lives entirely in the middle group; the first group's
+    // envelope misses it (group pruning), the last group survives ONLY via
+    // its null flag (its non-null envelope is 129..130) and contributes
+    // just the conservative null file at the per-file level
+    val got = cat.readRange("silver", "wide", Seq(("k", 100L, 110L)))
+    assert(got.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 110L))
+    val scheduled = got.inputFiles.length
+    assert(scheduled <= 13,
+      s"11 matching + the null file expected, scheduled $scheduled")
+    // dropping the rollup must not change semantics (pre-rollup fallback)
+    val live = new org.apache.hadoop.fs.Path(
+      cat.livePath("silver", "wide"), "_stats_rollup")
+    live.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(live, true)
+    val got2 = cat.readRange("silver", "wide", Seq(("k", 100L, 110L)))
+    assert(got2.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 110L))
+  }
+
+  test("pre-r15 sidecar (no __rel/__grp, no rollup) prunes via the listing") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, tmpDir("skipcat"))
+    val df = (1L to 400L).toDF("k").withColumn("v", col("k") * 3.0)
+    cat.overwrite(df.repartitionByRange(8, col("k")), "silver", "old",
+      statsCols = Seq("k"))
+    // rewrite the sidecar to the r14 shape: per-file min/max only
+    val statsPath = new org.apache.hadoop.fs.Path(
+      cat.livePath("silver", "old"), "_stats")
+    val rollPath = new org.apache.hadoop.fs.Path(
+      cat.livePath("silver", "old"), "_stats_rollup")
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = cat.fileStats("silver", "old").get
+      .drop("__rel", "__grp").collect()
+    val legacySchema = cat.fileStats("silver", "old").get
+      .drop("__rel", "__grp").schema
+    fs.delete(statsPath, true)
+    fs.delete(rollPath, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toIndexedSeq), legacySchema)
+      .coalesce(1).write.parquet(statsPath.toString)
+    val got = cat.readRange("silver", "old", Seq(("k", 101L, 150L)))
+    assert(got.select("k").as[Long].collect().sorted.toSeq ==
+      (101L to 150L))
+    assert(got.inputFiles.length < 8, "listing fallback must still prune")
+  }
 }
