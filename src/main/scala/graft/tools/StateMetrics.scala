@@ -21,7 +21,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   * watermark delay exceeds the corpus span BY DESIGN (every duplicate
   * must be a state hit), so its state is one entry per key and grows
   * linearly — which is exactly why that gate pins the RocksDB provider +
-  * changelog checkpointing. StreamingSpec's "watermark bounds state"
+  * changelog checkpointing. The PRODUCTION default is
+  * `events_dedup_window_stream` (r15, VERDICT r14 task 4):
+  * `dropDuplicatesWithinWatermark` with the true duplicate-arrival window
+  * (24 h against a ~30 d corpus) — its final state and commit p50 must
+  * stay arrival-window-bounded across SFs where the keep-everything
+  * gate's grow 46×/decade. StreamingSpec's "watermark bounds state"
   * test pins the eviction behavior at fixture scale.
   */
 object StateMetrics {
