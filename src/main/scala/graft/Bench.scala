@@ -46,7 +46,7 @@ object Bench {
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
+      .config(graft.plans.BatchScale.aqeWidthConfs(sfDir, cpus.toInt).toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // STABLE query order (sorted by name): `queries` is a hash Map, so its

@@ -10,8 +10,11 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
-      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
+      // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc);
+      // entry runs on sf0.001, far below the engagement threshold — this
+      // emits nothing and keeps the driver's plain-session smoke plain
+      .config(graft.plans.BatchScale
+        .aqeWidthConfs("/root/testdata/sf0.001", 4).toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

@@ -34,7 +34,7 @@ object Verify {
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
+      .config(graft.plans.BatchScale.aqeWidthConfs(sfDir, cpus.toInt).toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

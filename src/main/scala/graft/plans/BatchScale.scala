@@ -62,24 +62,57 @@ object BatchScale {
   }
 
   /** AQE-side width scaling for harness sessions (the general form of
-    * this policy): start every adaptive exchange at `initialPartitionNum`
-    * and let runtime coalescing size it to the DATA — small shuffles
-    * coalesce back toward the core count (`parallelismFirst` is Spark's
-    * default, so the bench-SF behavior matches the recorded 32-wide
-    * basis), while third-decade exchanges keep up to 512 partitions and
-    * per-task state stays bounded with no env override. This covers every
-    * groupBy/join/window the per-operator repartition policy doesn't
-    * name. Stateful streaming ignores AQE (its width stays the gates'
-    * corpus-scaled `StreamScale` contract), and `ckptKeepPartitioning`
-    * materializations run AQE-off at the session width, exactly as
-    * recorded. `SPARK_GRAFT_INIT_PARTS=0` recovers the old fixed-width
-    * posture for A/B.
+    * this policy): start every adaptive exchange at a CORPUS-SCALED
+    * `initialPartitionNum` and let runtime coalescing size it to the
+    * data. This covers every groupBy/join/window the per-operator
+    * repartition policy doesn't name. Stateful streaming ignores AQE
+    * (its width stays the gates' corpus-scaled `StreamScale` contract),
+    * and `ckptKeepPartitioning` materializations run AQE-off at the
+    * session width, exactly as recorded.
+    *
+    * Scaled, NOT fixed (r15 measurement): the first cut pinned 512
+    * unconditionally, and an interleaved sf0.1 A/B measured a 10-25%
+    * per-query tax on the window/sort family (q8_lead_lag 0.57→0.72 s,
+    * layout_zorder 0.84→1.02 s, gold_alerts 4.7→5.4 s) — the map side
+    * partitions into 512 buckets and AQE re-merges them, pure overhead
+    * when the whole input is a few MB. Width now derives from the corpus
+    * footprint at one 32 MB-of-input partition per unit (the same
+    * currency as `partsFor`): at sf0.1 (17 MB) that is ≤ the session
+    * floor, so NO conf is emitted and the plan basis is byte-identical
+    * to every recorded run; at sf100 (~17 GB) it opens to ~540 and the
+    * third-decade heavies get their layout with no env override.
+    * `SPARK_GRAFT_INIT_PARTS=0` recovers the fixed-width-off posture,
+    * any other value pins it, both for A/B.
+    *
+    * `floor` is the session's exchange width (`spark.sql.shuffle
+    * .partitions`, AQE's own default for this knob); emitting nothing at
+    * or below it keeps sub-threshold sessions exactly on the recorded
+    * basis.
     */
-  def aqeWidthConfs: Seq[(String, String)] = {
-    val init = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "512")
-    if (init == "0") Nil
-    else Seq(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> init)
+  def aqeWidthConfs(sfDir: String, floor: Int): Seq[(String, String)] = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    sys.env.get("SPARK_GRAFT_INIT_PARTS") match {
+      case Some("0") => Nil
+      case Some(n)   => Seq(key -> n)
+      case None =>
+        val bytes = dirBytes(sfDir)
+        val scaled = ((bytes + (32L << 20) - 1) / (32L << 20))
+          .min(1024L).toInt
+        if (scaled <= floor) Nil else Seq(key -> scaled.toString)
+    }
+  }
+
+  /** Total bytes under `dir` (recursive; 0 when absent) — the corpus
+    * footprint the AQE width scales from. A directory walk, no Spark job.
+    */
+  def dirBytes(dir: String): Long = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        if (children == null) 0L else children.map(walk).sum
+      } else f.length()
+    if (root.exists()) walk(root) else 0L
   }
 
   /** Global sort at data-scaled width. Semantically identical to

@@ -215,8 +215,24 @@ object DomainQueries {
       // number had hidden). The array forms share one buffer and emit
       // per-point values identical to the scalar calls, so the oracle is
       // untouched.
-      Tables.events(s, d).groupBy(col("event_type")).agg(
-        countDistinct(col("user_id")).as("n_users"),
+      //
+      // count(DISTINCT) lives in its OWN branch, joined back on the tiny
+      // group key (r15): mixed into the sketch aggregation, Catalyst keys
+      // the partial pass on (event_type, user_id) to dedup the distinct
+      // column — which builds the exact-percentile map, the GK summary
+      // and the HLL buffer once per (type, user) PAIR (~100k object-hash
+      // groups, ~400-field merge state) instead of once per type. Split,
+      // the distinct branch shuffles narrow (type, user) longs and the
+      // sketch branch keys on event_type alone (a handful of buffers);
+      // same aggregates, same values, one broadcast-sized equi join —
+      // measured 2.9 s → ~0.8 s at sf0.1. (The repo-wide rule "one pruned
+      // branch per distinct column" — see verify skill — applied to the
+      // mixed distinct+sketch case.)
+      {
+      val ev = Tables.events(s, d)
+      val distinctBranch = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      ev.groupBy(col("event_type")).agg(
         percentile(col("value"),
           array(lit(0.5), lit(0.99), lit(0.49), lit(0.51), lit(0.98)))
           .as("px"),
@@ -224,6 +240,7 @@ object DomainQueries {
         approx_count_distinct(col("user_id"), 0.02).as("au"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
           lit(10000)).as("apx"))
+        .join(distinctBranch, Seq("event_type"))
         .select(col("event_type"), col("n_users"),
           round(col("px").getItem(0), 4).as("p50"),
           round(col("px").getItem(1), 4).as("p99"),
@@ -235,7 +252,8 @@ object DomainQueries {
           (col("apx").getItem(1) >= col("px").getItem(4) &&
             col("apx").getItem(1) <= col("maxv"))
             .as("p99_rank_ok"))
-        .orderBy(col("event_type")),
+        .orderBy(col("event_type"))
+      },
     Some("""SELECT event_type,
                    count(DISTINCT user_id) AS n_users,
                    round(quantile_cont(value, 0.5), 4) AS p50,

@@ -54,7 +54,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap)
+      .config(graft.plans.BatchScale.aqeWidthConfs(sfDir, 8).toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val results = audit(spark, sfDir)

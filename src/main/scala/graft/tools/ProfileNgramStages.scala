@@ -25,7 +25,8 @@ object ProfileNgramStages {
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap).getOrCreate()
+      .config(graft.plans.BatchScale.aqeWidthConfs(sfDir, shuffle.toInt).toMap)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.OracleSidecar.enabled = false
     def time[T](label: String)(f: => T): T = {

@@ -60,6 +60,10 @@ object StateMetrics {
       val commits = scala.collection.mutable.ArrayBuffer.empty[Long]
     }
     val ops = scala.collection.mutable.LinkedHashMap.empty[String, OpAgg]
+    // per-batch engine durationMs components summed across batches — the
+    // floor decomposition (where does a replay's per-batch ~0.5 s go?)
+    val durTotals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var nBatches = 0
     val lock = new Object
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -67,6 +71,10 @@ object StateMetrics {
       override def onQueryIdle(e: QueryIdleEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         lock.synchronized {
+          nBatches += 1
+          e.progress.durationMs.forEach { (k, v) =>
+            durTotals(k) = durTotals.getOrElse(k, 0L) + v
+          }
           e.progress.stateOperators.zipWithIndex.foreach { case (so, i) =>
             val key = s"${so.operatorName}#$i"
             val agg = ops.getOrElseUpdate(key, OpAgg(so.operatorName))
@@ -85,7 +93,7 @@ object StateMetrics {
       if (sorted.isEmpty) -1
       else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
     names.foreach { name =>
-      lock.synchronized(ops.clear())
+      lock.synchronized { ops.clear(); durTotals.clear(); nBatches = 0 }
       val t0 = System.nanoTime()
       val ok =
         try { graft.BenchAction.consume(
@@ -107,7 +115,12 @@ object StateMetrics {
             s""""commit_ms_max":${if (sorted.isEmpty) -1 else sorted.last}}"""
         }.mkString("[", ",", "]")
       }
+      val durJson = lock.synchronized {
+        durTotals.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      }
       println(s"""{"gate":"$name","ok":$ok,"sec":${math.round(sec * 10) / 10.0},""" +
+        s""""n_progress":${lock.synchronized(nBatches)},""" +
+        s""""duration_ms_totals":$durJson,""" +
         s""""state_ops":$opsJson,"sf":"$sfDir"}""")
     }
     spark.stop()

@@ -30,7 +30,8 @@ object TimeOne {
         "graft.streaming.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       // data-scaled AQE exchange width (BatchScale.aqeWidthConfs scaladoc)
-      .config(graft.plans.BatchScale.aqeWidthConfs.toMap).getOrCreate()
+      .config(graft.plans.BatchScale.aqeWidthConfs(sfDir, shuffle.toInt).toMap)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // timing microscope, not a verify run: skip oracle-sidecar writes
     graft.OracleSidecar.enabled = false

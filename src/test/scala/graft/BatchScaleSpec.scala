@@ -46,10 +46,25 @@ class BatchScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == plain)
   }
 
-  test("aqeWidthConfs: default posture sets the initial width knob") {
-    val confs = BatchScale.aqeWidthConfs.toMap
-    assert(confs.get(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-      .contains("512"))
+  test("aqeWidthConfs: corpus-scaled — silent at bench SF, wide at scale") {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    // sf0.1 (~17 MB) is far under one 32 MB unit per session-floor
+    // partition: NO conf emitted, the recorded 32-wide basis is untouched
+    assert(BatchScale.aqeWidthConfs("/root/testdata/sf0.1", 32).isEmpty)
+    // a synthetic third-decade footprint opens the width: ceil(bytes/32MB)
+    val dir = java.nio.file.Files.createTempDirectory("aqewidth").toFile
+    try {
+      val f = new java.io.File(dir, "blob.bin")
+      val out = new java.io.FileOutputStream(f)
+      try out.getChannel.truncate(0) finally out.close()
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try raf.setLength(17L << 30) // 17 GiB sparse — dirBytes reads length
+      finally raf.close()
+      val confs = BatchScale.aqeWidthConfs(dir.toString, 32).toMap
+      assert(confs(key).toInt == ((17L << 30) + (32L << 20) - 1) / (32L << 20))
+      assert(confs(key).toInt > 500 && confs(key).toInt <= 1024)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
   }
 }
