@@ -159,9 +159,21 @@ object Clusters {
     * list with `localCheckpoint` barriers (same per-round discipline as
     * the min-label loop). Output matches `connectedComponents` exactly
     * (spec-pinned, including deep-chain adversaries).
+    *
+    * Adaptive like `connectedComponents` (r15, guide §1.2 "the
+    * distributed algorithm" — don't run one where none is needed): below
+    * the same counted `driverFallbackEdges` gate the canonical edge list
+    * plus node set are collected and solved with in-memory union-find.
+    * A StarProbe decomposition at sf0.1 measured the distributed loop's
+    * cost as ~0.6-1.1 s PER ROUND of pure scheduling/planning over a
+    * 256-edge set — the rewrite only earns its rounds when the edge list
+    * is too big to collect. Results are identical on both paths
+    * (min-reachable-id; the spec pins fallback === distributed on chains,
+    * blobs, self-loops, and random graphs).
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverFallbackEdges: Long = 4000000L): DataFrame = {
+    require(driverFallbackEdges < Int.MaxValue, "fallback threshold must fit an Int")
     val raw = pairs.select(col(aCol).cast("long").as("u"),
                            col(bCol).cast("long").as("v"))
     // node set from the UNFILTERED pairs: a self-loop-only node is still a
@@ -185,8 +197,35 @@ object Clusters {
       e.agg(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
         .head().getDecimal(0)
 
+    // Materialize the (lazy) canonical edge checkpoint at the SESSION
+    // width first — the count below is the action that runs the whole
+    // upstream pair cascade, which needs its parallelism — then shrink
+    // the LOOP's exchange width to the edge count (r15, guide §2.2/§2.4:
+    // every star round is ~6 exchanges over an edge table that is dup-rate
+    // sized, orders below the corpus; at the bench SF those exchanges ran
+    // 32 partitions over a few hundred rows — pure per-task floor, measured
+    // ~3 s of the gate's 4.3 s). Same corpus-scaled contract as
+    // StreamScale.parts: cap = the session width every prior record was
+    // measured at, so a big edge set keeps the recorded layout; results
+    // are partition-count-invariant (suite-enforced).
+    val spark = pairs.sparkSession
+    val nEdges = edges.count()
+    // counted driver fallback (see scaladoc): the same ≤-threshold gate
+    // as connectedComponents — nothing lands on the driver unless the
+    // edge list is already known to be small. The node set rides along
+    // because canonical star edges exclude self-loops: a self-loop-only
+    // node must still come back as its own singleton cluster.
+    if (nEdges <= driverFallbackEdges)
+      return unionFindLocal(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))), spark,
+        allNodes = nodes.collect().map(_.getLong(0)))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamScale.parts(nEdges, rowsPerPart = 250000L,
+        cap = math.max(1, prevShuffle.toInt)).toString)
     var iter = 0
     var converged = false
+    try {
     var prev = checksum(edges)
     while (iter < maxIter && !converged) {
       // ---- large-star: neighbors STRICTLY ABOVE u re-point to m(u)
@@ -223,6 +262,11 @@ object Clusters {
       prev = cur
       iter += 1
     }
+    } finally {
+      // restore BEFORE the star-forest join below plans: only the loop's
+      // edge-table-sized exchanges run narrow
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // star forest: every remaining (u, v) is node→its component min; nodes
     // that lost all edges (singletons after rewrites) are their own min.
     // The groupBy-min guarantees ONE row per node even if maxIter cut the
@@ -237,12 +281,15 @@ object Clusters {
 
   /** In-memory union-find (path compression + union-by-min) over a
     * collected edge list; representative = min id, matching the
-    * distributed path exactly.
+    * distributed path exactly. `allNodes` adds edge-less nodes (the star
+    * path strips self-loops from its canonical edges) as singletons.
     */
   private def unionFindLocal(es: Array[(Long, Long)],
-      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession,
+      allNodes: Array[Long] = Array.empty): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    allNodes.foreach(n => parent.getOrElseUpdate(n, n))
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)

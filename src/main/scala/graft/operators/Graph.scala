@@ -264,13 +264,31 @@ object Graph {
         bounds.getLong(1) >= Int.MinValue
     }
     val idT = if (fitsInt) "int" else "long"
-    val e = edges.select(least(col("src"), col("dst")).cast(idT).as("a"),
+    // Shared-subtree barriers (r15, guide §2.4/§7.2): the four scalar
+    // branches below (nodes × edges × wedges × triangles) each re-plan
+    // the edge/degree/adjacency derivations — the pre-barrier initial
+    // plan was 368 operators with the edge subtree repeated ~11× (plans/
+    // r15/graph_triangles_before.txt). Exchange reuse deduplicates the
+    // map sides at runtime, but every post-exchange stage and the AQE
+    // re-planning of each duplicate still ran per branch. One barrier per
+    // shared frame executes it once. Size-gated storage currency exactly
+    // like Dedup.barrier: lazy heap checkpoint at bench scale, DISK_ONLY
+    // streaming blocks past 128 MB of input stats — the r12 eager-
+    // checkpoint OOM at sf10 was MEMORY-pinned blocks starving the
+    // aggregation, which the serialized currency avoids.
+    def barrier(df: DataFrame): DataFrame =
+      if (edges.queryExecution.optimizedPlan.stats.sizeInBytes > (128L << 20))
+        df.localCheckpoint(eager = false,
+          storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else df.localCheckpoint(eager = false)
+    val e = barrier(edges
+      .select(least(col("src"), col("dst")).cast(idT).as("a"),
         greatest(col("src"), col("dst")).cast(idT).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = e.select(col("a").as("n"))
+      .distinct())
+    val deg = barrier(e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
     // shuffled-hash build on the |V|-row degree side both times — SMJ
     // would sort the |E|-row edge stream twice for joins whose build
     // side is a narrow per-task map (same discipline as the PageRank
@@ -298,8 +316,10 @@ object Graph {
     // the compiled `sorted_intersect_size` linear-merge kernel, and the
     // shuffled bytes are the SAME adjacency payload the wedge table
     // carried, packed ~30× fewer rows.
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // barrier'd: referenced by the wedge count and BOTH sides of the
+    // closing join (three plan branches)
+    val adj = barrier(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     // Exact BIGINT end to end: d*(d-1) is always even, so the halving is
     // done PER ROW as a bit shift (exact integer /2 for non-negatives)
     // BEFORE the sum. The previous `sum(...) / 2L` was Catalyst's Divide —

@@ -40,6 +40,33 @@ object StreamQueries {
     graft.streaming.StreamScale.parts(
       Tables.rowCount(s, d, table), rowsPerPart = 250000L, cap = cap)
 
+  /** No-data micro-batch toggle, shared by every replay that provably
+    * gains nothing from the automatic 0-row pass (r15, guide §2.2 "do
+    * fewer shuffles"/fewer batches): with `noDataMicroBatches` on (the
+    * default), every `processAllAvailable()` that advanced the watermark
+    * appends a 0-row batch that pays the full per-partition state-store
+    * commit floor (~60-130 ms per store — BASELINE.md "Stream replay
+    * floor"). Eviction/timeout processing compares against the CURRENT
+    * watermark, which is a function of data-batch max event times alone —
+    * a no-data batch never changes it — so any emission the no-data pass
+    * would produce is produced identically by the next DATA batch. Gates
+    * whose final flush used to ride the automatic pass now stage one more
+    * 1-row sentinel batch instead (one data batch replaces two-or-more
+    * no-data batches). Set BEFORE the query starts (confs are picked up at
+    * start), restore in the gate's `finally`.
+    */
+  private val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+  private def noDataOff(s: org.apache.spark.sql.SparkSession): Option[String] = {
+    val prev = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "false")
+    prev
+  }
+  private def restoreConf(s: org.apache.spark.sql.SparkSession, key: String,
+      prev: Option[String]): Unit = prev match {
+    case Some(p) => s.conf.set(key, p)
+    case None    => s.conf.unset(key)
+  }
+
   /** Memoized event-time bounds per sfDir (r13): the corpora are
     * immutable, and the same min/max probe feeds 4-5 gates × warm-up
     * passes × two timed reps — each previously re-ran its own ~0.3 s
@@ -99,6 +126,10 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (see noDataKey scaladoc): the timeout
+      // flush that used to ride the automatic pass now rides sentinel 2 —
+      // 3 data batches replace 2 data + 2 no-data ones
+      val prevNoData = noDataOff(s)
       val q = Sessionize.sessions(feed.stream.as[Sessionize.Event], gapMs)
         .replayAppendSink(s)
       try {
@@ -106,12 +137,16 @@ object StreamQueries {
         feed.stageCached(corpus, s"$d#events#key_ts_value")
         q.processAllAvailable()
         // batch 2: sentinel advances the watermark past every real close
-        // (wm becomes maxTs + 2·gap > any lastTs + gap); the engine then
-        // runs its automatic NO-DATA batch at the new watermark
-        // (noDataMicroBatches, on by default) — that is the pass where
-        // every timed-out session flushes, so no second sentinel is needed
+        // (wm becomes maxTs + 2·gap > any lastTs + gap) …
         feed.stage(Seq(Sessionize.Event("__flush__",
           new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
+        q.processAllAvailable()
+        // … batch 3: a second sentinel (its own gap-separated session,
+        // same filtered key) runs the timeout pass AT that watermark —
+        // the same pass the automatic no-data batch performed, same
+        // watermark value, so the flushed session set is identical
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 6 * gapMs), 0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
@@ -119,6 +154,7 @@ object StreamQueries {
         // restore BEFORE the batch renumber below plans: only the
         // streaming replay itself runs narrow
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
       q.result()
@@ -177,6 +213,10 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc): the final eviction
+      // + emit rides sentinel 2 instead of the automatic pass — 3 data
+      // batches replace 2 data + 2 no-data ones
+      val prevNoData = noDataOff(s)
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -185,17 +225,22 @@ object StreamQueries {
       try {
         feed.stageCached(corpus, s"$d#events#ttv")
         q.processAllAvailable()
-        // sentinel: event time jumps 3 h past the last real event, so the
-        // watermark computed at this batch's end clears every real window;
-        // the engine's automatic no-data batch at that watermark performs
-        // the eviction + emit (no second sentinel needed)
+        // sentinel 1: event time jumps 3 h past the last real event, so the
+        // watermark computed at this batch's end clears every real window …
         feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
+          0.0)).toDS().toDF())
+        q.processAllAvailable()
+        // … sentinel 2: its batch runs the eviction + emit pass AT that
+        // watermark — the identical pass (same watermark value) the
+        // automatic no-data batch used to perform
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 4 * hourMs), "__flush__",
           0.0)).toDS().toDF())
         q.processAllAvailable()
       } finally {
         q.stop()
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       q.result()
         .filter(col("event_type") =!= "__flush__")
@@ -294,6 +339,13 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc): update mode emits
+      // changed keys in the data batch that changes them and emits NOTHING
+      // on eviction, so the automatic passes contribute no rows (an empty
+      // foreachBatch append) while paying the full per-batch floor — 2
+      // data batches replace 2 data + 2 no-data ones. n_emits is untouched:
+      // only data batches carry changed keys.
+      val prevNoData = noDataOff(s)
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -316,6 +368,7 @@ object StreamQueries {
         q.stop()
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       val byKey = Window.partitionBy(col("w.start"), col("event_type"))
       s.read.parquet(s"$outDir/emit")
@@ -375,25 +428,44 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc). Spark keeps TWO
+      // watermarks per batch (SPARK-39931 split): the LATE-EVENTS filter of
+      // batch N uses the previous batch's watermark (event-time stats
+      // through batch N−2), while EVICTION uses the current one (stats
+      // through N−1). The held slice must be judged against hi − 10min,
+      // so one batch must stand between the corpus (whose max is hi) and
+      // the held slice — previously the automatic no-data pass, now the
+      // flush sentinel, MOVED BETWEEN THEM. Batch roles: 0 = unheld corpus
+      // (stats → hi − 10m), 1 = sentinel at hi + 3h (its late-filter wm is
+      // 0 — admitted; its eviction wm hi − 10m emits every already-closed
+      // window), 2 = held slice (late-filter wm = stats through batch 0 =
+      // hi − 10m, the EXACT admission rule the oracle states; eviction wm =
+      // stats through batch 1 = hi + 3h − 10m, past every real close, so
+      // the tail + admitted fresh rows all flush here). 3 data batches
+      // replace 3 data + 3 no-data ones, admission decisions identical.
+      val prevNoData = noDataOff(s)
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
         .replayAppendSink(s)
       try {
-        // batch 1 contains the corpus max, so the watermark at its end is
-        // hi − 10min; batch 2 is then judged row-by-row against it
+        // batch 0: the unheld corpus, containing the corpus max hi
         feed.stageCached(corpus.filter(!held), s"$d#events#ttv#unheld")
         q.processAllAvailable()
-        feed.stageCached(corpus.filter(held), s"$d#events#ttv#held")
-        q.processAllAvailable()
+        // batch 1: the flush sentinel — stands between corpus and held
+        // slice so the held rows' late filter sees hi − 10m (see above)
         feed.stage(Seq(Evt(new Timestamp(hi + 3 * hourMs), "__flush__",
           0.0)).toDS().toDF())
+        q.processAllAvailable()
+        // batch 2: the held slices, judged row-by-row against hi − 10m
+        feed.stageCached(corpus.filter(held), s"$d#events#ttv#held")
         q.processAllAvailable()
       } finally {
         q.stop()
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       q.result()
         .filter(col("event_type") =!= "__flush__")
@@ -944,6 +1016,13 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc): the final session
+      // flush rides sentinel 2 — 3 data batches replace 2 data + 2 no-data
+      // ones. The two sentinels are 3·gap apart (their own disjoint
+      // sessions, both filtered); sentinel 2's batch evicts at the
+      // sentinel-1 watermark (maxTs + 3·gap − 10min), past every real
+      // session's close (≤ maxTs + gap).
+      val prevNoData = noDataOff(s)
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("key"))
@@ -956,10 +1035,14 @@ object StreamQueries {
         feed.stage(Seq(Sessionize.Event("__flush__",
           new Timestamp(maxTs + 3 * gapMs), 0.0)).toDS().toDF())
         q.processAllAvailable()
+        feed.stage(Seq(Sessionize.Event("__flush__",
+          new Timestamp(maxTs + 6 * gapMs), 0.0)).toDS().toDF())
+        q.processAllAvailable()
       } finally {
         q.stop()
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       val w = Window.partitionBy(col("key")).orderBy(col("start"))
       q.result()
@@ -1031,6 +1114,12 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 4).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc) — the heaviest
+      // per-batch floor in the whole inventory (4 state stores per
+      // partition), and every automatic pass here paid it: 4 data batches
+      // replace 3 data + 3 no-data ones. The null-extended emission pass
+      // moves intact to sentinel 2's batch, same watermark value.
+      val prevNoData = noDataOff(s)
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
         .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
@@ -1060,13 +1149,21 @@ object StreamQueries {
         feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
         feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
         q.processAllAvailable()
-        // … and the engine's automatic no-data batch at that watermark
-        // performs the eviction pass that emits the null-extended rows
-        // (noDataMicroBatches, on by default — no second sentinel needed)
+        // … and sentinel 2's batch performs the eviction pass AT that
+        // watermark (hi + 9h: every real click's interval close ≤ hi + 6h
+        // sits below it), emitting the null-extended rows — the identical
+        // pass the automatic no-data batch used to run. The sentinel-1
+        // rows themselves (user −1, close hi + 16h) stay in state,
+        // filtered from the result either way.
+        val flushTs2 = new Timestamp(hi + 72000000L)
+        feedC.stage(Seq(Click(-1L, flushTs2, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-1L, flushTs2, -1L)).toDS().toDF())
+        q.processAllAvailable()
       } finally {
         q.stop()
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       q.result()
         .filter(col("c_user") >= 0)
@@ -1117,6 +1214,11 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 4).toString)
+      // no-data micro-batches OFF + sentinel 2 — same trim and same
+      // eviction-equivalence argument as the left-outer twin; the
+      // unmatched-purchase close (wm ≥ b_ts, all ≤ hi) also sits below
+      // the sentinel-1 watermark hi + 9h
+      val prevNoData = noDataOff(s)
       val q = feedC.stream.withWatermark("c_ts", "1 hour")
         .join(feedB.stream.withWatermark("b_ts", "1 hour"),
           expr("c_user = b_user AND b_ts > c_ts AND " +
@@ -1138,10 +1240,15 @@ object StreamQueries {
         feedC.stage(Seq(Click(-1L, flushTs, -1L)).toDS().toDF())
         feedB.stage(Seq(Buy(-1L, flushTs, -1L)).toDS().toDF())
         q.processAllAvailable()
+        val flushTs2 = new Timestamp(hi + 72000000L)
+        feedC.stage(Seq(Click(-1L, flushTs2, -1L)).toDS().toDF())
+        feedB.stage(Seq(Buy(-1L, flushTs2, -1L)).toDS().toDF())
+        q.processAllAvailable()
       } finally {
         q.stop()
         feedC.close(); feedB.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       q.result()
         .filter(coalesce(col("c_user"), col("b_user")) >= 0)
@@ -1184,6 +1291,9 @@ object StreamQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         replayParts(s, d, cap = 8).toString)
+      // no-data micro-batches OFF (noDataKey scaladoc): final eviction +
+      // emit rides sentinel 2 — 3 data batches replace 2 data + 2 no-data
+      val prevNoData = noDataOff(s)
       val q = feed.stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
@@ -1196,10 +1306,16 @@ object StreamQueries {
         feed.stage(Seq(Evt(new Timestamp(maxTs + 3 * hourMs), "__flush__",
           0.0)).toDS().toDF())
         q.processAllAvailable()
+        // sentinel 2 evicts at the sentinel-1 watermark (maxTs + 3h −
+        // 10min), past every real window's close (≤ maxTs + 1h)
+        feed.stage(Seq(Evt(new Timestamp(maxTs + 4 * hourMs), "__flush__",
+          0.0)).toDS().toDF())
+        q.processAllAvailable()
       } finally {
         q.stop()
         feed.close()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        restoreConf(s, noDataKey, prevNoData)
       }
       q.result()
         .filter(col("event_type") =!= "__flush__")

@@ -72,29 +72,44 @@ class ClustersSpec extends SparkSpec {
     val adversarial = ((0L until 64L).map(i => (i, i + 1)) ++
       Seq((200L, 201L), (200L, 202L), (201L, 202L), (202L, 203L)) ++
       Seq((900L, 901L))).toDF("doc1", "doc2")
-    val star = Clusters.connectedComponentsStar(adversarial, "doc1", "doc2")
+    // driverFallbackEdges = 0 forces the DISTRIBUTED star loop; the
+    // default exercises the counted union-find fallback — both must agree
+    // with connectedComponents everywhere
+    val star = Clusters.connectedComponentsStar(adversarial, "doc1", "doc2",
+        driverFallbackEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val starFb = Clusters.connectedComponentsStar(adversarial, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     val exact = Clusters.connectedComponents(adversarial, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     assert(star === exact)
+    assert(starFb === exact)
     // random graph, both orientations and dupes included
     val rnd = new scala.util.Random(7)
     val pairs = (1 to 300).map { _ =>
       (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
     }.filter(p => p._1 != p._2).toDF("doc1", "doc2")
-    val starR = Clusters.connectedComponentsStar(pairs, "doc1", "doc2")
+    val starR = Clusters.connectedComponentsStar(pairs, "doc1", "doc2",
+        driverFallbackEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val starRFb = Clusters.connectedComponentsStar(pairs, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     val exactR = Clusters.connectedComponents(pairs, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     assert(starR === exactR)
-    // a self-loop-only node is still a (singleton) node on both paths
+    assert(starRFb === exactR)
+    // a self-loop-only node is still a (singleton) node on all paths
     val selfLoop = Seq((50L, 50L), (60L, 61L)).toDF("doc1", "doc2")
     val s1 = Clusters.connectedComponentsStar(selfLoop, "doc1", "doc2")
+      .as[(Long, Long)].collect().toMap
+    val s1d = Clusters.connectedComponentsStar(selfLoop, "doc1", "doc2",
+        driverFallbackEdges = 0L)
       .as[(Long, Long)].collect().toMap
     val s2 = Clusters.connectedComponents(selfLoop, "doc1", "doc2")
       .as[(Long, Long)].collect().toMap
     assert(s1 === Map(50L -> 50L, 60L -> 60L, 61L -> 60L))
     assert(s1 === s2)
+    assert(s1d === s2)
   }
 
   test("keepList drops all but one representative per cluster") {
